@@ -1,0 +1,257 @@
+"""Detector parameters as an immutable JAX pytree.
+
+This replaces the reference's mutable module globals + ``importlib.reload``
+pattern (consts/detector.py:198-379, cli/simulate_pixels.py:459-464) with an
+explicit frozen params object passed into jitted functions:
+
+* numeric quantities that only scale the math are pytree *leaves* (0-d or
+  small arrays), so one compiled executable serves every module variation;
+* quantities that determine array shapes or trace-time control flow are
+  static Python ints/tuples.
+
+Values and YAML keys match the reference loader one-to-one.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import numpy as np
+import yaml
+from flax import struct
+
+from .. import units
+from ..geometry import tiles as tiles_mod
+
+try:
+    _YamlLoader = yaml.CSafeLoader
+except AttributeError:
+    _YamlLoader = yaml.SafeLoader
+
+#: Sentinel for segments outside every TPC (consts/detector.py:67)
+DEFAULT_PLANE_INDEX = 0x0000BEEF
+
+
+def _pick(bucket, i_module: int) -> float:
+    """Resolve a scalar-or-per-module-list YAML value.
+
+    Mirrors `set_multi_properties` (consts/detector.py:182-196): scalars apply
+    to every module; lists are indexed by ``i_module`` (1-based) when module
+    variation is active, else the first entry is used.
+    """
+    if not isinstance(bucket, list):
+        return float(bucket)
+    if i_module < 1 or i_module > len(bucket):
+        return float(bucket[0])
+    return float(bucket[i_module - 1])
+
+
+@struct.dataclass
+class DetectorParams:
+    """Device-facing detector constants.
+
+    Leaves are float32 scalars/arrays; shape-determining values are static.
+    """
+
+    # --- geometry (leaves) ---
+    tpc_borders: Any                  # (n_tpc, 3, 2) cm
+    pixel_pitch: Any                  # cm
+    # --- LAr transport (leaves) ---
+    e_field: Any                      # kV/cm
+    temperature: Any                  # K
+    v_drift: Any                      # cm/us
+    electron_lifetime: Any            # us
+    long_diff: Any                    # cm^2/us
+    tran_diff: Any                    # cm^2/us
+    # --- timing (leaves) ---
+    time_padding: Any                 # us
+    time_window: Any                  # us
+    response_sampling: Any            # us
+    response_bin_size: Any            # cm
+    # --- FEE (leaves) ---
+    discrimination_threshold: Any     # e-
+    gain: Any                         # mV/e-
+    buffer_risetime: Any              # us
+    v_cm: Any                         # mV
+    v_ref: Any                        # mV
+    v_pedestal: Any                   # mV
+    reset_noise_charge: Any           # e-
+    uncorrelated_noise_charge: Any    # e-
+    discriminator_noise: Any          # e-
+    # --- statics (shape / control flow) ---
+    n_pixels: tuple[int, int] = struct.field(pytree_node=False, default=(0, 0))
+    n_pixels_per_tile: tuple[int, int] = struct.field(pytree_node=False, default=(0, 0))
+    n_tpcs: int = struct.field(pytree_node=False, default=0)
+    time_interval: tuple[float, float] = struct.field(pytree_node=False, default=(0.0, 200.0))
+    time_sampling: float = struct.field(pytree_node=False, default=0.1)
+    sampled_points: int = struct.field(pytree_node=False, default=40)
+    time_ticks: int = struct.field(pytree_node=False, default=2001)
+    clock_cycle: float = struct.field(pytree_node=False, default=0.1)
+    adc_hold_delay: int = struct.field(pytree_node=False, default=15)
+    adc_busy_delay: int = struct.field(pytree_node=False, default=9)
+    reset_cycles: int = struct.field(pytree_node=False, default=1)
+    adc_counts: int = struct.field(pytree_node=False, default=256)
+    clock_reset_period: int = struct.field(pytree_node=False, default=10_000_000)
+    rollover_cycles: int = struct.field(pytree_node=False, default=2 ** 31)
+    event_rate: float = struct.field(pytree_node=False, default=100_000.0)
+    non_beam_event_gap: float = struct.field(pytree_node=False, default=0.0)
+    drift_length: float = struct.field(pytree_node=False, default=0.0)
+
+    # Derived FEE tick counts (reference fee.py:590, :620, :647)
+    @property
+    def integrate_ticks(self) -> int:
+        return round((3 + self.adc_hold_delay) * self.clock_cycle / self.time_sampling)
+
+    @property
+    def reset_ticks(self) -> int:
+        return round(self.reset_cycles * self.clock_cycle / self.time_sampling)
+
+    @property
+    def busy_ticks(self) -> int:
+        return round(self.adc_busy_delay * self.clock_cycle / self.time_sampling)
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectorModel:
+    """Host-side detector description.
+
+    Bundles the device params with host-only readout maps (tile layout,
+    module <-> io-group / TPC assignments) used by the HDF5 packet exporter.
+    """
+
+    params: DetectorParams
+    layout: tiles_mod.TileLayout
+    tile_map: tuple
+    module_to_io_groups: dict[int, list[int]]
+    module_to_tpcs: dict[int, list[int]]
+    tpc_to_module: dict[int, int]
+    mod_ids: list[int]
+    tpc_borders: np.ndarray  # numpy copy for host batching/export
+
+
+def get_module_ids(detprop_file: str) -> list[int]:
+    """Module ids declared in a detector-properties YAML.
+
+    (reference `get_n_modules`, consts/detector.py:168-180)
+    """
+    with open(detprop_file) as df:
+        detprop = yaml.load(df, Loader=_YamlLoader)
+    return list(detprop['module_to_tpcs'].keys())
+
+
+# Defaults mirroring the reference module-global fallbacks
+# (consts/detector.py:14-135); used when a key is absent from the YAML.
+_DEFAULTS = dict(
+    temperature=87.17, e_field=0.5, lifetime=2.2e3,
+    long_diff=4.0e-6, tran_diff=8.8e-6,
+    time_padding=10.0, time_window=8.9,
+    response_sampling=0.1, response_bin_size=0.04434,
+    discrimination_threshold=7e3, adc_hold_delay=15, adc_busy_delay=9,
+    reset_cycles=1, clock_cycle=0.1, larpix_gain=4e-3, buffer_risetime=0.1,
+    v_cm=288.0, v_ref=1300.0, v_pedestal=580.0, adc_counts=256,
+    reset_noise_charge=900.0, uncorrelated_noise_charge=500.0,
+    discriminator_noise=650.0, event_rate=100_000.0, non_beam_event_gap=0.0,
+)
+
+
+def load_detector(detprop_file: str, pixel_file: str | list[str],
+                  i_module: int = -1) -> DetectorModel:
+    """Build a :class:`DetectorModel` from detector-properties + pixel-layout
+    YAMLs (drop-in compatible with the reference files).
+
+    Args:
+        detprop_file: detector-properties YAML path.
+        pixel_file: pixel-layout YAML path, or per-module list.
+        i_module: 1-based module id when per-module variation is active,
+            -1 for a uniform detector (reference semantics,
+            consts/detector.py:198-211).
+    """
+    import jax.numpy as jnp
+
+    with open(detprop_file) as df:
+        detprop = yaml.load(df, Loader=_YamlLoader)
+
+    if isinstance(pixel_file, list):
+        pixel_file = pixel_file[i_module - 1]
+    layout = tiles_mod.load_tile_layout(pixel_file, detprop['tile_map'])
+    tpc_borders = tiles_mod.derive_tpc_borders(detprop, layout)
+
+    temperature = float(detprop.get('temperature', _DEFAULTS['temperature']))
+    e_field = _pick(detprop.get('e_field', _DEFAULTS['e_field']), i_module)
+    v_drift = e_field * tiles_mod.electron_mobility(e_field, temperature)
+    lifetime = _pick(detprop.get('lifetime', _DEFAULTS['lifetime']), i_module)
+
+    time_interval = tuple(detprop['time_interval'])
+    time_sampling = float(detprop.get('time_sampling', 0.1))
+    time_ticks = int(round(time_interval[1] - time_interval[0]) / time_sampling) + 1
+
+    clock_cycle = float(detprop.get('clock_cycle', _DEFAULTS['clock_cycle']))
+    pps_cycles = int(1e6 / clock_cycle)
+    use_pps = bool(detprop.get('use_pps_rollover', True))
+    rollover = int(detprop.get('rollover_cycles', 2 ** 31))
+    clock_reset_period = int(detprop.get(
+        'clock_reset_period', pps_cycles if use_pps else rollover))
+
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    params = DetectorParams(
+        tpc_borders=f32(tpc_borders),
+        pixel_pitch=f32(layout.pixel_pitch),
+        e_field=f32(e_field),
+        temperature=f32(temperature),
+        v_drift=f32(v_drift),
+        electron_lifetime=f32(lifetime),
+        long_diff=f32(detprop.get('long_diff', _DEFAULTS['long_diff'])),
+        tran_diff=f32(detprop.get('tran_diff', _DEFAULTS['tran_diff'])),
+        time_padding=f32(detprop.get('time_padding', _DEFAULTS['time_padding'])),
+        time_window=f32(detprop.get('time_window', _DEFAULTS['time_window'])),
+        response_sampling=f32(_pick(
+            detprop.get('response_sampling', _DEFAULTS['response_sampling']), i_module)),
+        response_bin_size=f32(_pick(
+            detprop.get('response_bin_size', _DEFAULTS['response_bin_size']), i_module)),
+        discrimination_threshold=f32(_pick(
+            detprop.get('discrimination_threshold',
+                        _DEFAULTS['discrimination_threshold']), i_module)),
+        gain=f32(detprop.get('larpix_gain', _DEFAULTS['larpix_gain'])),
+        buffer_risetime=f32(detprop.get('buffer_risetime', _DEFAULTS['buffer_risetime'])),
+        v_cm=f32(detprop.get('v_cm', _DEFAULTS['v_cm'])),
+        v_ref=f32(detprop.get('v_ref', _DEFAULTS['v_ref'])),
+        v_pedestal=f32(detprop.get('v_pedestal', _DEFAULTS['v_pedestal'])),
+        reset_noise_charge=f32(detprop.get('reset_noise_charge',
+                                           _DEFAULTS['reset_noise_charge'])),
+        uncorrelated_noise_charge=f32(detprop.get(
+            'uncorrelated_noise_charge', _DEFAULTS['uncorrelated_noise_charge'])),
+        discriminator_noise=f32(detprop.get('discriminator_noise',
+                                            _DEFAULTS['discriminator_noise'])),
+        n_pixels=layout.n_pixels,
+        n_pixels_per_tile=layout.n_pixels_per_tile,
+        n_tpcs=int(tpc_borders.shape[0]),
+        time_interval=(float(time_interval[0]), float(time_interval[1])),
+        time_sampling=time_sampling,
+        sampled_points=int(detprop.get('sampled_points', 40)),
+        time_ticks=time_ticks,
+        clock_cycle=clock_cycle,
+        adc_hold_delay=int(detprop.get('adc_hold_delay', _DEFAULTS['adc_hold_delay'])),
+        adc_busy_delay=int(detprop.get('adc_busy_delay', _DEFAULTS['adc_busy_delay'])),
+        reset_cycles=int(detprop.get('reset_cycles', _DEFAULTS['reset_cycles'])),
+        adc_counts=int(detprop.get('adc_counts', _DEFAULTS['adc_counts'])),
+        clock_reset_period=clock_reset_period,
+        rollover_cycles=rollover,
+        event_rate=float(detprop.get('event_rate', _DEFAULTS['event_rate'])),
+        non_beam_event_gap=float(detprop.get('non_beam_event_gap',
+                                             _DEFAULTS['non_beam_event_gap'])),
+        drift_length=float(detprop['drift_length']),
+    )
+
+    module_to_tpcs = {int(k): list(v) for k, v in detprop['module_to_tpcs'].items()}
+    tpc_to_module = {tpc: mod for mod, tpcs in module_to_tpcs.items() for tpc in tpcs}
+    return DetectorModel(
+        params=params,
+        layout=layout,
+        tile_map=layout.tile_map,
+        module_to_io_groups={int(k): list(v)
+                             for k, v in detprop['module_to_io_groups'].items()},
+        module_to_tpcs=module_to_tpcs,
+        tpc_to_module=tpc_to_module,
+        mod_ids=list(module_to_tpcs.keys()),
+        tpc_borders=tpc_borders,
+    )
