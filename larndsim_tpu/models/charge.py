@@ -1,0 +1,176 @@
+"""Charge-readout chain: segments -> LArPix ADC hits.
+
+Composes the jitted stages (quench -> drift -> pixelize -> induced current
+-> per-pixel accumulation -> self-trigger FSM -> digitization) with
+host-side static-shape selection.  This is the pipeline the reference
+orchestrates per batch at cli/simulate_pixels.py:902-1117.
+
+Shape policy: everything under jit has static shapes; per-batch dynamic
+extents (max active pixels, signal length, unique-pixel count, sample
+count) are measured on host and rounded up to power-of-two-ish buckets so
+recompiles are rare and executables are reused across batches.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..params.detector import DetectorModel, DetectorParams
+from ..params.sim import SimParams
+from ..params import physics
+from ..segments import Segments
+from ..ops import accumulate, current, fee, pixelize
+from ..ops.drift import drift
+from ..ops.quench import quench
+
+
+def bucket(n: int, lo: int = 16) -> int:
+    """Round up to the next power of two (>= lo) to bound recompiles."""
+    return max(lo, 1 << max(0, math.ceil(math.log2(max(n, 1)))))
+
+
+@dataclasses.dataclass
+class ChargeChainResult:
+    unique_pix: np.ndarray        # (U,) pixel ids (-1 padded)
+    n_unique: int
+    adc: np.ndarray               # (U, max_adc) digitized ADC counts
+    adc_ticks: np.ndarray         # (U, max_adc) [us]
+    integrals: np.ndarray         # (U, max_adc) [e-]
+    n_adc: np.ndarray             # (U,)
+    current_fractions: np.ndarray # (U, max_adc, max_tracks)
+    track_pixel_map: np.ndarray   # (U, max_tracks) batch-local segment index
+    overflow: bool
+    segments: Segments            # quenched + drifted segments
+
+
+@jax.jit
+def pixel_centers(pixels: jnp.ndarray, det: DetectorParams):
+    """Pixel-center coordinates from linear ids (detsim.py:180-191 + the
+    +pitch/2 offset applied by the current kernel, detsim.py:286-288)."""
+    nx, ny = det.n_pixels
+    ix = pixels % nx
+    iy = (pixels // nx) % ny
+    plane = jnp.clip(pixels // (nx * ny), 0, det.n_tpcs - 1)
+    x = ix * det.pixel_pitch + det.tpc_borders[plane, 0, 0] + det.pixel_pitch / 2
+    y = iy * det.pixel_pitch + det.tpc_borders[plane, 1, 0] + det.pixel_pitch / 2
+    return x.astype(jnp.float32), y.astype(jnp.float32)
+
+
+def simulate_charge_batch(segs: Segments, det_model: DetectorModel,
+                          sim: SimParams, key: jax.Array, response,
+                          *, pixel_thresholds=None, pixel_gains=None,
+                          mode: int = physics.BIRKS,
+                          already_drifted: bool = False,
+                          step_scale: float = 1.0) -> ChargeChainResult:
+    """Run the full charge chain on one (padded) segment batch.
+
+    Args:
+        segs: segment batch (quench/drift applied here unless
+            ``already_drifted``).
+        response: (nx, ny, nt) response LUT (device array).
+        pixel_thresholds: optional (U-aligned via lookup) — see
+            utils.pixel_lut for npz-keyed thresholds; None uses the global
+            discrimination threshold.
+        step_scale: >1 coarsens MC sampling (perf/quality knob; 1.0 matches
+            the reference's MIN_STEP_SIZE sampling density).
+    """
+    det = det_model.params
+    if not already_drifted:
+        segs = quench(segs, det, mode)
+        segs = drift(segs, det)
+
+    # --- host-side shape selection ---
+    host = {k: np.asarray(getattr(segs, k)) for k in
+            ('x_start', 'y_start', 'x_end', 'y_end', 'pixel_plane',
+             'tran_diff', 'dx', 'valid', 't_start', 't_end')}
+    valid = host['valid']
+    seg_np = {k: v[valid] for k, v in host.items()}
+    if valid.sum() == 0:
+        raise ValueError('empty batch')
+
+    max_radius = int(np.ceil(seg_np['tran_diff'].max() * 5
+                             / float(det.pixel_pitch)))  # cli:918
+    max_radius = max(max_radius, 1)
+    max_active = bucket(pixelize.max_active_pixels(
+        seg_np, det, np.asarray(det.tpc_borders)), lo=8)
+    max_nb = bucket((2 * max_radius + 1) * max_active
+                    + (1 + 2 * max_radius) * max_radius * 2, lo=16)
+
+    # signal window length (time_intervals, detsim.py:18-40)
+    dt = det.time_sampling
+    t_end_r = np.round((seg_np['t_end'] + 1) / dt) * dt
+    t_start_r = np.round((seg_np['t_start'] - float(det.time_padding)) / dt) * dt
+    # NOTE: not capped at det.time_ticks — padding + drift can exceed the
+    # event interval (module0: 190 us padding); the global-waveform scatter
+    # crops out-of-window ticks exactly as the reference placement does
+    # (detsim.py:516-517).
+    t_sig = bucket(int(np.ceil((t_end_r - t_start_r).max() / dt)), lo=64)
+
+    # Sample-count cap: the current op clamps each segment's dynamic nstep
+    # to this and divides the charge by the clamped value, so any cap
+    # conserves charge; step_scale > 1 trades sampling density for speed.
+    n_steps = bucket(int(np.ceil(np.max(host['dx'][valid])
+                                 / (sim.min_step_size * step_scale)))
+                     * sim.mc_sample_multiplier, lo=8)
+
+    # --- device pipeline ---
+    pixels, distances, npix = pixelize.get_pixels(
+        segs, det, max_active=max_active, radius=max_radius,
+        max_neighboring=max_nb)
+
+    n_unique_cap = bucket(int(np.asarray(npix).sum()), lo=32)
+    uniq, n_unique = accumulate.unique_pixels(pixels, n_unique_cap)
+    pix_idx = accumulate.pixel_index_map(pixels, uniq)
+    track_map, slot, overflow = accumulate.track_pixel_map(
+        pix_idx, distances, n_unique_cap,
+        max_tracks=sim.max_tracks_per_pixel)
+
+    px, py = pixel_centers(jnp.maximum(pixels, 0), det)
+    pix_valid = pixels >= 0
+    k_cur, k_fee = jax.random.split(key)
+    signals = current.current(
+        segs, px, py, pix_valid, response, det, k_cur,
+        n_steps=n_steps, t_sig=t_sig, mc_smear=True)
+
+    track_starts, _ = pixelize.time_intervals(segs, det)
+    pixels_signals = accumulate.sum_pixel_signals(
+        signals, pix_idx, track_starts, n_unique_cap,
+        n_ticks=det.time_ticks, time_sampling=float(det.time_sampling))
+
+    # FEE
+    n_events = 1  # per-batch: single event (cli:1072 uses unique event ids)
+    tick_times = jnp.linspace(0, n_events * det.time_interval[1],
+                              det.time_ticks + 1)
+    if pixel_thresholds is None:
+        thresholds = jnp.full((n_unique_cap,),
+                              det.discrimination_threshold * 1.0)
+    else:
+        thresholds = pixel_thresholds
+    n_scan = det.time_ticks + det.integrate_ticks + det.busy_ticks + 4
+    fee_res = fee.get_adc_values(
+        pixels_signals, tick_times, thresholds, det, k_fee,
+        max_adc=sim.max_adc_values, n_scan=n_scan)
+
+    fractions = fee.current_fractions(
+        signals, pix_idx, slot, track_starts, fee_res, det,
+        max_adc=sim.max_adc_values, max_tracks=sim.max_tracks_per_pixel)
+
+    adc = fee.digitize(fee_res.integrals, det, gain=pixel_gains)
+
+    return ChargeChainResult(
+        unique_pix=np.asarray(uniq),
+        n_unique=int(n_unique),
+        adc=np.asarray(adc),
+        adc_ticks=np.asarray(fee_res.ticks),
+        integrals=np.asarray(fee_res.integrals),
+        n_adc=np.asarray(fee_res.n_adc),
+        current_fractions=np.asarray(fractions),
+        track_pixel_map=np.asarray(track_map),
+        overflow=bool(np.asarray(overflow).any()),
+        segments=segs,
+    )

@@ -1,0 +1,147 @@
+"""Per-pixel signal accumulation and track<->pixel association.
+
+Replaces the reference's atomic scatter-adds and O(S*P) linear-search
+association kernels (detsim.sum_pixel_signals detsim.py:468-527,
+detsim.get_track_pixel_map2 detsim.py:564-607, and the host-side
+pixel_index_map loop cli/simulate_pixels.py:1019-1026) with sort/searchsorted
+primitives and XLA scatter-adds, which are deterministic by construction
+(SURVEY §2.6 P3/P6/P7).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_INT_MAX = jnp.iinfo(jnp.int32).max
+
+
+@functools.partial(jax.jit, static_argnames=('max_unique',))
+def unique_pixels(pixels: jnp.ndarray, max_unique: int):
+    """Sorted unique pixel ids across the batch.
+
+    Args:
+        pixels: (S, P) int32 ids, -1 padding.
+        max_unique: static output size.
+
+    Returns:
+        (unique, n_unique): (max_unique,) ids padded with -1, and the count.
+    """
+    flat = pixels.reshape(-1)
+    flat = jnp.where(flat < 0, _INT_MAX, flat)
+    s = jnp.sort(flat)
+    first = jnp.concatenate([jnp.array([True]), s[1:] != s[:-1]])
+    first &= s != _INT_MAX
+    comp = jnp.lexsort((jnp.arange(s.shape[0]), ~first))[:max_unique]
+    uniq = jnp.where(first[comp], s[comp], -1)
+    return uniq, first.sum().astype(jnp.int32)
+
+
+@jax.jit
+def pixel_index_map(pixels: jnp.ndarray, uniq: jnp.ndarray):
+    """Index of each (segment, pixel) entry in the unique array.
+
+    Equivalent to the reference's broadcast-compare loop
+    (cli/simulate_pixels.py:1019-1026) via searchsorted on the sorted
+    unique array.  Returns (S, P) int32, -1 where the pixel is padding.
+    """
+    key = jnp.where(uniq < 0, _INT_MAX, uniq)
+    idx = jnp.searchsorted(key, jnp.where(pixels < 0, _INT_MAX, pixels))
+    return jnp.where(pixels < 0, -1, idx).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=('max_tracks', 'n_unique_cap'))
+def track_pixel_map(pix_idx: jnp.ndarray, distances: jnp.ndarray,
+                    n_unique_cap: int, *, max_tracks: int):
+    """Per-unique-pixel list of contributing segment indices.
+
+    Segments are slotted in ascending backtrack-distance order, ties broken
+    by segment index — the ordering produced by the reference's
+    distance-prioritized fill (detsim.get_track_pixel_map2).
+
+    Args:
+        pix_idx: (S, P) index into the unique-pixel array, -1 padding.
+        distances: (S, P) distance codes (-1 means "outside backtrack
+            range" and sorts *after* real codes, matching the reference's
+            `range(max_distance)` sweep which still stores them last).
+        n_unique_cap: static size of the unique-pixel axis.
+        max_tracks: slots per pixel (sim.max_tracks_per_pixel).
+
+    Returns:
+        track_map: (n_unique_cap, max_tracks) int32 segment indices, -1 pad.
+        slot: (S, P) int32 slot of each (segment, pixel) entry
+            (-1 if overflowed or padding).
+        overflow: (n_unique_cap,) bool overflow flags.
+    """
+    S, P = pix_idx.shape
+    seg_idx = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[:, None], (S, P))
+    flat_pix = pix_idx.reshape(-1)
+    flat_seg = seg_idx.reshape(-1)
+    flat_dist = jnp.where(distances < 0, 127, distances).reshape(-1)
+    flat_pix_key = jnp.where(flat_pix < 0, _INT_MAX, flat_pix)
+
+    order = jnp.lexsort((flat_seg, flat_dist, flat_pix_key))
+    sp = flat_pix_key[order]
+    ss = flat_seg[order]
+    # rank within each pixel group
+    group_start = jnp.concatenate([jnp.array([True]), sp[1:] != sp[:-1]])
+    pos = jnp.arange(sp.shape[0])
+    start_pos = jnp.where(group_start, pos, 0)
+    start_pos = jax.lax.associative_scan(jnp.maximum, start_pos)
+    rank = (pos - start_pos).astype(jnp.int32)
+
+    # Entries beyond the backtrack range (code -1 -> 127) are never stored by
+    # the reference (its target_dist sweep covers only codes >= 0,
+    # detsim.py:582-591) and raise the overflow flag downstream.
+    sd = flat_dist[order]
+    present = sp != _INT_MAX
+    valid = present & (rank < max_tracks) & (sd < 127)
+    track_map = jnp.full((n_unique_cap, max_tracks), -1, jnp.int32)
+    track_map = track_map.at[
+        jnp.where(valid, sp, n_unique_cap),  # OOB row -> dropped
+        jnp.where(valid, rank, 0)
+    ].set(ss, mode='drop')
+
+    overflow = jnp.zeros((n_unique_cap,), bool).at[
+        jnp.where(present & ~valid, sp, n_unique_cap)
+    ].set(True, mode='drop')
+
+    # scatter ranks back to (S, P)
+    slot_flat = jnp.full(S * P, -1, jnp.int32)
+    slot_flat = slot_flat.at[order].set(
+        jnp.where(valid, rank, -1), mode='drop')
+    return track_map, slot_flat.reshape(S, P), overflow
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('n_ticks', 'n_unique_cap', 'time_sampling'))
+def sum_pixel_signals(signals: jnp.ndarray, pix_idx: jnp.ndarray,
+                      track_starts: jnp.ndarray, n_unique_cap: int,
+                      *, n_ticks: int, time_sampling: float):
+    """Scatter per-(segment, pixel) signal windows into per-pixel waveforms.
+
+    (reference detsim.sum_pixel_signals, atomics -> XLA scatter-add)
+
+    Args:
+        signals: (S, P, T_sig) induced current.
+        pix_idx: (S, P) unique-pixel indices, -1 padding.
+        track_starts: (S,) window start times [us] (time_intervals output,
+            *with* the event-time offset, detsim.py:36-39).
+        n_unique_cap: static unique-pixel axis size.
+        n_ticks: global waveform tick count (det.time_ticks).
+
+    Returns:
+        (n_unique_cap, n_ticks) float32 summed waveforms.
+    """
+    S, P, T = signals.shape
+    start_tick = jnp.round(track_starts / time_sampling).astype(jnp.int32)
+    cols = start_tick[:, None] + jnp.arange(T)[None, :]            # (S, T)
+    col_ok = (cols >= 0) & (cols < n_ticks)
+    rows = jnp.broadcast_to(pix_idx[:, :, None], (S, P, T))
+    cols = jnp.broadcast_to(cols[:, None, :], (S, P, T))
+    ok = (rows >= 0) & jnp.broadcast_to(col_ok[:, None, :], (S, P, T))
+    out = jnp.zeros((n_unique_cap, n_ticks), jnp.float32)
+    return out.at[jnp.where(ok, rows, 0),
+                  jnp.where(ok, cols, 0)].add(
+        jnp.where(ok, signals, 0.0), mode='drop')

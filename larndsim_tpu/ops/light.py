@@ -1,0 +1,435 @@
+"""Light readout: LUT visibility, waveform synthesis, triggering, digitization.
+
+Reference semantics: lightLUT.py (visibility lookup) and light_sim.py
+(scintillation, PE statistics, SiPM response, noise, triggers, digitizer).
+
+TPU-first redesign (SURVEY §2.6 P5):
+
+* per-(det, tick) loops over contributing tracks (sum_light_signals,
+  light_sim.py:58-129) become scatter-adds over (segment, channel) pairs;
+* the causal scintillation and SiPM convolutions (per-tick O(window) loops,
+  light_sim.py:148-183, :303-336) become FFT convolutions with the same
+  truncated kernels;
+* Poisson fluctuations use the same hybrid sampler (exact Poisson below
+  mean 30, truncated gaussian above, light_sim.py:186-238) via jax.random.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..params.detector import DEFAULT_PLANE_INDEX, DetectorParams
+from ..params.light import LightParams
+from ..segments import Segments
+
+
+# --------------------------------------------------------------------------
+# Light LUT container
+# --------------------------------------------------------------------------
+
+class LightLUT:
+    """Device arrays unpacked from a light lookup-table npz.
+
+    The on-disk format is a structured array 'arr' of shape
+    (nx, ny, nz, ndet_tpc) with fields vis / t0 / t0_avg / time_dist
+    (cli/simulate_pixels.py:768-787).
+    """
+
+    def __init__(self, vis, t0, t0_avg, time_dist):
+        self.vis = vis
+        self.t0 = t0
+        self.t0_avg = t0_avg
+        self.time_dist = time_dist
+
+    @property
+    def vox_div(self):
+        return self.vis.shape[:3]
+
+    @classmethod
+    def from_structured(cls, arr: np.ndarray) -> 'LightLUT':
+        # clip zero-visibility voxels to the minimum positive visibility
+        # (cli/simulate_pixels.py:780-782)
+        vis = np.array(arr['vis'], np.float32)
+        mask = vis > 0
+        if mask.any():
+            vis[~mask] = vis[mask].min()
+        names = arr.dtype.names
+        t0 = np.array(arr['t0'], np.float32) if 't0' in names else \
+            np.zeros(vis.shape, np.float32)
+        t0_avg = np.array(arr['t0_avg'], np.float32) if 't0_avg' in names else \
+            np.zeros(vis.shape, np.float32)
+        tdist = np.array(arr['time_dist'], np.float32) if 'time_dist' in names \
+            else np.ones(vis.shape + (1,), np.float32)
+        return cls(jnp.asarray(vis), jnp.asarray(t0), jnp.asarray(t0_avg),
+                   jnp.asarray(tdist))
+
+    @classmethod
+    def load(cls, path: str) -> 'LightLUT':
+        return cls.from_structured(np.load(path)['arr'])
+
+
+# --------------------------------------------------------------------------
+# Visibility lookup (lightLUT.py)
+# --------------------------------------------------------------------------
+
+def get_voxel(segs: Segments, det: DetectorParams, vox_div):
+    """LUT voxel indices per segment (lightLUT.get_voxel, :15-63):
+    fractional position in the (tolerance-padded) TPC volume, with x
+    mirrored in odd TPCs to preserve left/right-ness."""
+    plane = jnp.clip(segs.pixel_plane, 0, det.n_tpcs - 1)
+    b = det.tpc_borders[plane]                       # (S, 3, 2)
+    is_even = b[:, 2, 1] > b[:, 2, 0]
+    pad = 2e-2
+    x_min, x_max = b[:, 0, 0] - pad, b[:, 0, 1] + pad
+    y_min, y_max = b[:, 1, 0] - pad, b[:, 1, 1] + pad
+    z_min, z_max = b[:, 2, 0] - pad, b[:, 2, 1] + pad
+
+    i_even = (segs.x - x_min) / (x_max - x_min) * vox_div[0]
+    i_odd = (x_max - segs.x) / (x_max - x_min) * vox_div[0]
+    i = jnp.where(is_even, i_even, i_odd).astype(jnp.int32)
+    j = ((y_max - segs.y) / (y_max - y_min) * vox_div[1]).astype(jnp.int32)
+    k = ((segs.z - z_min) / (z_max - z_min) * vox_div[2]).astype(jnp.int32)
+    i = jnp.clip(i, 0, vox_div[0] - 1)
+    j = jnp.clip(j, 0, vox_div[1] - 1)
+    k = jnp.clip(k, 0, vox_div[2] - 1)
+    return jnp.stack([i, j, k], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=('n_channels', 'channel_offset'))
+def calculate_light_incidence(segs: Segments, det: DetectorParams,
+                              light: LightParams, lut_vis, lut_t0, *,
+                              n_channels: int, channel_offset: int = 0):
+    """Photons incident on each optical channel (lightLUT.py:65-136).
+
+    Args:
+        lut_vis: (nx, ny, nz, ndet_tpc) visibility.
+        lut_t0: (nx, ny, nz, ndet_tpc) earliest arrival [ns].
+        n_channels: output channel count (per module when mod2mod).
+        channel_offset: absolute index of output channel 0 (mod2mod).
+
+    Returns:
+        (n_photons_det (S, n_channels), t0_det (S, n_channels), voxel (S, 3))
+    """
+    vox = get_voxel(segs, det, lut_vis.shape[:3])
+    itpc = segs.pixel_plane
+    in_tpc = (itpc != DEFAULT_PLANE_INDEX) & segs.valid
+
+    out_i = jnp.arange(n_channels)
+    op_abs = out_i + channel_offset                      # absolute channel
+    lut_idx = out_i % lut_vis.shape[3]
+
+    vis = lut_vis[vox[:, 0], vox[:, 1], vox[:, 2]][:, lut_idx]   # (S, C)
+    t1 = lut_t0[vox[:, 0], vox[:, 1], vox[:, 2]][:, lut_idx]
+    eff = light.op_channel_efficiency[op_abs]
+    same_tpc = light.op_channel_to_tpc[op_abs][None, :] == itpc[:, None]
+
+    n_det = jnp.where(in_tpc[:, None] & same_tpc,
+                      eff[None, :] * vis * segs.n_photons[:, None], 0.0)
+    # t0 in us: lut t0 [ns] + segment t0 [us] (lightLUT.py:135)
+    t0_det = jnp.where(in_tpc[:, None],
+                       t1 * 1e-3 + segs.t0[:, None], 0.0)
+    return n_det.astype(jnp.float32), t0_det.astype(jnp.float32), vox
+
+
+# --------------------------------------------------------------------------
+# Waveform synthesis (light_sim.py)
+# --------------------------------------------------------------------------
+
+def get_nticks(n_photons_det: np.ndarray, t0_det: np.ndarray,
+               light: LightParams):
+    """Simulation window sizing (light_sim.get_nticks, :24-41). Host-side."""
+    mask = n_photons_det > 0
+    if mask.any() and light.light_trig_mode == 0:
+        start = float(t0_det[mask].min()) - light.light_window[0]
+        end = float(t0_det[mask].max()) + light.light_window[1]
+        return int(np.ceil((end - start) / light.light_tick_size)), start
+    return int((light.light_window[1] + light.light_window[0])
+               / light.light_tick_size), 0.0
+
+
+@functools.partial(jax.jit, static_argnames=('n_ticks', 'lut_smearing'))
+def sum_light_signals(segs: Segments, voxels, n_photons_det, op_channel,
+                      lut_time_dist, lut_t0_avg, start_time,
+                      light: LightParams, *, n_ticks: int,
+                      lut_smearing: bool):
+    """Photon arrival time series per channel (light_sim.py:58-129).
+
+    Scatter-add over (segment, channel[, profile-bin]) replacing the
+    reference's per-(det, tick) search over sorted segments.
+
+    Args:
+        voxels: (S, 3) LUT voxel per segment.
+        n_photons_det: (S, C) photons on each simulated channel.
+        op_channel: (C,) absolute channel index of each output row.
+        lut_time_dist: (nx, ny, nz, ndet_tpc, nprof) normalized profiles.
+        lut_t0_avg: (nx, ny, nz, ndet_tpc) mean arrival delay [ns].
+        start_time: window start [us].
+
+    Returns:
+        (C, n_ticks) photons/us.
+    """
+    S, C = n_photons_det.shape
+    tick = light.light_tick_size
+    lut_idx = op_channel % lut_time_dist.shape[3]
+    track_time = segs.t0                                       # (S,)
+
+    out = jnp.zeros((C, n_ticks), jnp.float32)
+    det_rows = jnp.broadcast_to(jnp.arange(C)[None, :], (S, C))
+
+    if lut_smearing:
+        nprof = lut_time_dist.shape[4]
+        prof = lut_time_dist[voxels[:, 0], voxels[:, 1],
+                             voxels[:, 2]][:, lut_idx, :]       # (S, C, nprof)
+        # profile bin iprof arrives at track_time + iprof * 1ns
+        # (light_sim.py:101: assumes 1 ns profile bins)
+        t_arr = (track_time[:, None]
+                 + jnp.arange(nprof)[None, :] * 1e-3)           # (S, nprof)
+        tick_f = (t_arr - start_time) / tick
+        itick = jnp.ceil(tick_f).astype(jnp.int32) - 1
+        # strict (start_tick_time, end_tick_time) interval as in reference
+        ok = (tick_f > itick) & (itick >= 0) & (itick < n_ticks)
+        photons = (n_photons_det[:, :, None] * prof / tick
+                   * ok[:, None, :])
+        rows = jnp.broadcast_to(det_rows[:, :, None], photons.shape)
+        cols = jnp.broadcast_to(jnp.where(ok, itick, 0)[:, None, :],
+                                photons.shape)
+        out = out.at[rows, cols].add(photons, mode='drop')
+    else:
+        t0_avg = lut_t0_avg[voxels[:, 0], voxels[:, 1],
+                            voxels[:, 2]][:, lut_idx]           # (S, C)
+        t_arr = track_time[:, None] + t0_avg * 1e-3             # ns -> us
+        tick_f = (t_arr - start_time) / tick
+        itick = jnp.ceil(tick_f).astype(jnp.int32) - 1
+        ok = (tick_f > itick) & (itick >= 0) & (itick < n_ticks)
+        photons = n_photons_det / tick * ok
+        out = out.at[det_rows, jnp.where(ok, itick, 0)].add(
+            photons, mode='drop')
+    return out
+
+
+def scintillation_kernel(light: LightParams, conv_ticks: int) -> jnp.ndarray:
+    """Two-exponential emission-time kernel (light_sim.py:132-145)."""
+    k = jnp.arange(conv_ticks)
+    tick = light.light_tick_size
+    p1 = (light.singlet_fraction * jnp.exp(-k * tick / light.tau_s)
+          * (1 - jnp.exp(-tick / light.tau_s)))
+    p3 = ((1 - light.singlet_fraction) * jnp.exp(-k * tick / light.tau_t)
+          * (1 - jnp.exp(-tick / light.tau_t)))
+    return p1 + p3
+
+
+def sipm_kernel(light: LightParams, conv_ticks: int) -> jnp.ndarray:
+    """SiPM impulse response kernel (light_sim.py:274-300)."""
+    k = jnp.arange(conv_ticks)
+    tick = light.light_tick_size
+    if light.sipm_response_model == 0:
+        t = k * tick
+        imp = (jnp.exp(-t / light.light_response_time)
+               * jnp.sin(t / light.light_oscillation_period))
+        imp = imp / (light.light_oscillation_period
+                     * light.light_response_time ** 2)
+        imp = imp * (light.light_oscillation_period ** 2
+                     + light.light_response_time ** 2)
+        return imp * tick
+    # measured impulse, linearly interpolated to the light tick grid
+    idx = k * tick / light.impulse_tick_size
+    i0 = jnp.floor(idx).astype(jnp.int32)
+    frac = idx - i0
+    arr = light.impulse_model
+    n = arr.shape[0]
+    v0 = jnp.where((i0 >= 0) & (i0 < n), arr[jnp.clip(i0, 0, n - 1)], 0.0)
+    v1 = jnp.where((i0 + 1 >= 0) & (i0 + 1 < n),
+                   arr[jnp.clip(i0 + 1, 0, n - 1)], 0.0)
+    imp = jnp.where(i0 > n - 2, 0.0, v0 + (v1 - v0) * frac)
+    return imp / (light.impulse_tick_size / light.light_tick_size)
+
+
+def causal_convolve(signal: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """FFT causal convolution, output truncated to the signal length."""
+    n = signal.shape[-1]
+    k = kernel.shape[-1]
+    fft_len = int(2 ** np.ceil(np.log2(max(n + k - 1, 1))))
+    sig_f = jnp.fft.rfft(signal, fft_len, axis=-1)
+    ker_f = jnp.fft.rfft(kernel, fft_len)
+    return jnp.fft.irfft(sig_f * ker_f, fft_len, axis=-1)[..., :n]
+
+
+@functools.partial(jax.jit, static_argnames=('conv_ticks',))
+def calc_scintillation_effect(light_sample_inc, light: LightParams, *,
+                              conv_ticks: int):
+    """LAr scintillation time smearing (light_sim.py:148-168)."""
+    return causal_convolve(light_sample_inc,
+                           scintillation_kernel(light, conv_ticks))
+
+
+@jax.jit
+def calc_stat_fluctuations(light_sample_inc, key, light: LightParams):
+    """Poisson PE fluctuations per tick (light_sim.py:186-238): exact
+    Poisson below mean 30, truncated gaussian above."""
+    tick = light.light_tick_size
+    mean = light_sample_inc * tick
+    k1, k2 = jax.random.split(key)
+    small = jax.random.poisson(k1, jnp.maximum(mean, 1e-30)).astype(jnp.float32)
+    big = jnp.maximum(
+        jnp.floor(jax.random.normal(k2, mean.shape)
+                  * jnp.sqrt(jnp.maximum(mean, 0)) + mean), 0.0)
+    n = jnp.where(mean < 30, small, big)
+    return jnp.where(mean > 0, n / tick, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=('conv_ticks',))
+def calc_light_detector_response(light_sample_inc, gains,
+                                 light: LightParams, *, conv_ticks: int):
+    """SiPM response convolution x per-channel gain (light_sim.py:303-336)."""
+    resp = causal_convolve(light_sample_inc, sipm_kernel(light, conv_ticks))
+    return gains[:, None] * resp
+
+
+# --------------------------------------------------------------------------
+# Noise, triggers, digitizer
+# --------------------------------------------------------------------------
+
+def gen_light_detector_noise(shape, light_det_noise, key,
+                             light: LightParams):
+    """Frequency-domain noise synthesis (light_sim.py:339-377): resample the
+    measured amplitude spectrum onto the simulation tick grid, randomize
+    phases, inverse FFT."""
+    if shape[0] == 0:
+        return jnp.zeros(shape)
+    noise_freq = jnp.fft.rfftfreq((light_det_noise.shape[-1] - 1) * 2,
+                                  d=light.light_det_noise_sample_spacing)
+    desired_freq = jnp.fft.rfftfreq(shape[-1], d=light.light_tick_size)
+    bin_size = jnp.diff(desired_freq).mean()
+    spectrum = jax.vmap(lambda row: jnp.interp(
+        desired_freq, noise_freq, row, left=0., right=0.))(light_det_noise)
+    spectrum = spectrum * (jnp.sqrt(jnp.diff(noise_freq).mean() / bin_size)
+                           * light.light_digit_sample_spacing
+                           / light.light_tick_size)
+    phase = jax.random.uniform(key, spectrum.shape)
+    noise_f = spectrum * jnp.exp(2j * jnp.pi * phase)
+    if shape[1] < 2:
+        noise = jnp.round(jnp.real(noise_f)) * 2 ** (16 - light.light_nbit)
+    else:
+        noise = (jnp.round(jnp.fft.irfft(noise_f, axis=-1))
+                 * 2 ** (16 - light.light_nbit))
+    if noise.shape[1] < shape[1]:
+        noise = jnp.concatenate(
+            [noise, jnp.zeros((noise.shape[0], shape[1] - noise.shape[1]))],
+            axis=-1)
+    return noise[:, :shape[1]]
+
+
+def get_triggers(signal: np.ndarray, group_threshold: np.ndarray,
+                 op_channel_idx: np.ndarray, i_subbatch: int,
+                 light: LightParams, module_to_tpcs, tpc_to_module,
+                 tpc_to_op_channel: np.ndarray):
+    """Trigger scan (light_sim.get_triggers, :380-477).  Host-side: the
+    dead-time while-loop is inherently sequential and tiny.
+
+    Returns (trigger_idx, trigger_op_channel_idx, trigger_type) numpy arrays.
+    """
+    signal = np.asarray(signal)
+    shape = signal.shape
+    n_grp = shape[0] // light.op_channel_per_trig
+    signal_sum = signal.reshape(n_grp, light.op_channel_per_trig,
+                                shape[-1]).sum(axis=1, keepdims=True)
+    sample_factor = round(light.light_digit_sample_spacing
+                          / light.light_tick_size)
+    padding = sample_factor - shape[-1] % sample_factor
+    if padding > 0:
+        signal_sum = np.concatenate(
+            [signal_sum, np.zeros((n_grp, 1, padding))], axis=-1)
+    signal_sum = signal_sum.reshape(
+        -1, 1, signal_sum.shape[-1] // sample_factor, sample_factor
+    ).mean(axis=-1, keepdims=True)
+    signal_sum = np.broadcast_to(
+        signal_sum, signal_sum.shape[:3] + (sample_factor,)).reshape(
+        -1, 1, shape[-1] + padding)[..., :(-padding if padding > 0
+                                           else shape[-1])]
+
+    # NOTE: the comparison is `<` — the measured thresholds are negative-
+    # going ADC pulses (light_sim.py:407)
+    above = np.broadcast_to(
+        signal_sum < group_threshold[:, None, None],
+        (n_grp, light.op_channel_per_trig, shape[-1])).reshape(signal.shape)
+
+    digit_ticks = int(np.ceil((light.light_trig_window[1]
+                               + light.light_trig_window[0])
+                              / light.light_tick_size))
+
+    trigger_idx, trig_op, trig_type = [], [], []
+    if light.light_trig_mode == 0:
+        op_to_tpc = np.asarray(light.op_channel_to_tpc)
+        tpc_ids = np.unique(op_to_tpc[op_channel_idx])
+        mod_ids = np.unique([tpc_to_module[t] for t in tpc_ids])
+        for mod_id in mod_ids:
+            tpcs = module_to_tpcs[mod_id]
+            op_channels = np.asarray(tpc_to_op_channel)[tpcs].ravel()
+            mask = np.isin(op_channel_idx, op_channels)
+            module_above = np.any(above[mask], axis=0)
+            last_trigger = 0
+            while module_above.any():
+                next_idx = int(np.nonzero(module_above)[0].min()
+                               + (last_trigger if last_trigger != 0 else 0))
+                trigger_idx.append(next_idx)
+                trig_type.append(0)
+                trig_op.append(op_channels)
+                module_above = module_above[next_idx - (last_trigger if
+                                                        last_trigger != 0
+                                                        else 0)
+                                            + digit_ticks:]
+                last_trigger = next_idx + digit_ticks
+    elif light.light_trig_mode == 1 and i_subbatch == 0:
+        # beam mode: one forced trigger per event (light_sim.py:444-451)
+        trigger_idx.append(0)
+        trig_op.append(np.asarray(op_channel_idx))
+        trig_type.append(1)
+
+    if trigger_idx:
+        return (np.array(trigger_idx), np.array(trig_op),
+                np.array(trig_type))
+    return (np.empty((0,), int), np.empty((0, len(op_channel_idx)), int),
+            np.empty((0,), int))
+
+
+@functools.partial(jax.jit, static_argnames=('digit_samples',))
+def digitize_signal(signal, padded_trigger_idx, light: LightParams, *,
+                    digit_samples: int):
+    """Interpolate to the ADC sample grid (light_sim.digitize_signal,
+    :480-543) and truncate to the digitizer bit depth.
+
+    Args:
+        signal: (C, n_padded_ticks) waveform including front padding of
+            ceil(trig_window[0]/tick).
+        padded_trigger_idx: (ntrig,) trigger tick in the padded signal.
+
+    Returns:
+        (ntrig, C, digit_samples).
+    """
+    f = light.light_digit_sample_spacing / light.light_tick_size
+    pre = int(np.ceil(light.light_trig_window[0] / light.light_tick_size))
+    sample_tick = (padded_trigger_idx[:, None] - pre
+                   + jnp.arange(digit_samples)[None, :] * f)    # (ntrig, M)
+    i0 = jnp.floor(sample_tick).astype(jnp.int32)
+    frac = sample_tick - i0
+    n = signal.shape[-1]
+    ok0 = (i0 >= 0) & (i0 <= n - 1)
+    ok1 = (i0 + 1 >= 0) & (i0 + 1 <= n - 1)
+    v0 = jnp.where(ok0[:, None, :],
+                   signal[None, :, :][
+                       jnp.zeros_like(i0)[:, None, :],
+                       jnp.arange(signal.shape[0])[None, :, None],
+                       jnp.clip(i0, 0, n - 1)[:, None, :]], 0.0)
+    v1 = jnp.where(ok1[:, None, :],
+                   signal[None, :, :][
+                       jnp.zeros_like(i0)[:, None, :],
+                       jnp.arange(signal.shape[0])[None, :, None],
+                       jnp.clip(i0 + 1, 0, n - 1)[:, None, :]], 0.0)
+    # linear interp with reference edge handling (light_sim.interp :241-271)
+    out = jnp.where((i0 > n - 2)[:, None, :], 0.0,
+                    v0 + (v1 - v0) * frac[:, None, :])
+    quant = 2 ** (16 - light.light_nbit)
+    return jnp.round(out / quant) * quant
