@@ -1,0 +1,122 @@
+"""Light-readout chain: segments -> SiPM waveforms + triggers.
+
+Composes the light ops into the per-batch pipeline the reference runs at
+cli/simulate_pixels.py:1119-1205: visibility lookup -> photon time series ->
+scintillation smear -> Poisson PE statistics -> SiPM response -> triggers
+-> noise + ADC-rate digitization.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..params.detector import DetectorModel
+from ..params.light import LightParams
+from ..params.sim import SimParams
+from ..segments import Segments
+from ..ops import light as light_ops
+
+
+@dataclasses.dataclass
+class LightBatchResult:
+    trigger_idx: np.ndarray        # (ntrig,) simulation tick of each trigger
+    trigger_type: np.ndarray       # (ntrig,) 0=threshold 1=beam
+    op_channel_idx: np.ndarray     # (ntrig, C) channels digitized per trigger
+    waveforms: np.ndarray          # (ntrig, C, digit_samples)
+    start_time: float              # simulation window start [us]
+    n_ticks: int
+
+
+def simulate_light_batch(segs: Segments, det_model: DetectorModel,
+                         light: LightParams, sim: SimParams,
+                         n_photons_det, voxels, lut: light_ops.LightLUT,
+                         light_noise, key, i_subbatch: int = 0,
+                         op_channel: np.ndarray | None = None,
+                         t0_det=None, max_ticks: int = 50_000,
+                         add_noise: bool = True) -> LightBatchResult:
+    """Run the light chain for one batch.
+
+    Args:
+        n_photons_det: (S, C) from calculate_light_incidence.
+        voxels: (S, 3) LUT voxels.
+        op_channel: (C,) absolute channel ids simulated (defaults to all).
+        t0_det: (S, C) first-arrival times (needed for trig mode 0 window).
+        max_ticks: cap on simulated ticks (cli:1125: min(nticks, 5e4)).
+    """
+    if op_channel is None:
+        op_channel = np.asarray(light.tpc_to_op_channel).ravel()
+    C = len(op_channel)
+
+    n_np = np.asarray(n_photons_det)
+    t0_np = np.asarray(t0_det) if t0_det is not None else np.zeros_like(n_np)
+    n_ticks, start_time = light_ops.get_nticks(n_np, t0_np, light)
+    n_ticks = min(n_ticks, max_ticks)
+    # bucket to limit recompiles
+    n_ticks = max(256, 1 << math.ceil(math.log2(max(n_ticks, 1))))
+
+    conv_ticks = int(np.ceil((light.light_window[1] - light.light_window[0])
+                             / light.light_tick_size))
+    conv_ticks = max(min(conv_ticks, n_ticks), 1)
+
+    k_poisson, k_noise = jax.random.split(jax.random.fold_in(key, i_subbatch))
+
+    inc = light_ops.sum_light_signals(
+        segs, voxels, jnp.asarray(n_photons_det),
+        jnp.asarray(op_channel), lut.time_dist, lut.t0_avg,
+        jnp.float32(start_time), light, n_ticks=n_ticks,
+        lut_smearing=light.enable_lut_smearing)
+    scint = light_ops.calc_scintillation_effect(inc, light,
+                                                conv_ticks=conv_ticks)
+    disc = light_ops.calc_stat_fluctuations(scint, k_poisson, light)
+    gains = light.light_gain[jnp.asarray(op_channel)]
+    response = light_ops.calc_light_detector_response(
+        disc, gains, light, conv_ticks=conv_ticks)
+
+    # --- triggers (host) ---
+    thr = np.asarray(light.light_trig_threshold)
+    thr = np.repeat(thr[:, None], light.op_channel_per_trig, axis=-1).ravel()
+    thr = thr[op_channel].reshape(-1, light.op_channel_per_trig)[:, 0]
+    trigger_idx, trig_op, trig_type = light_ops.get_triggers(
+        response, thr, op_channel, i_subbatch, light,
+        det_model.module_to_tpcs, det_model.tpc_to_module,
+        np.asarray(light.tpc_to_op_channel))
+
+    digit_samples = int(np.ceil((light.light_trig_window[1]
+                                 + light.light_trig_window[0])
+                                / light.light_digit_sample_spacing))
+    if trigger_idx.shape[0] == 0:
+        return LightBatchResult(trigger_idx, trig_type, trig_op,
+                                np.zeros((0, C, digit_samples)),
+                                start_time, n_ticks)
+
+    # --- pad + noise + digitize (light_sim.sim_triggers, :545-619) ---
+    tick = light.light_tick_size
+    pre = int(np.ceil(light.light_trig_window[0] / tick))
+    post = int(np.ceil(light.light_trig_window[1] / tick))
+    pad_front = max(pre - int(trigger_idx.min()), 0)
+    pad_back = max(post + int(trigger_idx.max()) + pad_front
+                   - (n_ticks + pad_front), 0)
+    signal = jnp.pad(response, ((0, 0), (pad_front, pad_back)))
+    padded_trigger_idx = jnp.asarray(trigger_idx + pad_front)
+
+    if add_noise and light_noise is not None:
+        noise = light_ops.gen_light_detector_noise(
+            signal.shape, jnp.asarray(light_noise)[jnp.asarray(op_channel)
+                                                   % len(light_noise)],
+            k_noise, light)
+        signal = signal + noise
+
+    wvfms = light_ops.digitize_signal(signal, padded_trigger_idx, light,
+                                      digit_samples=digit_samples)
+    return LightBatchResult(
+        trigger_idx=trigger_idx,
+        trigger_type=trig_type,
+        op_channel_idx=trig_op,
+        waveforms=np.asarray(wvfms),
+        start_time=start_time,
+        n_ticks=n_ticks,
+    )
