@@ -1,0 +1,604 @@
+"""End-to-end simulation driver: edep-sim HDF5 in -> LArPix packets out.
+
+TPU-native counterpart of the reference orchestrator
+(cli/simulate_pixels.py:124-1312) with the same CLI surface, config
+keywords, module loop, event x TPC batching, incremental HDF5 writes and
+output schema.  Differences by design:
+
+* constants live in frozen params pytrees (no importlib.reload);
+* all device stages are jitted with bucketed static shapes;
+* RNG is jax.random (threefry), seeded per (module, event, sub-batch) —
+  bitwise streams differ from the reference's xoroshiro (SURVEY §7.5).
+"""
+from __future__ import annotations
+
+import logging
+import os
+import time
+import warnings
+from collections import defaultdict
+from math import ceil
+
+import jax
+import numpy as np
+
+from .. import units
+from ..config import get_config
+from ..io import edep, export
+from ..io.edep import swap_coordinates
+from ..ops import light as light_ops
+from ..ops.drift import drift, select_active_volume
+from ..ops.quench import quench
+from ..params import (get_module_ids, load_detector, load_light, load_sim,
+                      physics)
+from ..segments import from_structured, to_structured
+from ..assets.response import load_response
+from ..assets.light_lut import load_light_lut, make_light_noise
+from ..models.charge import bucket, simulate_charge_batch
+from ..models.light import simulate_light_batch
+from ..utils import MemoryLogger, PixelLUT, TPCBatcher
+
+logger = logging.getLogger('simulate_pixels')
+
+
+def gen_event_times(nevents: int, event_rate: float, t0: float = 0.0,
+                    rng=None) -> np.ndarray:
+    """Sequential uncorrelated event times [us] (fee.gen_event_times,
+    fee.py:66-81)."""
+    rng = rng or np.random.default_rng()
+    return np.cumsum(rng.exponential(scale=event_rate, size=int(nevents))) + t0
+
+
+def _as_list(val, n_modules, cfg, id_name):
+    """Resolve scalar-or-list config entries with *_ID indirection
+    (cli/simulate_pixels.py:106-122)."""
+    if val is None or not isinstance(val, list):
+        return val
+    ids = cfg.get(id_name)
+    if ids is not None:
+        if len(ids) != n_modules or max(ids) >= len(val):
+            raise KeyError(f'Bad {id_name} indirection')
+        return [val[i] for i in ids]
+    if len(val) != n_modules:
+        raise KeyError(f'Expected {n_modules} entries for {id_name}')
+    return val
+
+
+def run_simulation(input_filename: str,
+                   output_filename: str,
+                   config: str = '2x2',
+                   mod2mod_variation: bool | None = None,
+                   pixel_layout=None,
+                   pixel_layout_id=None,
+                   detector_properties: str | None = None,
+                   simulation_properties: str | None = None,
+                   response_file=None,
+                   response_id=None,
+                   light_simulated: bool | None = None,
+                   light_lut_filename=None,
+                   light_lut_id=None,
+                   light_det_noise_filename: str | None = None,
+                   bad_channels: str | None = None,
+                   n_events: int | None = None,
+                   pixel_thresholds_file=None,
+                   pixel_gains_file=None,
+                   rand_seed: int | None = None,
+                   save_memory: str | None = None,
+                   step_scale: float = 1.0):
+    """Simulate a pixelated LArTPC (same flag surface as the reference CLI).
+
+    Extra knob: ``step_scale`` coarsens the MC charge-sampling density
+    (1.0 = reference MIN_STEP_SIZE density).
+    """
+    if not os.path.exists(input_filename):
+        raise FileNotFoundError(input_filename)
+    if os.path.exists(output_filename):
+        raise FileExistsError(output_filename)
+
+    cfg = get_config(config)
+    pixel_layout = pixel_layout or cfg['PIXEL_LAYOUT']
+    detector_properties = detector_properties or cfg['DET_PROPERTIES']
+    simulation_properties = simulation_properties or cfg['SIM_PROPERTIES']
+    response_file = response_file or cfg['RESPONSE']
+    if light_simulated is None:
+        light_simulated = cfg.get('LIGHT_SIMULATED', True)
+    if light_lut_filename is None:
+        light_lut_filename = cfg.get('LIGHT_LUT')
+    if light_det_noise_filename is None:
+        light_det_noise_filename = cfg.get('LIGHT_DET_NOISE')
+    if pixel_thresholds_file is None:
+        pixel_thresholds_file = cfg.get('PIXEL_THRESHOLDS_FILE')
+    if pixel_gains_file is None:
+        pixel_gains_file = cfg.get('PIXEL_GAINS_FILE')
+
+    mod_ids_all = get_module_ids(detector_properties)
+    n_modules = len(mod_ids_all)
+    if mod2mod_variation is None:
+        mod2mod_variation = cfg.get('MOD2MOD_VARIATION', False)
+    if mod2mod_variation and n_modules == 1:
+        warnings.warn('Single module with module variation: deactivating.')
+        mod2mod_variation = False
+    if mod2mod_variation:
+        pixel_layout = _as_list(pixel_layout, n_modules, cfg, 'PIXEL_LAYOUT_ID')
+        response_file = _as_list(response_file, n_modules, cfg, 'RESPONSE_ID')
+        light_lut_filename = _as_list(light_lut_filename, n_modules, cfg,
+                                      'LIGHT_LUT_ID')
+    else:
+        def _scalar(v):
+            if isinstance(v, list):
+                if len(v) > 1:
+                    raise KeyError('Multiple config files provided without '
+                                   'module variation')
+                return v[0]
+            return v
+        pixel_layout = _scalar(pixel_layout)
+        response_file = _scalar(response_file)
+        light_lut_filename = _scalar(light_lut_filename)
+        pixel_thresholds_file = _scalar(pixel_thresholds_file)
+        pixel_gains_file = _scalar(pixel_gains_file)
+
+    sim0 = load_sim(simulation_properties)
+    import dataclasses
+    sim = dataclasses.replace(sim0, mod2mod_variation=bool(mod2mod_variation))
+
+    memlog = MemoryLogger(save_memory is None)
+    memlog.start()
+    t_sim0 = time.time()
+
+    if rand_seed is None:
+        rand_seed = int(time.time())
+    np_rng = np.random.default_rng(rand_seed)
+    root_key = jax.random.PRNGKey(rand_seed)
+
+    # ---------------- input ----------------
+    inp = edep.load_edep(input_filename, n_events=n_events,
+                         event_separator=sim.event_separator,
+                         is_spill_sim=sim.is_spill_sim,
+                         spill_period=sim.spill_period,
+                         max_events_per_file=sim.max_events_per_file)
+    tracks = inp.tracks
+    vertices, mc_hdr, mc_stack = inp.vertices, inp.mc_hdr, inp.mc_stack
+    trajectories = inp.trajectories
+    memlog.take_snapshot(); memlog.archive('loading')
+
+    # geometry for active-volume selection (first module layout suffices)
+    first_layout = pixel_layout[0] if isinstance(pixel_layout, list) \
+        else pixel_layout
+    geo_model = load_detector(detector_properties, first_layout)
+    det_geo = geo_model.params
+
+    # event time lookup (cli:600-613)
+    num_evids = int(tracks[sim.event_separator].max()
+                    % sim.max_events_per_file) + 1
+    if sim.is_spill_sim:
+        event_times = np.arange(num_evids) * sim.spill_period
+    else:
+        event_times = gen_event_times(
+            num_evids, float(det_geo.event_rate),
+            t0=float(det_geo.non_beam_event_gap), rng=np_rng)
+
+    # broadcast event times into vertices/mc_hdr (cli:616-642)
+    if vertices is not None and not sim.is_spill_sim:
+        import numpy.lib.recfunctions as rfn
+        if 't_event' not in vertices.dtype.names:
+            vertices = rfn.merge_arrays(
+                (np.zeros(vertices.shape[0], dtype=[('t_event', 'f4')]),
+                 vertices), flatten=True)
+        uniq_ev, counts = np.unique(vertices[sim.event_separator],
+                                    return_counts=True)
+        vertices['t_event'] = np.repeat(
+            event_times[uniq_ev % sim.max_events_per_file], counts)
+    if mc_hdr is not None and vertices is not None \
+            and 't_event' in vertices.dtype.names:
+        import numpy.lib.recfunctions as rfn
+        if 't_event' not in mc_hdr.dtype.names:
+            mc_hdr = rfn.merge_arrays(
+                (np.zeros(mc_hdr.shape[0], dtype=[('t_event', 'f4')]),
+                 mc_hdr), flatten=True)
+        mc_hdr['t_event'] = vertices['t_event']
+
+    # active-volume preselection (cli:664-670)
+    active_mask = select_active_volume(tracks, geo_model.tpc_borders)
+    all_mod_tracks = tracks[active_mask]
+    all_mod_segment_ids = inp.segment_ids[active_mask]
+    all_mod_traj_ids = inp.trajectory_ids[active_mask]
+
+    mod_ids = mod_ids_all if mod2mod_variation else [-1]
+    segments_to_files = None
+    light_sim_dat_acc = []
+
+    # ---------------- module loop ----------------
+    for i_mod in mod_ids:
+        det_model = load_detector(detector_properties, pixel_layout,
+                                  i_module=i_mod)
+        det = det_model.params
+        light = load_light(detector_properties,
+                           asset_root=os.path.dirname(
+                               os.path.dirname(detector_properties)))
+        light = dataclasses.replace(light,
+                                    light_simulated=bool(light_simulated)
+                                    and light.light_simulated)
+
+        resp_path = (response_file[i_mod - 1] if isinstance(response_file,
+                                                            list)
+                     else response_file)
+        n_resp_t = int(round(float(det.time_window)
+                             / float(det.response_sampling)))
+        response = load_response(
+            resp_path, n_t=n_resp_t,
+            bin_size=float(det.response_bin_size),
+            sampling=float(det.response_sampling),
+            pixel_pitch=float(det.pixel_pitch))
+        import jax.numpy as jnp
+        response_dev = jnp.asarray(response)
+
+        thresholds_lut = gains_lut = None
+        if pixel_thresholds_file is not None:
+            path = (pixel_thresholds_file[i_mod - 1]
+                    if isinstance(pixel_thresholds_file, list)
+                    else pixel_thresholds_file)
+            thresholds_lut = PixelLUT.load(path)
+        if pixel_gains_file is not None:
+            path = (pixel_gains_file[i_mod - 1]
+                    if isinstance(pixel_gains_file, list)
+                    else pixel_gains_file)
+            gains_lut = PixelLUT.load(path)
+
+        if mod2mod_variation:
+            module_borders = det_model.tpc_borders[(i_mod - 1) * 2:i_mod * 2]
+            mask = select_active_volume(all_mod_tracks, module_borders)
+            tracks_mod = all_mod_tracks[mask]
+            segment_ids = all_mod_segment_ids[mask]
+            traj_ids = all_mod_traj_ids[mask]
+        else:
+            module_borders = det_model.tpc_borders
+            tracks_mod = all_mod_tracks
+            segment_ids = all_mod_segment_ids
+            traj_ids = all_mod_traj_ids
+
+        io_groups = np.array(list(det_model.module_to_io_groups.values()))
+        trig_module = int(np.argwhere(
+            io_groups == export.get_trig_io(light))[0][0]) + 1 \
+            if io_groups.size else 1
+
+        # ---- quench + drift over the whole module selection ----
+        t0 = time.time()
+        n_pad = bucket(len(tracks_mod), lo=64)
+        segs_all = from_structured(tracks_mod, pad_to=n_pad)
+        segs_all = quench(segs_all, det, physics.BIRKS)
+        segs_all = drift(segs_all, det)
+        print(f'Quenching and drifting: {time.time() - t0:.2f} s')
+        memlog.take_snapshot(); memlog.archive(f'quench_drift_mod{i_mod}')
+
+        # write back drifted fields for batching/truth (cli:1232)
+        drifted = to_structured(segs_all, dtype=tracks_mod.dtype)
+        tracks_mod = drifted
+
+        # ---- light incidence over the module ----
+        light_inc = None
+        lut = None
+        light_noise = None
+        track_light_voxel = None
+        null_light_results = None
+        if light.light_simulated:
+            t0 = time.time()
+            n_light_channel = (light.n_op_channel // n_modules
+                               if mod2mod_variation else light.n_op_channel)
+            lut_path = (light_lut_filename[i_mod - 1]
+                        if isinstance(light_lut_filename, list)
+                        else light_lut_filename)
+            n_det_tpc = max(n_light_channel // 2, 1)
+            lut_arr = load_light_lut(lut_path, n_det_tpc=n_det_tpc)
+            lut = light_ops.LightLUT.from_structured(lut_arr)
+            if light_det_noise_filename and \
+                    os.path.isfile(light_det_noise_filename):
+                light_noise = np.load(light_det_noise_filename)
+            else:
+                light_noise = make_light_noise(light.n_op_channel)
+            if mod2mod_variation:
+                light_noise = light_noise[
+                    n_light_channel * (i_mod - 1): n_light_channel * i_mod]
+
+            channel_offset = (n_light_channel * (i_mod - 1)
+                              if mod2mod_variation else 0)
+            n_ph, t0_det, vox = light_ops.calculate_light_incidence(
+                segs_all, det, light, lut.vis, lut.t0,
+                n_channels=n_light_channel, channel_offset=channel_offset)
+            light_inc = np.asarray(n_ph)
+            light_inc_t0 = np.asarray(t0_det)
+            track_light_voxel = vox
+            # per-segment light summary for the output file (cli:758-760)
+            valid = np.asarray(segs_all.valid)
+            dat = np.zeros((int(valid.sum()), n_light_channel),
+                           dtype=[('segment_id', 'u4'),
+                                  ('n_photons_det', 'f4'),
+                                  ('t0_det', 'f4')])
+            dat['segment_id'] = segment_ids[:, None]
+            dat['n_photons_det'] = light_inc[valid]
+            dat['t0_det'] = light_inc_t0[valid]
+            light_sim_dat_acc.append(dat)
+            print(f'Light incidence: {time.time() - t0:.2f} s')
+
+        # ---- batching loop ----
+        results_acc = defaultdict(list)
+        i_trig = 0
+        i_batch = 0
+        event_id_buffer = -1
+        sync_start = (event_times[0] // (det.clock_reset_period
+                                         * det.clock_cycle)
+                      * (det.clock_reset_period * det.clock_cycle)
+                      + det.clock_reset_period * det.clock_cycle)
+
+        op_channel_sim = (np.asarray(light.tpc_to_op_channel)[:2].ravel()
+                          if mod2mod_variation
+                          else np.asarray(light.tpc_to_op_channel).ravel()) \
+            if light.light_simulated else None
+
+        def flush_results(light_only=False):
+            nonlocal results_acc, i_trig
+            if light_only and not results_acc.get('light_event_id'):
+                results_acc = defaultdict(list)
+                return
+            if not light_only and not results_acc.get('event_id'):
+                if results_acc.get('light_event_id'):
+                    light_only = True
+                else:
+                    results_acc = defaultdict(list)
+                    return
+            res = {k: np.concatenate(v, axis=0)
+                   for k, v in results_acc.items() if len(v)}
+            uniq_events = (np.unique(res['event_id'])
+                           if not light_only
+                           else np.unique(res['light_event_id']))
+            uniq_event_times = event_times[uniq_events
+                                           % sim.max_events_per_file]
+            if not light_only:
+                if light.light_simulated and len(res.get('light_event_id',
+                                                          [])):
+                    if light.light_trig_mode == 1:
+                        light_trig_modules = res['trigger_type']
+                    else:
+                        op0 = res['light_op_channel_idx'][:, 0]
+                        light_trig_modules = np.array(
+                            [det_model.tpc_to_module[t] for t in
+                             np.asarray(light.op_channel_to_tpc)[op0]])
+                    light_trigger_times = (res['light_start_time']
+                                           + res['light_trigger_idx']
+                                           * light.light_tick_size)
+                    light_trigger_event_ids = res['light_event_id']
+                elif light.light_simulated:
+                    light_trig_modules = np.ones(len(uniq_events))
+                    light_trigger_times = np.zeros_like(uniq_event_times)
+                    light_trigger_event_ids = uniq_events
+                else:
+                    light_trig_modules = np.ones(len(uniq_events))
+                    light_trigger_times = np.zeros_like(uniq_event_times)
+                    light_trigger_event_ids = uniq_events
+                export.export_to_hdf5(
+                    res['event_id'], res['adc_tot'], res['adc_tot_ticks'],
+                    res['unique_pix'], res['current_fractions'],
+                    res['track_pixel_map'], res['traj_pixel_map'],
+                    output_filename, uniq_event_times, det_model, light,
+                    sim, light_trigger_times=light_trigger_times,
+                    light_trigger_event_id=light_trigger_event_ids,
+                    light_trigger_modules=light_trig_modules,
+                    bad_channels=bad_channels, i_mod=i_mod)
+            if light.light_simulated and len(res.get('light_event_id', [])):
+                if light.light_trig_mode == 0:
+                    export.export_light_trig_to_hdf5(
+                        res['light_event_id'], res['light_start_time'],
+                        res['light_trigger_idx'],
+                        res['light_op_channel_idx'], output_filename,
+                        uniq_event_times, det_model, light)
+                export.export_light_wvfm_to_hdf5(
+                    res['light_event_id'], res['light_waveforms'],
+                    output_filename, sim, light, i_mod=i_mod)
+            i_trig += 1
+            results_acc = defaultdict(list)
+
+        batcher = TPCBatcher(all_mod_tracks, tracks_mod,
+                             sim.event_separator,
+                             tpc_batch_size=sim.event_batch_size,
+                             tpc_borders=module_borders)
+        key_mod = jax.random.fold_in(root_key, max(i_mod, 0))
+
+        for ievd, batch_mask in batcher:
+            i_batch += 1
+            track_subset = tracks_mod[batch_mask]
+            is_new_event = ievd > event_id_buffer
+            this_event_time = event_times[int(ievd)
+                                          % sim.max_events_per_file]
+            if is_new_event:
+                event_id_buffer = ievd
+                if this_event_time - sync_start >= 0:
+                    period_us = det.clock_reset_period * det.clock_cycle
+                    sync_times = np.arange(sync_start,
+                                           this_event_time + 1, period_us)
+                    if len(sync_times):
+                        export.export_sync_to_hdf5(
+                            output_filename,
+                            np.full(sync_times.shape, period_us),
+                            det_model, sim, i_mod)
+                        sync_start = sync_times[-1] + period_us
+                if i_mod == trig_module or i_mod == -1:
+                    export.export_timestamp_trigger_to_hdf5(
+                        output_filename, [this_event_time], det_model,
+                        light, sim, i_mod)
+
+            if len(track_subset) == 0:
+                # keep light triggers aligned with empty events
+                if light.light_simulated and light.light_trig_mode in (0, 1):
+                    digit_samples = ceil(
+                        (light.light_trig_window[1]
+                         + light.light_trig_window[0])
+                        / light.light_digit_sample_spacing)
+                    nch = len(op_channel_sim)
+                    results_acc['light_event_id'].append(np.full(1, ievd))
+                    results_acc['light_start_time'].append(np.zeros(1))
+                    results_acc['light_trigger_idx'].append(np.zeros(1, int))
+                    results_acc['trigger_type'].append(
+                        np.full(1, light.light_trig_mode))
+                    results_acc['light_op_channel_idx'].append(
+                        op_channel_sim[None, :])
+                    results_acc['light_waveforms'].append(
+                        np.zeros((1, nch, digit_samples)))
+                    flush_results(light_only=True)
+                continue
+
+            batch_idx_global = np.nonzero(batch_mask)[0]
+            for itrk in range(0, len(track_subset), sim.batch_size):
+                if itrk > 0:
+                    warnings.warn('Entered sub-batch loop; consider '
+                                  f'increasing batch_size ({sim.batch_size})')
+                sel = batch_idx_global[itrk: itrk + sim.batch_size]
+                selected = tracks_mod[sel]
+                key_batch = jax.random.fold_in(
+                    jax.random.fold_in(key_mod, int(ievd)), itrk)
+
+                segs = from_structured(selected,
+                                       pad_to=bucket(len(selected), lo=32))
+                res = simulate_charge_batch(
+                    segs, det_model, sim, key_batch, response_dev,
+                    pixel_thresholds=thresholds_lut, pixel_gains=gains_lut,
+                    already_drifted=True, step_scale=step_scale)
+                uniq = res.unique_pix
+                valid_u = uniq >= 0
+                # remap batch-local track indices to global ids (cli:1112-1115)
+                tmap = res.track_pixel_map
+                seg_ids_batch = segment_ids[sel]
+                traj_ids_batch = traj_ids[sel]
+                tmap_seg = np.where(tmap >= 0,
+                                    seg_ids_batch[np.clip(tmap, 0, None)],
+                                    -1)
+                tmap_trj = np.where(tmap >= 0,
+                                    traj_ids_batch[np.clip(tmap, 0, None)],
+                                    -1)
+
+                results_acc['event_id'].append(
+                    np.full(res.adc.shape, ievd)[valid_u])
+                results_acc['adc_tot'].append(res.adc[valid_u])
+                results_acc['adc_tot_ticks'].append(res.adc_ticks[valid_u])
+                results_acc['unique_pix'].append(uniq[valid_u])
+                results_acc['current_fractions'].append(
+                    res.current_fractions[valid_u])
+                results_acc['track_pixel_map'].append(tmap_seg[valid_u])
+                results_acc['traj_pixel_map'].append(tmap_trj[valid_u])
+
+                if light.light_simulated:
+                    # pad to the bucketed batch size (padding rows carry
+                    # zero photons and are inert in the scatter)
+                    pad_n = segs.size
+                    inc_batch = np.zeros((pad_n, light_inc.shape[1]),
+                                         light_inc.dtype)
+                    inc_batch[:len(sel)] = light_inc[sel]
+                    t0_batch = np.zeros_like(inc_batch)
+                    t0_batch[:len(sel)] = light_inc_t0[sel]
+                    vox_batch = np.zeros((pad_n, 3), np.int32)
+                    vox_batch[:len(sel)] = np.asarray(track_light_voxel)[sel]
+                    lres = simulate_light_batch(
+                        segs, det_model, light, sim,
+                        inc_batch, vox_batch, lut, light_noise,
+                        key_batch, i_subbatch=itrk,
+                        op_channel=op_channel_sim, t0_det=t0_batch)
+                    ntrig = lres.trigger_idx.shape[0]
+                    if ntrig:
+                        results_acc['light_event_id'].append(
+                            np.full(ntrig, ievd))
+                        results_acc['light_start_time'].append(
+                            np.full(ntrig, lres.start_time))
+                        results_acc['light_trigger_idx'].append(
+                            lres.trigger_idx)
+                        results_acc['trigger_type'].append(lres.trigger_type)
+                        results_acc['light_op_channel_idx'].append(
+                            lres.op_channel_idx)
+                        results_acc['light_waveforms'].append(lres.waveforms)
+
+            if len(results_acc['event_id']) >= sim.write_batch_size:
+                flush_results()
+            memlog.take_snapshot()
+
+        flush_results()
+        memlog.archive(f'loop_mod{i_mod}')
+
+        if segments_to_files is None:
+            segments_to_files = tracks_mod
+        else:
+            segments_to_files = np.append(segments_to_files, tracks_mod)
+
+    # ---------------- truth + final exports ----------------
+    if sim.is_spill_sim:
+        local_spill = edep.local_spill_ids(segments_to_files,
+                                           sim.event_separator,
+                                           sim.max_events_per_file)
+        for fld in ('t0_start', 't0_end', 't0'):
+            if fld in segments_to_files.dtype.names:
+                segments_to_files[fld] = (segments_to_files[fld]
+                                          + local_spill * sim.spill_period)
+
+    # last module's params/light are representative for global exports
+    if light.light_simulated and light.light_trig_mode == 1:
+        light_event_id = (np.unique(local_spill) if sim.is_spill_sim
+                          else (vertices['event_id'] if vertices is not None
+                                else np.unique(
+                                    segments_to_files[sim.event_separator])))
+        light_event_times = (light_event_id * sim.spill_period
+                             if sim.is_spill_sim else event_times)
+        export.export_light_trig_to_hdf5(
+            light_event_id, np.zeros(len(light_event_id)),
+            np.zeros(len(light_event_id), int),
+            np.asarray(light.tpc_to_op_channel).ravel(),
+            output_filename, light_event_times, det_model, light)
+
+    if light.light_simulated and mod2mod_variation:
+        export.merge_module_light_wvfm_same_trigger(output_filename,
+                                                    det_model)
+
+    import h5py
+    with h5py.File(output_filename, 'a') as f:
+        swap_coordinates(segments_to_files)
+        f.create_dataset(sim.tracks_dset_name, data=segments_to_files)
+        f[sim.tracks_dset_name].attrs['zbeam'] = True
+        if light.light_simulated:
+            if mod2mod_variation:
+                for i_, i_mod2 in enumerate(det_model.mod_ids):
+                    f.create_dataset(
+                        f'light_dat/light_dat_module{i_mod2 - 1}',
+                        data=light_sim_dat_acc[i_])
+            else:
+                f.create_dataset('light_dat/light_dat_allmodules',
+                                 data=light_sim_dat_acc[0])
+        if trajectories is not None:
+            f.create_dataset('trajectories', data=trajectories)
+        if vertices is not None:
+            f.create_dataset('vertices', data=vertices)
+        if mc_hdr is not None:
+            f.create_dataset('mc_hdr', data=mc_hdr)
+        if mc_stack is not None:
+            f.create_dataset('mc_stack', data=mc_stack)
+        if 'configs' in f:
+            f['configs'].attrs['pixel_layout'] = str(pixel_layout)
+
+    memlog.store(save_memory)
+    print(f'Output saved in: {output_filename}')
+    print(f'Elapsed time: {time.time() - t_sim0:.2f} s')
+
+
+def main():
+    try:
+        import fire
+        fire.Fire(run_simulation)
+    except ImportError:
+        import argparse
+        parser = argparse.ArgumentParser(description=run_simulation.__doc__)
+        parser.add_argument('input_filename')
+        parser.add_argument('output_filename')
+        parser.add_argument('--config', default='2x2')
+        parser.add_argument('--n_events', type=int, default=None)
+        parser.add_argument('--rand_seed', type=int, default=None)
+        parser.add_argument('--step_scale', type=float, default=1.0)
+        args = parser.parse_args()
+        run_simulation(**vars(args))
+
+
+if __name__ == '__main__':
+    main()

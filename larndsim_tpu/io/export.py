@@ -1,0 +1,455 @@
+"""HDF5 export: LArPix packet stream + MC-truth backtracking + light data.
+
+Vectorized reimplementation of the reference exporters
+(fee.export_to_hdf5 fee.py:84-359, export_sync/timestamp_trigger
+fee.py:361-497, light_sim.export_* light_sim.py:663-781).  The reference
+builds one Python object per packet and resolves chip/channel/io-group via
+dict lookups per hit; here the whole stream is assembled from dense index
+tensors in a handful of numpy ops, preserving the reference's packet
+ordering (event-boundary service packets -> per-timestamp-group timestamp
+packet -> data packet).
+"""
+from __future__ import annotations
+
+import logging
+import warnings
+
+import h5py
+import numpy as np
+import yaml
+
+from .. import units
+from ..params.detector import DetectorModel
+from ..params.light import LightParams
+from ..params.sim import SimParams
+from . import larpix_packets as lp
+
+logger = logging.getLogger('export')
+
+
+def get_trig_io(light: LightParams) -> int:
+    """io_group receiving forwarded triggers (fee.get_trig_io, fee.py:30-38)."""
+    return 2 if light.light_trig_mode == 0 else 1
+
+
+# --------------------------------------------------------------------------
+# pixel id -> readout coordinates (dense)
+# --------------------------------------------------------------------------
+
+def pixel_readout_coords(pixel_ids: np.ndarray, det_model: DetectorModel):
+    """Vectorized pixel id -> (io_group, io_channel, chip, channel, ok).
+
+    Replaces the per-packet dict lookups at fee.py:147-157 and :227-247.
+    """
+    layout = det_model.layout
+    nx, ny = layout.n_pixels
+    nppt = layout.n_pixels_per_tile
+    pix_x = pixel_ids % nx
+    pix_y = (pixel_ids // nx) % ny
+    plane = pixel_ids // (nx * ny)
+    module_id = plane // 2 + 1
+
+    tile_x = pix_x // nppt[0]
+    tile_y = pix_y // nppt[1]
+    anode_id = plane % 2
+    tile_map = np.asarray(det_model.tile_map)  # (n_anode, ntx, nty)
+    ok = ((anode_id >= 0) & (anode_id < tile_map.shape[0])
+          & (tile_x < tile_map.shape[1]) & (tile_y < tile_map.shape[2]))
+    tile_id = tile_map[np.clip(anode_id, 0, tile_map.shape[0] - 1),
+                       np.clip(tile_x, 0, tile_map.shape[1] - 1),
+                       np.clip(tile_y, 0, tile_map.shape[2] - 1)]
+
+    in_x = pix_x % nppt[0]
+    in_y = pix_y % nppt[1]
+    chip = layout.chip_id_map[tile_id, in_x, in_y]
+    channel = layout.channel_id_map[tile_id, in_x, in_y]
+    io_group_local = layout.io_group_map[tile_id, in_x, in_y]
+    io_channel = layout.io_channel_map[tile_id, in_x, in_y]
+
+    # module io-group remap (fee.py:247)
+    mod_keys = sorted(det_model.module_to_io_groups)
+    io_lut = np.full((max(mod_keys) + 2,
+                      max(len(v) for v in det_model.module_to_io_groups.values()) + 1),
+                     -1, np.int32)
+    for m, groups in det_model.module_to_io_groups.items():
+        for i, g in enumerate(groups):
+            io_lut[m, i + 1] = g
+    mod_ok = (module_id >= 1) & (module_id <= max(mod_keys))
+    ok &= mod_ok & (chip >= 0) & (io_group_local >= 1)
+    safe_mod = np.clip(module_id, 1, max(mod_keys))
+    safe_local = np.clip(io_group_local, 0, io_lut.shape[1] - 1)
+    io_group = io_lut[safe_mod, safe_local]
+    ok &= io_group >= 0
+    return io_group, io_channel, chip, channel, ok
+
+
+# --------------------------------------------------------------------------
+# MC association helpers
+# --------------------------------------------------------------------------
+
+def _aggregate_traj_fractions(traj_ids: np.ndarray, fracs: np.ndarray):
+    """Per-row: unique trajectory ids with summed fractions (fee.py:322-328).
+
+    Args:
+        traj_ids: (N, K) int, -1 padding.
+        fracs: (N, K) float.
+
+    Returns:
+        (N, K) unique ids (-1 padded, ascending per row) and summed fractions.
+    """
+    N, K = traj_ids.shape
+    if N == 0:
+        return traj_ids.copy(), np.zeros_like(fracs)
+    mask = traj_ids > -1
+    big = np.int64(1) << 40
+    keys = (np.arange(N)[:, None] * big
+            + np.where(mask, traj_ids.astype(np.int64), big - 1))
+    order = np.argsort(keys, axis=1, kind='stable')
+    sk = np.take_along_axis(keys, order, axis=1)
+    sf = np.take_along_axis(np.where(mask, fracs, 0.0), order, axis=1)
+    st = np.take_along_axis(np.where(mask, traj_ids, -1), order, axis=1)
+
+    flat_k = sk.reshape(-1)
+    first = np.concatenate([[True], flat_k[1:] != flat_k[:-1]])
+    group = np.cumsum(first) - 1
+    sums = np.bincount(group, weights=sf.reshape(-1))
+    # rank of each unique group within its row
+    first2d = first.reshape(N, K)
+    rank = np.cumsum(first2d, axis=1) - 1
+    out_ids = np.full((N, K), -1, np.int64)
+    out_fr = np.zeros((N, K))
+    rows = np.repeat(np.arange(N), K).reshape(N, K)
+    sel = first2d & (st >= 0)
+    out_ids[rows[sel], rank[sel]] = st[sel]
+    out_fr[rows[sel], rank[sel]] = sums[group.reshape(N, K)[sel]]
+    return out_ids, out_fr
+
+
+def _assn_dtype(store: int) -> np.dtype:
+    return np.dtype([('event_ids', '(1,)i8'),
+                     ('segment_ids', f'({store},)i8'),
+                     ('fraction', f'({store},)f8'),
+                     ('file_traj_ids', f'({store},)i8'),
+                     ('fraction_traj', f'({store},)f8')])
+
+
+def _pad_to(arr: np.ndarray, width: int, fill):
+    if arr.shape[1] >= width:
+        return arr[:, :width]
+    return np.pad(arr, ((0, 0), (0, width - arr.shape[1])),
+                  constant_values=fill)
+
+
+def _append_dataset(f: h5py.File, name: str, data: np.ndarray):
+    if data.shape[0] == 0:
+        return
+    if name not in f:
+        maxshape = (None,) + data.shape[1:]
+        f.create_dataset(name, data=data, maxshape=maxshape)
+    else:
+        n0 = f[name].shape[0]
+        f[name].resize(n0 + data.shape[0], axis=0)
+        f[name][n0:] = data
+
+
+# --------------------------------------------------------------------------
+# charge export
+# --------------------------------------------------------------------------
+
+def export_to_hdf5(event_id_list, adc_list, adc_ticks_list, unique_pix,
+                   current_fractions, track_ids, traj_ids, filename,
+                   event_start_times, det_model: DetectorModel,
+                   light: LightParams, sim: SimParams,
+                   light_trigger_times=None, light_trigger_event_id=None,
+                   light_trigger_modules=None, bad_channels=None,
+                   i_mod: int = -1):
+    """Write the LArPix packet stream + mc_packets_assn for one write batch.
+
+    Argument semantics match fee.export_to_hdf5 (fee.py:84-359); all inputs
+    are host numpy arrays.  `track_ids`/`traj_ids` carry *global* segment /
+    trajectory ids per (pixel, track-slot).
+    """
+    det = det_model.params
+    clock = det.clock_cycle
+    reset_period = det.clock_reset_period
+    store = sim.association_count_to_store
+    K = track_ids.shape[1]
+
+    event_id_list = np.asarray(event_id_list)
+    adc_list = np.asarray(adc_list)
+    adc_ticks_list = np.asarray(adc_ticks_list)
+    unique_pix = np.asarray(unique_pix)
+    current_fractions = np.asarray(current_fractions)
+    track_ids = np.asarray(track_ids)
+    traj_ids = np.asarray(traj_ids)
+
+    io_groups_all = np.unique(
+        np.array(list(det_model.module_to_io_groups.values())))
+    if i_mod >= 1:
+        io_groups_all = io_groups_all[(i_mod - 1) * 2: i_mod * 2]
+
+    bad_channels_list = None
+    if bad_channels:
+        with open(bad_channels) as bcf:
+            bad_channels_list = yaml.safe_load(bcf)
+
+    # --- per-pixel event times ---
+    unique_events, unique_events_inv = np.unique(event_id_list[..., 0],
+                                                 return_inverse=True)
+    event_t0_ticks = (event_start_times[unique_events_inv]
+                      / clock).astype(np.int64)
+
+    light_trigger_times = (np.empty(0) if light_trigger_times is None
+                           else np.asarray(light_trigger_times))
+    light_trigger_event_id = (np.empty(0, int) if light_trigger_event_id is
+                              None else np.asarray(light_trigger_event_id))
+    light_trigger_modules = (np.empty(0) if light_trigger_modules is None
+                             else np.asarray(light_trigger_modules))
+
+    # --- flatten valid hits in (pixel, iadc) order ---
+    from ..ops.fee import digitize
+    dig0 = float(np.asarray(digitize(np.zeros(1), det))[0])
+    hit_mask = adc_list > dig0                                 # (N, max_adc)
+    pix_row, iadc = np.nonzero(hit_mask)
+    n_hits = pix_row.size
+
+    if n_hits == 0:
+        return
+
+    pix_ids = unique_pix[pix_row]
+    io_group, io_channel, chip, channel, ok = pixel_readout_coords(
+        pix_ids, det_model)
+    event = event_id_list[pix_row, iadc]
+    ev_t0 = event_t0_ticks[pix_row]
+    t_us = adc_ticks_list[pix_row, iadc]
+    time_tick = np.floor(t_us / clock + ev_t0).astype(np.int64) % reset_period
+    ev_t0_mod = ev_t0 % reset_period
+
+    if not ok.all():
+        n_bad = int((~ok).sum())
+        logger.warning('%d hits on unmapped pixels dropped', n_bad)
+
+    # bad-channel masking (fee.py:250-254)
+    if bad_channels_list:
+        keys = np.array([f'{g}-{c}-{ch}' for g, c, ch in
+                         zip(io_group, io_channel, chip)])
+        bad = np.zeros(n_hits, bool)
+        for i in range(n_hits):
+            lst = bad_channels_list.get(keys[i])
+            if lst and channel[i] in lst:
+                bad[i] = True
+        ok &= ~bad
+
+    # --- service-packet schedule (per hit, in stream order) ---
+    # event boundary: first hit of each event (in hit order)
+    new_event = np.concatenate([[True], event[1:] != event[:-1]])
+    # timestamp-group boundary: time_tick change (fee.py:262-268)
+    new_tick = np.concatenate([[True], time_tick[1:] != time_tick[:-1]])
+
+    records = []      # (hit_index, priority, packets, assn)
+    assn_dtype = _assn_dtype(store)
+
+    def service_assn(n, event_vals=-1):
+        a = np.zeros(n, dtype=assn_dtype)
+        a['event_ids'] = np.full((n, 1), event_vals)
+        a['segment_ids'] = -1
+        a['file_traj_ids'] = -1
+        return a
+
+    if light.light_trig_mode != 1:
+        for h in np.nonzero(new_event & ok)[0]:
+            ev = event[h]
+            pk = []
+            for g in io_groups_all:
+                tp = lp.make_timestamp_packets(
+                    [event_start_times[unique_events_inv[pix_row[h]]]
+                     * units.mus / units.s], io_group=g)
+                sp = lp.make_sync_packets([time_tick[h]], g)
+                pk += [tp, sp]
+            trig_mask = light_trigger_event_id == ev
+            if trig_mask.any():
+                for t_trig, module_trig in zip(
+                        light_trigger_times[trig_mask],
+                        light_trigger_modules[trig_mask]):
+                    t_trig_tick = int(np.floor(
+                        t_trig / clock + ev_t0_mod[h])) % reset_period
+                    if light.light_trig_mode == 0:
+                        for g in det_model.module_to_io_groups[
+                                int(module_trig)]:
+                            pk.append(lp.make_trigger_packets(
+                                [t_trig_tick], g))
+            pkts = np.concatenate(pk)
+            records.append((h, 0, pkts, service_assn(len(pkts))))
+
+    # per-timestamp-group timestamp packet (constant payload, fee.py:267)
+    ts_payload = np.floor(event_t0_ticks[0] * clock * units.mus / units.s)
+    for h in np.nonzero(new_tick & ok)[0]:
+        tp = lp.make_timestamp_packets([ts_payload], io_group=io_group[h])
+        records.append((h, 1, tp, service_assn(1)))
+
+    # --- data packets (vectorized) ---
+    sel = np.nonzero(ok)[0]
+    data_pkts = lp.make_data_packets(
+        io_group[sel], io_channel[sel], chip[sel], channel[sel],
+        time_tick[sel], adc_list[pix_row[sel], iadc[sel]])
+
+    # --- data-packet associations ---
+    fr = current_fractions[pix_row[sel], iadc[sel]]           # (n, K)
+    tid = track_ids[pix_row[sel]]                             # (n, K)
+    trj = traj_ids[pix_row[sel]]
+    order = np.flip(np.argsort(fr, axis=1), axis=1)
+    fr_s = np.take_along_axis(fr, order, axis=1)
+    tid_s = np.take_along_axis(tid, order, axis=1)
+    trj_s = np.take_along_axis(trj, order, axis=1)
+    uniq_trj, uniq_fr = _aggregate_traj_fractions(trj_s, fr_s)
+
+    data_assn = np.zeros(len(sel), dtype=assn_dtype)
+    data_assn['event_ids'] = event[sel][:, None]
+    data_assn['segment_ids'] = _pad_to(tid_s, store, -1)
+    data_assn['fraction'] = _pad_to(fr_s, store, 0.0)
+    data_assn['file_traj_ids'] = _pad_to(uniq_trj, store, -1)
+    data_assn['fraction_traj'] = _pad_to(uniq_fr, store, 0.0)
+
+    for j, h in enumerate(sel):
+        records.append((h, 2, data_pkts[j:j + 1], data_assn[j:j + 1]))
+
+    # --- assemble in stream order ---
+    records.sort(key=lambda r: (r[0], r[1]))
+    packets = np.concatenate([r[2] for r in records])
+    assn = np.concatenate([r[3] for r in records])
+
+    lp.to_file(filename, packets)
+    with h5py.File(filename, 'a') as f:
+        _append_dataset(f, 'mc_packets_assn', assn)
+        f['configs'].attrs['vdrift'] = float(det.v_drift)
+        f['configs'].attrs['long_diff'] = float(det.long_diff)
+        f['configs'].attrs['tran_diff'] = float(det.tran_diff)
+        f['configs'].attrs['lifetime'] = float(det.electron_lifetime)
+        f['configs'].attrs['drift_length'] = det.drift_length
+
+
+def export_sync_to_hdf5(filename, sync_times, det_model: DetectorModel,
+                        sim: SimParams, i_mod: int = -1):
+    """PPS sync packets (fee.export_sync_to_hdf5, fee.py:361-424)."""
+    det = det_model.params
+    io_groups = (det_model.module_to_io_groups[i_mod] if i_mod > 0 else
+                 np.unique(np.array(
+                     list(det_model.module_to_io_groups.values()))))
+    sync_ticks = np.asarray(sync_times) / det.clock_cycle
+    rounded = (sync_ticks // det.clock_reset_period
+               * det.clock_reset_period)
+    off = sync_ticks % det.clock_reset_period != 0
+    if off.any():
+        warnings.warn('The provided sync time is not a multiple of the '
+                      'reset period!')
+    sync_ticks = np.where(off, rounded, sync_ticks)
+    pk = [lp.make_sync_packets([t], g) for t in sync_ticks for g in io_groups]
+    if not pk:
+        return
+    packets = np.concatenate(pk)
+    lp.to_file(filename, packets)
+    a = np.zeros(len(packets), dtype=_assn_dtype(sim.association_count_to_store))
+    a['event_ids'] = -1
+    a['segment_ids'] = -1
+    a['file_traj_ids'] = -1
+    with h5py.File(filename, 'a') as f:
+        _append_dataset(f, 'mc_packets_assn', a)
+
+
+def export_timestamp_trigger_to_hdf5(filename, event_start_times,
+                                     det_model: DetectorModel,
+                                     light: LightParams, sim: SimParams,
+                                     i_mod: int = -1):
+    """Beam timestamp+trigger packets (fee.py:426-497)."""
+    det = det_model.params
+    io_group = get_trig_io(light)
+    pk = []
+    for evt_time in np.asarray(event_start_times):
+        t_trig = int(np.floor(evt_time / det.clock_cycle)) \
+            % det.clock_reset_period
+        pk.append(lp.make_timestamp_packets(
+            [evt_time * units.mus / units.s], io_group=io_group))
+        pk.append(lp.make_trigger_packets([t_trig], io_group))
+    if not pk:
+        return
+    packets = np.concatenate(pk)
+    lp.to_file(filename, packets)
+    a = np.zeros(len(packets), dtype=_assn_dtype(sim.association_count_to_store))
+    a['event_ids'] = -1
+    a['segment_ids'] = -1
+    a['file_traj_ids'] = -1
+    with h5py.File(filename, 'a') as f:
+        _append_dataset(f, 'mc_packets_assn', a)
+
+
+# --------------------------------------------------------------------------
+# light export
+# --------------------------------------------------------------------------
+
+def export_light_trig_to_hdf5(event_id, start_times, trigger_idx,
+                              op_channel_idx, filename, event_times,
+                              det_model: DetectorModel, light: LightParams):
+    """light_trig dataset (light_sim.export_light_trig_to_hdf5, :715-745)."""
+    event_id = np.asarray(event_id)
+    if event_id.shape[0] == 0:
+        return
+    det = det_model.params
+    uniq, inv = np.unique(event_id, return_inverse=True)
+    ev_start = np.asarray(event_times)[inv]
+    ev_sync = (ev_start / det.clock_cycle).astype(np.int64) \
+        % det.clock_reset_period
+
+    op_channel_idx = np.atleast_2d(np.asarray(op_channel_idx))
+    trig = np.empty(len(event_id), dtype=np.dtype(
+        [('op_channel', 'i4', (op_channel_idx.shape[-1],)),
+         ('ts_s', 'f8'), ('ts_sync', 'u8')]))
+    trig['op_channel'] = op_channel_idx
+    trig['ts_s'] = ((np.asarray(start_times) + np.asarray(trigger_idx)
+                     * light.light_tick_size + ev_start)
+                    * units.mus / units.s)
+    trig['ts_sync'] = (((np.asarray(start_times) + np.asarray(trigger_idx)
+                         * light.light_tick_size) / det.clock_cycle
+                        + ev_sync).astype(np.int64) % det.clock_reset_period)
+    with h5py.File(filename, 'a') as f:
+        _append_dataset(f, 'light_trig', trig)
+
+
+def export_light_wvfm_to_hdf5(event_id, waveforms, filename,
+                              sim: SimParams, light: LightParams,
+                              i_mod: int = -1):
+    """light_wvfm dataset (light_sim.export_light_wvfm_to_hdf5, :663-713)."""
+    event_id = np.asarray(event_id)
+    if event_id.shape[0] == 0:
+        return
+    with h5py.File(filename, 'a') as f:
+        if sim.mod2mod_variation and light.light_trig_mode == 1:
+            if i_mod < 1:
+                raise ValueError('mod2mod variation active but module id '
+                                 'not provided')
+            name = f'light_wvfm/light_wvfm_mod{i_mod - 1}'
+        else:
+            name = 'light_wvfm'
+        if name not in f:
+            f.create_dataset(name, data=waveforms,
+                             maxshape=(None, None, None))
+        else:
+            n0 = f[name].shape[0]
+            f[name].resize(n0 + waveforms.shape[0], axis=0)
+            f[name][n0:] = waveforms
+
+
+def merge_module_light_wvfm_same_trigger(filename, det_model: DetectorModel):
+    """Concatenate per-module waveform datasets along the channel axis
+    (light_sim.merge_module_light_wvfm_same_trigger, :766-781)."""
+    with h5py.File(filename, 'a') as f:
+        parts = []
+        for i_mod in det_model.mod_ids:
+            ds = f[f'light_wvfm/light_wvfm_mod{i_mod - 1}']
+            if parts and ds.shape[0] != parts[0].shape[0]:
+                raise ValueError('The number of triggers should be the same '
+                                 'in each module with light trigger mode 1')
+            parts.append(np.array(ds))
+        merged = np.concatenate(parts, axis=1)
+        del f['light_wvfm']
+        f.create_dataset('light_wvfm', data=merged,
+                         maxshape=(None, None, None))

@@ -61,6 +61,60 @@ def pixel_centers(pixels: jnp.ndarray, det: DetectorParams):
     return x.astype(jnp.float32), y.astype(jnp.float32)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=('max_active', 'radius', 'max_nb', 't_sig', 'n_steps',
+                     'n_unique_cap', 'max_adc', 'max_tracks'))
+def charge_step(segs: Segments, det: DetectorParams, response, key, *,
+                thresholds=None, gains=None, max_active: int, radius: int,
+                max_nb: int, t_sig: int, n_steps: int, n_unique_cap: int,
+                max_adc: int, max_tracks: int):
+    """Pure device-side charge chain on drifted segments (jit/shard_map-able).
+
+    All shape knobs are static; everything else (params, response, noise
+    key) is traced, so one executable serves every batch with the same
+    bucket sizes — and shards over a device mesh (parallel/mesh.py).
+    """
+    pixels, distances, npix = pixelize.get_pixels(
+        segs, det, max_active=max_active, radius=radius,
+        max_neighboring=max_nb)
+
+    uniq, n_unique = accumulate.unique_pixels(pixels, n_unique_cap)
+    pix_idx = accumulate.pixel_index_map(pixels, uniq)
+    track_map, slot, overflow = accumulate.track_pixel_map(
+        pix_idx, distances, n_unique_cap, max_tracks=max_tracks)
+
+    px, py = pixel_centers(jnp.maximum(pixels, 0), det)
+    pix_valid = pixels >= 0
+    k_cur, k_fee = jax.random.split(key)
+    signals = current.current(
+        segs, px, py, pix_valid, response, det, k_cur,
+        n_steps=n_steps, t_sig=t_sig, mc_smear=True)
+
+    track_starts, _ = pixelize.time_intervals(segs, det)
+    pixels_signals = accumulate.sum_pixel_signals(
+        signals, pix_idx, track_starts, n_unique_cap,
+        n_ticks=det.time_ticks, time_sampling=float(det.time_sampling))
+
+    # FEE (single event per batch: cli:1072 builds the tick->time map from
+    # the batch's unique event ids, which the batcher guarantees is one)
+    tick_times = jnp.linspace(0, det.time_interval[1], det.time_ticks + 1)
+    if thresholds is None:
+        thresholds = jnp.full((n_unique_cap,),
+                              det.discrimination_threshold * 1.0)
+    n_scan = det.time_ticks + det.integrate_ticks + det.busy_ticks + 4
+    fee_res = fee.get_adc_values(
+        pixels_signals, tick_times, thresholds, det, k_fee,
+        max_adc=max_adc, n_scan=n_scan)
+
+    fractions = fee.current_fractions(
+        signals, pix_idx, slot, track_starts, fee_res, det,
+        max_adc=max_adc, max_tracks=max_tracks)
+
+    adc = fee.digitize(fee_res.integrals, det, gain=gains)
+    return uniq, n_unique, adc, fee_res, fractions, track_map, overflow
+
+
 def simulate_charge_batch(segs: Segments, det_model: DetectorModel,
                           sim: SimParams, key: jax.Array, response,
                           *, pixel_thresholds=None, pixel_gains=None,
@@ -118,49 +172,31 @@ def simulate_charge_batch(segs: Segments, det_model: DetectorModel,
                                  / (sim.min_step_size * step_scale)))
                      * sim.mc_sample_multiplier, lo=8)
 
-    # --- device pipeline ---
-    pixels, distances, npix = pixelize.get_pixels(
-        segs, det, max_active=max_active, radius=max_radius,
-        max_neighboring=max_nb)
+    n_unique_cap = None
+    if True:  # measure unique-pixel count to size the unique axis
+        _, _, npix = pixelize.get_pixels(
+            segs, det, max_active=max_active, radius=max_radius,
+            max_neighboring=max_nb)
+        n_unique_cap = bucket(int(np.asarray(npix).sum()), lo=32)
 
-    n_unique_cap = bucket(int(np.asarray(npix).sum()), lo=32)
-    uniq, n_unique = accumulate.unique_pixels(pixels, n_unique_cap)
-    pix_idx = accumulate.pixel_index_map(pixels, uniq)
-    track_map, slot, overflow = accumulate.track_pixel_map(
-        pix_idx, distances, n_unique_cap,
-        max_tracks=sim.max_tracks_per_pixel)
+    thresholds = gains = None
+    if pixel_thresholds is not None or pixel_gains is not None:
+        pixels, _, _ = pixelize.get_pixels(
+            segs, det, max_active=max_active, radius=max_radius,
+            max_neighboring=max_nb)
+        uniq0, _ = accumulate.unique_pixels(pixels, n_unique_cap)
+        if pixel_thresholds is not None:
+            thresholds = pixel_thresholds.lookup(jnp.maximum(uniq0, 0))
+        if pixel_gains is not None:
+            gains = pixel_gains.lookup(jnp.maximum(uniq0, 0))[:, None]
 
-    px, py = pixel_centers(jnp.maximum(pixels, 0), det)
-    pix_valid = pixels >= 0
-    k_cur, k_fee = jax.random.split(key)
-    signals = current.current(
-        segs, px, py, pix_valid, response, det, k_cur,
-        n_steps=n_steps, t_sig=t_sig, mc_smear=True)
-
-    track_starts, _ = pixelize.time_intervals(segs, det)
-    pixels_signals = accumulate.sum_pixel_signals(
-        signals, pix_idx, track_starts, n_unique_cap,
-        n_ticks=det.time_ticks, time_sampling=float(det.time_sampling))
-
-    # FEE
-    n_events = 1  # per-batch: single event (cli:1072 uses unique event ids)
-    tick_times = jnp.linspace(0, n_events * det.time_interval[1],
-                              det.time_ticks + 1)
-    if pixel_thresholds is None:
-        thresholds = jnp.full((n_unique_cap,),
-                              det.discrimination_threshold * 1.0)
-    else:
-        thresholds = pixel_thresholds
-    n_scan = det.time_ticks + det.integrate_ticks + det.busy_ticks + 4
-    fee_res = fee.get_adc_values(
-        pixels_signals, tick_times, thresholds, det, k_fee,
-        max_adc=sim.max_adc_values, n_scan=n_scan)
-
-    fractions = fee.current_fractions(
-        signals, pix_idx, slot, track_starts, fee_res, det,
+    out = charge_step(
+        segs, det, response, key,
+        thresholds=thresholds, gains=gains,
+        max_active=max_active, radius=max_radius, max_nb=max_nb,
+        t_sig=t_sig, n_steps=n_steps, n_unique_cap=n_unique_cap,
         max_adc=sim.max_adc_values, max_tracks=sim.max_tracks_per_pixel)
-
-    adc = fee.digitize(fee_res.integrals, det, gain=pixel_gains)
+    (uniq, n_unique, adc, fee_res, fractions, track_map, overflow) = out
 
     return ChargeChainResult(
         unique_pix=np.asarray(uniq),

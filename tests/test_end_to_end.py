@@ -1,0 +1,103 @@
+"""Full-pipeline integration: synthetic edep-sim file -> run_simulation ->
+output HDF5 with the reference schema (packets, mc_packets_assn, light_trig,
+light_wvfm, light_dat, truth datasets)."""
+import os
+
+import h5py
+import numpy as np
+import pytest
+
+from larndsim_tpu.cli.simulate_pixels import run_simulation
+from larndsim_tpu.params import load_detector
+from larndsim_tpu.assets.make_input import write_input
+
+REF = '/root/reference/larndsim'
+DETPROP = f'{REF}/detector_properties/module0.yaml'
+PIXEL = f'{REF}/pixel_layouts/multi_tile_layout-2.3.16.yaml'
+SIMPROP = f'{REF}/simulation_properties/singles_sim.yaml'
+
+
+@pytest.fixture(scope='module')
+def output_file(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp('e2e')
+    det_model = load_detector(DETPROP, PIXEL)
+    in_file = str(tmp / 'input.h5')
+    out_file = str(tmp / 'output.h5')
+    n_seg = write_input(in_file, det_model.tpc_borders, n_events=2,
+                        tracks_per_event=2, segments_per_track=10,
+                        dEdx=15.0)
+    assert n_seg > 0
+    run_simulation(in_file, out_file,
+                   config='module0',
+                   detector_properties=DETPROP,
+                   pixel_layout=PIXEL,
+                   simulation_properties=SIMPROP,
+                   response_file='__missing__.npy',   # -> synthetic LUT
+                   light_lut_filename='__missing__.npz',
+                   light_det_noise_filename='__missing__.npy',
+                   rand_seed=123, step_scale=16.0)
+    return out_file
+
+
+class TestOutputSchema:
+    def test_packets_dataset(self, output_file):
+        with h5py.File(output_file) as f:
+            assert 'packets' in f
+            pk = np.array(f['packets'])
+            names = pk.dtype.names
+            for col in ('io_group', 'io_channel', 'chip_id', 'packet_type',
+                        'channel_id', 'timestamp', 'dataword', 'parity',
+                        'valid_parity', 'first_packet', 'receipt_timestamp'):
+                assert col in names
+            data = pk[pk['packet_type'] == 0]
+            assert len(data) > 0, 'expected data packets'
+            assert (data['dataword'] > 0).all()
+            assert (data['valid_parity'] == 1).all()
+            # timestamp + trigger + sync service packets present
+            assert (pk['packet_type'] == 4).any()
+            assert (pk['packet_type'] == 7).any()
+
+    def test_mc_packets_assn(self, output_file):
+        with h5py.File(output_file) as f:
+            pk = np.array(f['packets'])
+            assn = np.array(f['mc_packets_assn'])
+            assert len(assn) == len(pk)
+            data_mask = pk['packet_type'] == 0
+            seg_ids = assn['segment_ids'][data_mask]
+            frac = assn['fraction'][data_mask]
+            # every data packet backtracks to at least one segment
+            assert (seg_ids[:, 0] >= 0).all()
+            # normalized over all 50 slots; the stored top-20 can exceed 1
+            # slightly when some fractions are negative (bipolar induction)
+            sums = frac.sum(axis=1)
+            assert (sums > 0.5).all() and (sums < 1.2).all()
+            # fractions sorted descending
+            assert (np.diff(frac, axis=1) <= 1e-9).all()
+            # service packets have no associations
+            assert (assn['segment_ids'][~data_mask] == -1).all()
+
+    def test_truth_datasets(self, output_file):
+        with h5py.File(output_file) as f:
+            assert 'segments' in f
+            assert f['segments'].attrs['zbeam']
+            segs = np.array(f['segments'])
+            # quench+drift ran: n_electrons filled
+            assert (segs['n_electrons'] > 0).any()
+            assert 'trajectories' in f and 'vertices' in f
+
+    def test_light_datasets(self, output_file):
+        with h5py.File(output_file) as f:
+            assert 'light_dat/light_dat_allmodules' in f
+            dat = np.array(f['light_dat/light_dat_allmodules'])
+            assert (dat['n_photons_det'] > 0).any()
+            assert 'light_wvfm' in f
+            assert 'light_trig' in f
+            wv = np.array(f['light_wvfm'])
+            assert wv.ndim == 3
+
+    def test_config_attrs(self, output_file):
+        with h5py.File(output_file) as f:
+            attrs = f['configs'].attrs
+            for key in ('vdrift', 'long_diff', 'tran_diff', 'lifetime',
+                        'drift_length'):
+                assert key in attrs
