@@ -13,6 +13,7 @@ recompiles are rare and executables are reused across batches.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Any
 
@@ -172,19 +173,16 @@ def simulate_charge_batch(segs: Segments, det_model: DetectorModel,
                                  / (sim.min_step_size * step_scale)))
                      * sim.mc_sample_multiplier, lo=8)
 
-    n_unique_cap = None
-    if True:  # measure unique-pixel count to size the unique axis
-        _, _, npix = pixelize.get_pixels(
-            segs, det, max_active=max_active, radius=max_radius,
-            max_neighboring=max_nb)
-        n_unique_cap = bucket(int(np.asarray(npix).sum()), lo=32)
+    # measure the unique-pixel count to size the unique axis (this
+    # get_pixels call is cached by jit and re-used inside charge_step)
+    pixels0, _, npix = pixelize.get_pixels(
+        segs, det, max_active=max_active, radius=max_radius,
+        max_neighboring=max_nb)
+    n_unique_cap = bucket(int(np.asarray(npix).sum()), lo=32)
 
     thresholds = gains = None
     if pixel_thresholds is not None or pixel_gains is not None:
-        pixels, _, _ = pixelize.get_pixels(
-            segs, det, max_active=max_active, radius=max_radius,
-            max_neighboring=max_nb)
-        uniq0, _ = accumulate.unique_pixels(pixels, n_unique_cap)
+        uniq0, _ = accumulate.unique_pixels(pixels0, n_unique_cap)
         if pixel_thresholds is not None:
             thresholds = pixel_thresholds.lookup(jnp.maximum(uniq0, 0))
         if pixel_gains is not None:

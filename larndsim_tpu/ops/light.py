@@ -308,8 +308,10 @@ def gen_light_detector_noise(shape, light_det_noise, key,
     spectrum = spectrum * (jnp.sqrt(jnp.diff(noise_freq).mean() / bin_size)
                            * light.light_digit_sample_spacing
                            / light.light_tick_size)
-    phase = jax.random.uniform(key, spectrum.shape)
-    noise_f = spectrum * jnp.exp(2j * jnp.pi * phase)
+    phase = 2 * jnp.pi * jax.random.uniform(key, spectrum.shape)
+    # complex exp is unimplemented on TPU; assemble re/im explicitly
+    noise_f = jax.lax.complex(spectrum * jnp.cos(phase),
+                              spectrum * jnp.sin(phase))
     if shape[1] < 2:
         noise = jnp.round(jnp.real(noise_f)) * 2 ** (16 - light.light_nbit)
     else:
