@@ -142,14 +142,19 @@ def current(segs: Segments, pix_x: jnp.ndarray, pix_y: jnp.ndarray,
     max_xdist = bin_size * nx_r
     max_ydist = bin_size * ny_r
 
+    # one diffusion draw per physical charge point, shared across pixels
+    # and ticks; same stream layout as the Pallas backend (current_pallas.
+    # prepare_points) so both backends agree bit-for-bit per key
+    smear_all = (jax.random.normal(key, (3, segs.size, n_steps))
+                 if mc_smear else None)
+
     def step_fn(acc, istep):
-        skey = jax.random.fold_in(key, istep)
-        frac = (istep + 0.5) * step_len / safe_len               # (S,)
-        px = sx + frac * safe_len * direction[:, 0]
-        py = sy + frac * safe_len * direction[:, 1]
-        pz = sz + frac * safe_len * direction[:, 2]
+        arc = (istep + 0.5) * step_len                           # (S,)
+        px = sx + arc * direction[:, 0]
+        py = sy + arc * direction[:, 1]
+        pz = sz + arc * direction[:, 2]
         if mc_smear:
-            smear = jax.random.normal(skey, (3, px.shape[0]))
+            smear = smear_all[:, :, istep]
             pz = pz + smear[0] * segs.long_diff
             px = px + smear[1] * segs.tran_diff
             py = py + smear[2] * segs.tran_diff

@@ -1,0 +1,309 @@
+"""Pallas TPU kernel for the induced-current hot op.
+
+The induced-current computation (detsim.tracks_current_mc semantics, see
+ops/current.py) reads, for every (segment, pixel, sample-point, tick), one
+element of the response LUT.  On the A100 the reference survives this
+because the ~15 MB LUT lives in the 40 MB L2 cache; a TPU has no data cache,
+so the naive XLA gather formulation re-reads the LUT from HBM per element —
+tens of TB per batch.  This kernel restructures the access pattern around
+VMEM:
+
+* The LUT time index is affine in the output tick: k = it - shift(s, step),
+  with shift depending only on the sample point's drifted arrival time.  So
+  each (segment, pixel, step) contributes one *contiguous, shifted slice*
+  of one response row.
+* Grid = (segment blocks, tick blocks).  Each instance DMAs the response
+  column slab covering its tick block (all rows x [k_lo, k_hi)) into VMEM
+  once, then accumulates S_blk * P * n_steps shifted row-slices into the
+  VMEM output block.  HBM traffic drops from O(S*P*steps*T) elements to
+  O(n_blocks * slab) + O(S*P*T).
+* Sample points, smearing draws, row indices and shifts are precomputed in
+  XLA (see prepare_points): points are shared across pixels (one physical
+  diffusion draw per charge point), invalid entries are routed to an
+  appended all-zero response row, and out-of-window ticks read zero-padded
+  LUT margins — the kernel body is branch-free.
+* A response time-sampling finer than the readout sampling (2x2 uses 50 ns
+  response bins vs 100 ns ticks) is handled by phase-splitting the LUT rows
+  (R[(ij, parity), k'] = R[ij, r*k' + parity]) so the kernel always runs
+  with unit stride.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..params.detector import DetectorParams
+from ..segments import Segments
+from .current import signal_start_times
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+#: sentinel coordinate for masked sample points / pixels: far enough that
+#: every distance check fails
+FAR = jnp.float32(1e9)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('n_steps', 'mc_smear', 'ratio', 'cap'))
+def prepare_points(segs: Segments, det: DetectorParams, key, *,
+                   n_steps: int, mc_smear: bool, ratio: int,
+                   cap: int | None = None):
+    """Precompute per-(segment, step) sample points.
+
+    Returns:
+        xs, ys: (S, n_steps) float32 point coordinates (FAR when the step is
+            masked: beyond the segment's dynamic nstep or invalid segment).
+        shift: (S, n_steps) int32 tick shift (phase-folded).
+        phase: (S, n_steps) int32 response-row phase (for ratio > 1).
+        charge: (S,) float32 charge per sample point.
+    """
+    resp_dt = det.response_sampling
+
+    swap = segs.z_start >= segs.z_end
+    sx = jnp.where(swap, segs.x_end, segs.x_start)
+    sy = jnp.where(swap, segs.y_end, segs.y_start)
+    sz = jnp.where(swap, segs.z_end, segs.z_start)
+    ex = jnp.where(swap, segs.x_start, segs.x_end)
+    ey = jnp.where(swap, segs.y_start, segs.y_end)
+    ez = jnp.where(swap, segs.z_start, segs.z_end)
+    seg_vec = jnp.stack([ex - sx, ey - sy, ez - sz], axis=-1)
+    length = jnp.sqrt(jnp.sum(seg_vec ** 2, axis=-1))
+    safe_len = jnp.where(length > 0, length, 1.0)
+    direction = seg_vec / safe_len[:, None]
+
+    nstep = jnp.maximum(jnp.round(length / 0.001), 1.0)
+    nstep = jnp.minimum(nstep, cap if cap is not None else n_steps)
+    nstep = nstep.astype(jnp.int32)
+    step_len = length / nstep
+
+    plane = jnp.clip(segs.pixel_plane, 0, det.n_tpcs - 1)
+    z_anode = det.tpc_borders[plane, 2, 0]
+    t_start = signal_start_times(segs, det)
+
+    steps = jnp.arange(n_steps)
+    arc = (steps[None, :] + 0.5) * step_len[:, None]           # (S, n)
+    px = sx[:, None] + arc * direction[:, 0:1]
+    py = sy[:, None] + arc * direction[:, 1:2]
+    pz = sz[:, None] + arc * direction[:, 2:3]
+    if mc_smear:
+        # draw with the caller's logical step count so the stream matches
+        # the XLA backend bit-for-bit, then zero-pad to the blocked count
+        n_draw = cap if cap is not None else n_steps
+        smear = jax.random.normal(key, (3, px.shape[0], n_draw))
+        if n_draw < n_steps:
+            smear = jnp.pad(smear, ((0, 0), (0, 0), (0, n_steps - n_draw)))
+        pz = pz + smear[0] * segs.long_diff[:, None]
+        px = px + smear[1] * segs.tran_diff[:, None]
+        py = py + smear[2] * segs.tran_diff[:, None]
+
+    t0 = jnp.abs(pz - z_anode[:, None]) / det.v_drift - det.time_window
+    # k = round((t_start + it*dt - t0)/resp_dt) = ratio*it - shift
+    shift_fine = jnp.round((t0 - t_start[:, None]) / resp_dt).astype(jnp.int32)
+    phase = jnp.mod(-shift_fine, ratio)                         # (S, n)
+    shift = (shift_fine + phase) // ratio                       # tick units
+
+    ok = ((steps[None, :] < nstep[:, None]) & segs.valid[:, None]
+          & (length > 0)[:, None])
+    px = jnp.where(ok, px, FAR)
+    shift = jnp.where(ok, shift, 0)
+    phase = jnp.where(ok, phase, 0)
+
+    charge = jnp.where(segs.valid & (length > 0),
+                       segs.n_electrons / nstep.astype(jnp.float32), 0.0)
+    return (px.astype(jnp.float32), py.astype(jnp.float32),
+            shift, phase, charge.astype(jnp.float32))
+
+
+def phase_split_response(response: np.ndarray, ratio: int) -> np.ndarray:
+    """(nx, ny, nt) -> (nx*ny*ratio + 1, ceil(nt/ratio)) with interleaved
+    phase rows and a trailing all-zero row for masked contributions."""
+    nx, ny, nt = response.shape
+    ntp = -(-nt // ratio)
+    flat = response.reshape(nx * ny, nt)
+    padded = np.zeros((nx * ny, ntp * ratio), response.dtype)
+    padded[:, :nt] = flat
+    # rows ordered [ij0/ph0, ij0/ph1, ..., ij1/ph0, ...]
+    split = padded.reshape(nx * ny, ntp, ratio).transpose(0, 2, 1)
+    split = split.reshape(nx * ny * ratio, ntp)
+    return np.concatenate([split, np.zeros((1, ntp), response.dtype)])
+
+
+def _current_kernel(xs_ref, ys_ref, shift_ref, phase_ref, px_ref, py_ref,
+                    resp_hbm, out_ref, slab, sem, *, t_blk, slab_w, k0,
+                    step_blk, s_blk, bin_size, nx_r, ny_r, ratio):
+    """One (segment-block, tick-block, step-block) grid instance.
+
+    All per-point/per-pixel metadata lives in SMEM and the response-row
+    index is computed with *scalar* arithmetic per (segment, pixel, step) —
+    Mosaic restricts dynamic VMEM loads to 128-aligned lane offsets, so no
+    index tensors are ever loaded from VMEM.  The vector unit only streams
+    shifted response-row slices out of the VMEM slab into the output block.
+    """
+    jt = pl.program_id(1)
+    kt = pl.program_id(2)
+
+    @pl.when(kt == 0)
+    def _():
+        dma = pltpu.make_async_copy(
+            resp_hbm.at[:, pl.ds(jt * t_blk, slab_w)], slab, sem)
+        dma.start()
+        dma.wait()
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    n_pix = out_ref.shape[1]
+    max_x = bin_size * nx_r
+    max_y = bin_size * ny_r
+
+    def seg_body(s, _):
+        def step_body(istep, _):
+            x = xs_ref[s, istep]
+            y = ys_ref[s, istep]
+            off = k0 - shift_ref[s, istep]
+            phase = phase_ref[s, istep]
+
+            def pix_body(p, _):
+                x_dist = jnp.abs(px_ref[s, p] - x)
+                y_dist = jnp.abs(py_ref[s, p] - y)
+                i_idx = jnp.round(x_dist / bin_size - 0.5).astype(jnp.int32)
+                j_idx = jnp.round(y_dist / bin_size - 0.5).astype(jnp.int32)
+                ok = ((x_dist <= max_x) & (y_dist <= max_y)
+                      & (i_idx >= 0) & (i_idx < nx_r)
+                      & (j_idx >= 0) & (j_idx < ny_r))
+
+                @pl.when(ok)
+                def _():
+                    row = (i_idx * ny_r + j_idx) * ratio + phase
+                    out_ref[s, p, :] += slab[row, pl.ds(off, t_blk)]
+                return 0
+
+            jax.lax.fori_loop(0, n_pix, pix_body, 0)
+            return 0
+
+        jax.lax.fori_loop(0, step_blk, step_body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, s_blk, seg_body, 0)
+
+
+def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
+                   det: DetectorParams, key, *, n_steps: int, t_sig: int,
+                   mc_smear: bool = True, s_blk: int = 8, t_blk: int = 512,
+                   step_blk: int = 128, interpret: bool = False
+                   ) -> jnp.ndarray:
+    """Induced current per (segment, pixel, tick) — Pallas TPU backend.
+
+    Same contract as ops.current.current; `response` is the raw
+    (nx, ny, nt) LUT (host numpy or device array).
+    """
+    resp_np = np.asarray(response)
+    nx_r, ny_r, nt_r = resp_np.shape
+    dt = float(det.time_sampling)
+    resp_dt = float(det.response_sampling)
+    ratio = int(round(dt / resp_dt))
+    assert ratio >= 1 and abs(ratio * resp_dt - dt) < 1e-6, \
+        'response sampling must divide the readout sampling'
+
+    S = segs.size
+    P = pix_x.shape[1]
+    t_sig_p = _round_up(t_sig, t_blk)
+    s_pad = _round_up(S, s_blk)
+    n_steps_p = _round_up(n_steps, step_blk)
+    if s_pad != S:
+        pad = lambda x: jnp.concatenate(
+            [x, jnp.zeros((s_pad - S,) + x.shape[1:], x.dtype)])
+        segs = jax.tree.map(pad, segs)
+        pix_x = pad(pix_x)
+        pix_y = pad(pix_y)
+        pix_valid = jnp.concatenate(
+            [pix_valid, jnp.zeros((s_pad - S, P), bool)])
+
+    xs, ys, shift, phase, charge = prepare_points(
+        segs, det, key, n_steps=n_steps_p, mc_smear=mc_smear, ratio=ratio,
+        cap=n_steps)
+    # fold pixel validity into the centers: FAR fails every distance check
+    pxc = jnp.where(pix_valid, pix_x, FAR).astype(jnp.float32)
+    pyc = jnp.where(pix_valid, pix_y, FAR).astype(jnp.float32)
+
+    # host-side shift band (one scalar sync; bounds the slab width)
+    sh = np.asarray(shift)
+    valid_any = np.asarray(xs) < 1e8                            # (S, n)
+    if valid_any.any():
+        shift_lo = int(sh[valid_any].min())
+        shift_hi = int(sh[valid_any].max())
+    else:
+        shift_lo = shift_hi = 0
+    shift = jnp.clip(shift, shift_lo, shift_hi)
+    span = shift_hi - shift_lo
+
+    # Padded response layout.  The kernel needs, for tick it and point
+    # shift v, the value R'[row, k' = it - v].  Define padded column
+    # c = k' + K0 with K0 = shift_hi, so that for tick block jt the slab
+    # [jt*t_blk, jt*t_blk + slab_w) contains every needed column:
+    #   local offset = it_local + (K0 - v),  0 <= K0 - v <= span,
+    # and out-of-range k' (before arrival / past the response window)
+    # lands in the zero padding.
+    resp_phase = phase_split_response(resp_np, ratio)           # (R+1, ntp)
+    ntp = resp_phase.shape[1]
+    K0 = shift_hi
+    slab_w = _round_up(t_blk + span + 1, 128)
+    total_cols = _round_up((t_sig_p - t_blk) + slab_w, 128)
+    padded = np.zeros((resp_phase.shape[0], total_cols), np.float32)
+    lo = max(K0, 0)
+    hi = min(K0 + ntp, total_cols)
+    if hi > lo:
+        padded[:, lo:hi] = resp_phase[:, lo - K0:hi - K0]
+    padded_dev = jnp.asarray(padded)
+    shift_lo_arg = K0  # kernel computes off = K0 - v
+
+    n_rows = resp_phase.shape[0]
+    grid = (s_pad // s_blk, t_sig_p // t_blk, n_steps_p // step_blk)
+
+    kernel = functools.partial(
+        _current_kernel, t_blk=t_blk, slab_w=slab_w, k0=shift_lo_arg,
+        step_blk=step_blk, s_blk=s_blk,
+        bin_size=float(det.response_bin_size), nx_r=nx_r, ny_r=ny_r,
+        ratio=ratio)
+
+    smem2 = lambda: pl.BlockSpec((s_blk, step_blk),
+                                 lambda i, j, k: (i, k),
+                                 memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            smem2(),  # xs
+            smem2(),  # ys
+            smem2(),  # shift
+            smem2(),  # phase
+            pl.BlockSpec((s_blk, P), lambda i, j, k: (i, 0),
+                         memory_space=pltpu.SMEM),  # pix_x
+            pl.BlockSpec((s_blk, P), lambda i, j, k: (i, 0),
+                         memory_space=pltpu.SMEM),  # pix_y
+            pl.BlockSpec(memory_space=pl.ANY),  # padded response (HBM)
+        ],
+        out_specs=pl.BlockSpec((s_blk, P, t_blk), lambda i, j, k: (i, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((s_pad, P, t_sig_p), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((n_rows, slab_w), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xs, ys, shift, phase, pxc, pyc, padded_dev)
+    out = out[:S, :, :t_sig]
+    # charge is constant per segment: fold it in outside the kernel, along
+    # with the negative-time-tick mask (detsim.py:299: ticks before the
+    # event window start contribute nothing)
+    segs_S = jax.tree.map(lambda x: x[:S], segs)
+    t_start = signal_start_times(segs_S, det)
+    ticks = t_start[:, None] + jnp.arange(t_sig) * det.time_sampling
+    mask = (ticks >= 0).astype(jnp.float32)
+    return out * (charge[:S, None] * mask)[:, None, :]

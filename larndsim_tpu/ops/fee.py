@@ -174,11 +174,13 @@ def get_adc_values(pixels_signals: jnp.ndarray, tick_times: jnp.ndarray,
                      final.r_out, final.e_out)
 
 
-@functools.partial(jax.jit, static_argnames=('max_adc', 'max_tracks'))
+@functools.partial(jax.jit,
+                   static_argnames=('max_adc', 'max_tracks', 'n_adc_scan'))
 def current_fractions(signals: jnp.ndarray, pix_idx: jnp.ndarray,
                       slot: jnp.ndarray, track_starts: jnp.ndarray,
                       fee: FeeResult, det: DetectorParams, *,
-                      max_adc: int, max_tracks: int) -> jnp.ndarray:
+                      max_adc: int, max_tracks: int,
+                      n_adc_scan: int | None = None) -> jnp.ndarray:
     """Per-(pixel, adc, track-slot) current fractions, closed form.
 
     Equivalent to the reference's tick-by-tick per-track accumulation
@@ -222,8 +224,12 @@ def current_fractions(signals: jnp.ndarray, pix_idx: jnp.ndarray,
         ].add(contrib, mode='drop')
         return num_acc, None
 
+    # Only slots that actually latched carry a window: callers may bound
+    # the scan by the batch's max hit count (host-read of fee.n_adc) —
+    # typically 1-2 instead of the static 30.
+    n_scan = max_adc if n_adc_scan is None else min(n_adc_scan, max_adc)
     num = jnp.zeros((U, max_adc, max_tracks), jnp.float32)
-    num, _ = jax.lax.scan(one_adc, num, jnp.arange(max_adc))
+    num, _ = jax.lax.scan(one_adc, num, jnp.arange(n_scan))
     true_q = num.sum(axis=2, keepdims=True)
     return jnp.where(true_q > 0, num / true_q, 0.0)
 
