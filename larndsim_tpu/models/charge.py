@@ -121,7 +121,8 @@ def simulate_charge_batch(segs: Segments, det_model: DetectorModel,
                           *, pixel_thresholds=None, pixel_gains=None,
                           mode: int = physics.BIRKS,
                           already_drifted: bool = False,
-                          step_scale: float = 1.0) -> ChargeChainResult:
+                          step_scale: float = 1.0,
+                          backend: str = 'auto') -> ChargeChainResult:
     """Run the full charge chain on one (padded) segment batch.
 
     Args:
@@ -133,7 +134,11 @@ def simulate_charge_batch(segs: Segments, det_model: DetectorModel,
             discrimination threshold.
         step_scale: >1 coarsens MC sampling (perf/quality knob; 1.0 matches
             the reference's MIN_STEP_SIZE sampling density).
+        backend: induced-current backend: 'pallas' (TPU kernel), 'xla', or
+            'auto' (pallas on accelerators, xla on CPU).
     """
+    if backend == 'auto':
+        backend = 'xla' if jax.default_backend() == 'cpu' else 'pallas'
     det = det_model.params
     if not already_drifted:
         segs = quench(segs, det, mode)
@@ -173,28 +178,59 @@ def simulate_charge_batch(segs: Segments, det_model: DetectorModel,
                                  / (sim.min_step_size * step_scale)))
                      * sim.mc_sample_multiplier, lo=8)
 
-    # measure the unique-pixel count to size the unique axis (this
-    # get_pixels call is cached by jit and re-used inside charge_step)
-    pixels0, _, npix = pixelize.get_pixels(
+    # measure the unique-pixel count to size the unique axis
+    pixels, distances, npix = pixelize.get_pixels(
         segs, det, max_active=max_active, radius=max_radius,
         max_neighboring=max_nb)
     n_unique_cap = bucket(int(np.asarray(npix).sum()), lo=32)
 
-    thresholds = gains = None
-    if pixel_thresholds is not None or pixel_gains is not None:
-        uniq0, _ = accumulate.unique_pixels(pixels0, n_unique_cap)
-        if pixel_thresholds is not None:
-            thresholds = pixel_thresholds.lookup(jnp.maximum(uniq0, 0))
-        if pixel_gains is not None:
-            gains = pixel_gains.lookup(jnp.maximum(uniq0, 0))[:, None]
+    uniq, n_unique = accumulate.unique_pixels(pixels, n_unique_cap)
+    pix_idx = accumulate.pixel_index_map(pixels, uniq)
+    track_map, slot, overflow = accumulate.track_pixel_map(
+        pix_idx, distances, n_unique_cap,
+        max_tracks=sim.max_tracks_per_pixel)
 
-    out = charge_step(
-        segs, det, response, key,
-        thresholds=thresholds, gains=gains,
-        max_active=max_active, radius=max_radius, max_nb=max_nb,
-        t_sig=t_sig, n_steps=n_steps, n_unique_cap=n_unique_cap,
-        max_adc=sim.max_adc_values, max_tracks=sim.max_tracks_per_pixel)
-    (uniq, n_unique, adc, fee_res, fractions, track_map, overflow) = out
+    thresholds = gains = None
+    if pixel_thresholds is not None:
+        thresholds = pixel_thresholds.lookup(jnp.maximum(uniq, 0))
+    if pixel_gains is not None:
+        gains = pixel_gains.lookup(jnp.maximum(uniq, 0))[:, None]
+
+    px, py = pixel_centers(jnp.maximum(pixels, 0), det)
+    pix_valid = pixels >= 0
+    k_cur, k_fee = jax.random.split(key)
+    if backend == 'pallas':
+        from ..ops.current_pallas import current_pallas
+        signals = current_pallas(
+            segs, px, py, pix_valid, response, det, k_cur,
+            n_steps=n_steps, t_sig=t_sig, mc_smear=True)
+    else:
+        signals = current.current(
+            segs, px, py, pix_valid, response, det, k_cur,
+            n_steps=n_steps, t_sig=t_sig, mc_smear=True)
+
+    track_starts, _ = pixelize.time_intervals(segs, det)
+    pixels_signals = accumulate.sum_pixel_signals(
+        signals, pix_idx, track_starts, n_unique_cap,
+        n_ticks=det.time_ticks, time_sampling=float(det.time_sampling))
+
+    tick_times = jnp.linspace(0, det.time_interval[1], det.time_ticks + 1)
+    if thresholds is None:
+        thresholds = jnp.full((n_unique_cap,),
+                              det.discrimination_threshold * 1.0)
+    n_scan = det.time_ticks + det.integrate_ticks + det.busy_ticks + 4
+    fee_res = fee.get_adc_values(
+        pixels_signals, tick_times, thresholds, det, k_fee,
+        max_adc=sim.max_adc_values, n_scan=n_scan)
+
+    # bound the fraction computation by the batch's actual max hit count
+    n_adc_scan = bucket(max(int(np.asarray(fee_res.n_adc).max()), 1), lo=1)
+    fractions = fee.current_fractions(
+        signals, pix_idx, slot, track_starts, fee_res, det,
+        max_adc=sim.max_adc_values, max_tracks=sim.max_tracks_per_pixel,
+        n_adc_scan=min(n_adc_scan, sim.max_adc_values))
+
+    adc = fee.digitize(fee_res.integrals, det, gain=gains)
 
     return ChargeChainResult(
         unique_pix=np.asarray(uniq),

@@ -161,19 +161,26 @@ def _current_kernel(xs_ref, ys_ref, shift_ref, phase_ref, px_ref, py_ref,
     n_pix = out_ref.shape[1]
     max_x = bin_size * nx_r
     max_y = bin_size * ny_r
+    inv_bin = 1.0 / bin_size  # scalar-core divides are slow
+
+    w_win = t_blk + 128
 
     def seg_body(s, _):
         def step_body(istep, _):
             x = xs_ref[s, istep]
             y = ys_ref[s, istep]
             off = k0 - shift_ref[s, istep]
+            # lane offsets of dynamic VMEM slices must be 128-aligned:
+            # read an aligned window and rotate the remainder in-register
+            off_base = (off // 128) * 128
+            rem = off - off_base
             phase = phase_ref[s, istep]
 
             def pix_body(p, _):
                 x_dist = jnp.abs(px_ref[s, p] - x)
                 y_dist = jnp.abs(py_ref[s, p] - y)
-                i_idx = jnp.round(x_dist / bin_size - 0.5).astype(jnp.int32)
-                j_idx = jnp.round(y_dist / bin_size - 0.5).astype(jnp.int32)
+                i_idx = jnp.round(x_dist * inv_bin - 0.5).astype(jnp.int32)
+                j_idx = jnp.round(y_dist * inv_bin - 0.5).astype(jnp.int32)
                 ok = ((x_dist <= max_x) & (y_dist <= max_y)
                       & (i_idx >= 0) & (i_idx < nx_r)
                       & (j_idx >= 0) & (j_idx < ny_r))
@@ -181,7 +188,11 @@ def _current_kernel(xs_ref, ys_ref, shift_ref, phase_ref, px_ref, py_ref,
                 @pl.when(ok)
                 def _():
                     row = (i_idx * ny_r + j_idx) * ratio + phase
-                    out_ref[s, p, :] += slab[row, pl.ds(off, t_blk)]
+                    window = slab[pl.ds(row, 1),
+                                  pl.ds(pl.multiple_of(off_base, 128),
+                                        w_win)]
+                    rolled = pltpu.roll(window, w_win - rem, axis=1)
+                    out_ref[s, p, :] += rolled[0, :t_blk]
                 return 0
 
             jax.lax.fori_loop(0, n_pix, pix_body, 0)
@@ -191,6 +202,75 @@ def _current_kernel(xs_ref, ys_ref, shift_ref, phase_ref, px_ref, py_ref,
         return 0
 
     jax.lax.fori_loop(0, s_blk, seg_body, 0)
+
+
+#: padded phase-split response cache: (data_ptr, shape, ratio, K0, cols)
+_RESP_CACHE: dict = {}
+
+
+def _padded_response(response, ratio: int, K0: int, total_cols: int):
+    """Padded response columns on device, cached per (LUT, layout)."""
+    resp_np = np.asarray(response)
+    key = (resp_np.__array_interface__['data'][0], resp_np.shape,
+           ratio, K0, total_cols)
+    hit = _RESP_CACHE.get(key)
+    if hit is not None:
+        return hit
+    resp_phase = phase_split_response(resp_np, ratio)
+    rows_pad = _round_up(resp_phase.shape[0], 8)
+    if rows_pad != resp_phase.shape[0]:
+        resp_phase = np.concatenate(
+            [resp_phase, np.zeros((rows_pad - resp_phase.shape[0],
+                                   resp_phase.shape[1]), resp_phase.dtype)])
+    ntp = resp_phase.shape[1]
+    padded = np.zeros((resp_phase.shape[0], total_cols), np.float32)
+    lo = max(K0, 0)
+    hi = min(K0 + ntp, total_cols)
+    if hi > lo:
+        padded[:, lo:hi] = resp_phase[:, lo - K0:hi - K0]
+    dev = jnp.asarray(padded)
+    if len(_RESP_CACHE) > 8:
+        _RESP_CACHE.clear()
+    _RESP_CACHE[key] = dev
+    return dev
+
+
+@functools.lru_cache(maxsize=64)
+def _kernel_fn(s_pad, P, t_sig_p, n_steps_p, s_blk, t_blk, step_blk,
+               slab_w, k0, bin_size, nx_r, ny_r, ratio, n_rows, interpret):
+    """Jitted pallas_call, cached on the static configuration."""
+    grid = (s_pad // s_blk, t_sig_p // t_blk, n_steps_p // step_blk)
+    kernel = functools.partial(
+        _current_kernel, t_blk=t_blk, slab_w=slab_w, k0=k0,
+        step_blk=step_blk, s_blk=s_blk, bin_size=bin_size,
+        nx_r=nx_r, ny_r=ny_r, ratio=ratio)
+
+    smem2 = lambda: pl.BlockSpec((s_blk, step_blk), lambda i, j, k: (i, k),
+                                 memory_space=pltpu.SMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            smem2(),  # xs
+            smem2(),  # ys
+            smem2(),  # shift
+            smem2(),  # phase
+            pl.BlockSpec((s_blk, P), lambda i, j, k: (i, 0),
+                         memory_space=pltpu.SMEM),  # pix_x
+            pl.BlockSpec((s_blk, P), lambda i, j, k: (i, 0),
+                         memory_space=pltpu.SMEM),  # pix_y
+            pl.BlockSpec(memory_space=pl.ANY),  # padded response (HBM)
+        ],
+        out_specs=pl.BlockSpec((s_blk, P, t_blk), lambda i, j, k: (i, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((s_pad, P, t_sig_p), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((n_rows, slab_w), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )
+    return jax.jit(call)
 
 
 def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
@@ -232,7 +312,9 @@ def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
     pxc = jnp.where(pix_valid, pix_x, FAR).astype(jnp.float32)
     pyc = jnp.where(pix_valid, pix_y, FAR).astype(jnp.float32)
 
-    # host-side shift band (one scalar sync; bounds the slab width)
+    # host-side shift band (one scalar sync; bounds the slab width),
+    # bucketed so the padded response + compiled kernel are reused across
+    # batches of the same module
     sh = np.asarray(shift)
     valid_any = np.asarray(xs) < 1e8                            # (S, n)
     if valid_any.any():
@@ -240,64 +322,40 @@ def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
         shift_hi = int(sh[valid_any].max())
     else:
         shift_lo = shift_hi = 0
-    shift = jnp.clip(shift, shift_lo, shift_hi)
-    span = shift_hi - shift_lo
+    K0 = _round_up(shift_hi, 64)
+    span = _round_up(max(K0 - shift_lo, 1), 128)
+    shift = jnp.clip(shift, K0 - span, K0)
 
-    # Padded response layout.  The kernel needs, for tick it and point
-    # shift v, the value R'[row, k' = it - v].  Define padded column
-    # c = k' + K0 with K0 = shift_hi, so that for tick block jt the slab
-    # [jt*t_blk, jt*t_blk + slab_w) contains every needed column:
-    #   local offset = it_local + (K0 - v),  0 <= K0 - v <= span,
-    # and out-of-range k' (before arrival / past the response window)
-    # lands in the zero padding.
-    resp_phase = phase_split_response(resp_np, ratio)           # (R+1, ntp)
-    ntp = resp_phase.shape[1]
-    K0 = shift_hi
-    slab_w = _round_up(t_blk + span + 1, 128)
+    # +256: aligned-window read (t_blk + 128 wide) starting at the
+    # 128-aligned floor of the largest offset must stay in bounds
+    slab_w = _round_up(t_blk + span + 1 + 256, 128)
+    n_rows = _round_up(resp_np.shape[0] * resp_np.shape[1] * ratio + 1, 8)
+
+    # VMEM guard: the slab must fit on chip.  The shift band scales with
+    # the *per-segment* drift extent (sub-cm for real edep-sim segments,
+    # so ~100 ticks); pathological inputs fall back to the XLA backend.
+    slab_bytes = n_rows * slab_w * 4
+    if slab_bytes > 12 * 2 ** 20 and not interpret:
+        import warnings
+        from . import current as current_xla
+        warnings.warn(
+            f'current_pallas: response slab {slab_bytes / 2**20:.1f} MiB '
+            'exceeds VMEM budget (very long segment drift span); falling '
+            'back to the XLA backend')
+        segs_S = jax.tree.map(lambda a: a[:S], segs)
+        return current_xla.current(
+            segs_S, pix_x[:S], pix_y[:S], pix_valid[:S],
+            jnp.asarray(resp_np), det, key, n_steps=n_steps, t_sig=t_sig,
+            mc_smear=mc_smear)
+
     total_cols = _round_up((t_sig_p - t_blk) + slab_w, 128)
-    padded = np.zeros((resp_phase.shape[0], total_cols), np.float32)
-    lo = max(K0, 0)
-    hi = min(K0 + ntp, total_cols)
-    if hi > lo:
-        padded[:, lo:hi] = resp_phase[:, lo - K0:hi - K0]
-    padded_dev = jnp.asarray(padded)
-    shift_lo_arg = K0  # kernel computes off = K0 - v
+    padded_dev = _padded_response(response, ratio, K0, total_cols)
 
-    n_rows = resp_phase.shape[0]
-    grid = (s_pad // s_blk, t_sig_p // t_blk, n_steps_p // step_blk)
-
-    kernel = functools.partial(
-        _current_kernel, t_blk=t_blk, slab_w=slab_w, k0=shift_lo_arg,
-        step_blk=step_blk, s_blk=s_blk,
-        bin_size=float(det.response_bin_size), nx_r=nx_r, ny_r=ny_r,
-        ratio=ratio)
-
-    smem2 = lambda: pl.BlockSpec((s_blk, step_blk),
-                                 lambda i, j, k: (i, k),
-                                 memory_space=pltpu.SMEM)
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            smem2(),  # xs
-            smem2(),  # ys
-            smem2(),  # shift
-            smem2(),  # phase
-            pl.BlockSpec((s_blk, P), lambda i, j, k: (i, 0),
-                         memory_space=pltpu.SMEM),  # pix_x
-            pl.BlockSpec((s_blk, P), lambda i, j, k: (i, 0),
-                         memory_space=pltpu.SMEM),  # pix_y
-            pl.BlockSpec(memory_space=pl.ANY),  # padded response (HBM)
-        ],
-        out_specs=pl.BlockSpec((s_blk, P, t_blk), lambda i, j, k: (i, 0, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((s_pad, P, t_sig_p), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((n_rows, slab_w), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
-        interpret=interpret,
-    )(xs, ys, shift, phase, pxc, pyc, padded_dev)
+    fn = _kernel_fn(s_pad, P, t_sig_p, n_steps_p, s_blk, t_blk, step_blk,
+                    slab_w, K0, float(det.response_bin_size),
+                    resp_np.shape[0], resp_np.shape[1], ratio, n_rows,
+                    interpret)
+    out = fn(xs, ys, shift, phase, pxc, pyc, padded_dev)
     out = out[:S, :, :t_sig]
     # charge is constant per segment: fold it in outside the kernel, along
     # with the negative-time-tick mask (detsim.py:299: ticks before the
