@@ -110,16 +110,17 @@ def prepare_points(segs: Segments, det: DetectorParams, key, *,
     phase = jnp.mod(-shift_fine, ratio)                         # (S, n)
     shift = (shift_fine + phase) // ratio                       # tick units
 
-    ok = ((steps[None, :] < nstep[:, None]) & segs.valid[:, None]
-          & (length > 0)[:, None])
+    seg_ok = segs.valid & (length > 0)
+    ok = (steps[None, :] < nstep[:, None]) & seg_ok[:, None]
     px = jnp.where(ok, px, FAR)
     shift = jnp.where(ok, shift, 0)
     phase = jnp.where(ok, phase, 0)
 
-    charge = jnp.where(segs.valid & (length > 0),
+    charge = jnp.where(seg_ok,
                        segs.n_electrons / nstep.astype(jnp.float32), 0.0)
+    nstep_out = jnp.where(seg_ok, nstep, 0)
     return (px.astype(jnp.float32), py.astype(jnp.float32),
-            shift, phase, charge.astype(jnp.float32))
+            shift, phase, charge.astype(jnp.float32), nstep_out)
 
 
 def phase_split_response(response: np.ndarray, ratio: int) -> np.ndarray:
@@ -137,28 +138,26 @@ def phase_split_response(response: np.ndarray, ratio: int) -> np.ndarray:
 
 
 def _current_kernel(xs_ref, ys_ref, shift_ref, phase_ref, px_ref, py_ref,
-                    resp_hbm, out_ref, slab, sem, *, t_blk, slab_w, k0,
-                    step_blk, s_blk, bin_size, nx_r, ny_r, ratio):
-    """One (segment-block, tick-block, step-block) grid instance.
+                    nstep_ref, npix_ref, resp_hbm, out_ref, slab, sem, *,
+                    t_blk, slab_w, k0, s_blk, bin_size, nx_r, ny_r, ratio):
+    """One (segment-block, tick-block) grid instance.
 
     All per-point/per-pixel metadata lives in SMEM and the response-row
     index is computed with *scalar* arithmetic per (segment, pixel, step) —
     Mosaic restricts dynamic VMEM loads to 128-aligned lane offsets, so no
     index tensors are ever loaded from VMEM.  The vector unit only streams
-    shifted response-row slices out of the VMEM slab into the output block.
+    shifted response-row slices out of the VMEM slab into a register-carried
+    accumulator.  Loop trip counts are the *dynamic* per-segment pixel and
+    sample counts, so padding costs nothing.
     """
     jt = pl.program_id(1)
-    kt = pl.program_id(2)
 
-    @pl.when(kt == 0)
-    def _():
-        dma = pltpu.make_async_copy(
-            resp_hbm.at[:, pl.ds(jt * t_blk, slab_w)], slab, sem)
-        dma.start()
-        dma.wait()
-        out_ref[...] = jnp.zeros_like(out_ref)
+    dma = pltpu.make_async_copy(
+        resp_hbm.at[:, pl.ds(jt * t_blk, slab_w)], slab, sem)
+    dma.start()
+    dma.wait()
+    out_ref[...] = jnp.zeros_like(out_ref)
 
-    n_pix = out_ref.shape[1]
     max_x = bin_size * nx_r
     max_y = bin_size * ny_r
     inv_bin = 1.0 / bin_size  # scalar-core divides are slow
@@ -166,39 +165,45 @@ def _current_kernel(xs_ref, ys_ref, shift_ref, phase_ref, px_ref, py_ref,
     w_win = t_blk + 128
 
     def seg_body(s, _):
-        def step_body(istep, _):
-            x = xs_ref[s, istep]
-            y = ys_ref[s, istep]
-            off = k0 - shift_ref[s, istep]
-            # lane offsets of dynamic VMEM slices must be 128-aligned:
-            # read an aligned window and rotate the remainder in-register
-            off_base = (off // 128) * 128
-            rem = off - off_base
-            phase = phase_ref[s, istep]
+        ns = nstep_ref[s, 0]
+        n_pix = npix_ref[s, 0]
 
-            def pix_body(p, _):
-                x_dist = jnp.abs(px_ref[s, p] - x)
-                y_dist = jnp.abs(py_ref[s, p] - y)
+        def pix_body(p, _):
+            pxv = px_ref[s, p]
+            pyv = py_ref[s, p]
+
+            def step_body(istep, acc):
+                x_dist = jnp.abs(pxv - xs_ref[s, istep])
+                y_dist = jnp.abs(pyv - ys_ref[s, istep])
                 i_idx = jnp.round(x_dist * inv_bin - 0.5).astype(jnp.int32)
                 j_idx = jnp.round(y_dist * inv_bin - 0.5).astype(jnp.int32)
                 ok = ((x_dist <= max_x) & (y_dist <= max_y)
                       & (i_idx >= 0) & (i_idx < nx_r)
                       & (j_idx >= 0) & (j_idx < ny_r))
 
-                @pl.when(ok)
-                def _():
-                    row = (i_idx * ny_r + j_idx) * ratio + phase
+                def hit(acc):
+                    row = (i_idx * ny_r + j_idx) * ratio \
+                        + phase_ref[s, istep]
+                    off = k0 - shift_ref[s, istep]
+                    # lane offsets of dynamic VMEM slices must be
+                    # 128-aligned: read an aligned window and rotate the
+                    # remainder in-register
+                    off_base = (off // 128) * 128
+                    rem = off - off_base
                     window = slab[pl.ds(row, 1),
                                   pl.ds(pl.multiple_of(off_base, 128),
                                         w_win)]
                     rolled = pltpu.roll(window, w_win - rem, axis=1)
-                    out_ref[s, p, :] += rolled[0, :t_blk]
-                return 0
+                    return acc + rolled[:, :t_blk]
 
-            jax.lax.fori_loop(0, n_pix, pix_body, 0)
+                return jax.lax.cond(ok, hit, lambda a: a, acc)
+
+            acc = jax.lax.fori_loop(
+                0, ns, step_body, jnp.zeros((1, t_blk), jnp.float32))
+            out_ref[s, p, :] = acc[0, :]
             return 0
 
-        jax.lax.fori_loop(0, step_blk, step_body, 0)
+        jax.lax.fori_loop(0, n_pix, pix_body, 0)
         return 0
 
     jax.lax.fori_loop(0, s_blk, seg_body, 0)
@@ -236,16 +241,17 @@ def _padded_response(response, ratio: int, K0: int, total_cols: int):
 
 
 @functools.lru_cache(maxsize=64)
-def _kernel_fn(s_pad, P, t_sig_p, n_steps_p, s_blk, t_blk, step_blk,
+def _kernel_fn(s_pad, P, t_sig_p, n_steps_p, s_blk, t_blk,
                slab_w, k0, bin_size, nx_r, ny_r, ratio, n_rows, interpret):
     """Jitted pallas_call, cached on the static configuration."""
-    grid = (s_pad // s_blk, t_sig_p // t_blk, n_steps_p // step_blk)
+    grid = (s_pad // s_blk, t_sig_p // t_blk)
     kernel = functools.partial(
         _current_kernel, t_blk=t_blk, slab_w=slab_w, k0=k0,
-        step_blk=step_blk, s_blk=s_blk, bin_size=bin_size,
-        nx_r=nx_r, ny_r=ny_r, ratio=ratio)
+        s_blk=s_blk, bin_size=bin_size, nx_r=nx_r, ny_r=ny_r, ratio=ratio)
 
-    smem2 = lambda: pl.BlockSpec((s_blk, step_blk), lambda i, j, k: (i, k),
+    smem2 = lambda: pl.BlockSpec((s_blk, n_steps_p), lambda i, j: (i, 0),
+                                 memory_space=pltpu.SMEM)
+    smem1 = lambda: pl.BlockSpec((s_blk, 1), lambda i, j: (i, 0),
                                  memory_space=pltpu.SMEM)
     call = pl.pallas_call(
         kernel,
@@ -255,13 +261,15 @@ def _kernel_fn(s_pad, P, t_sig_p, n_steps_p, s_blk, t_blk, step_blk,
             smem2(),  # ys
             smem2(),  # shift
             smem2(),  # phase
-            pl.BlockSpec((s_blk, P), lambda i, j, k: (i, 0),
+            pl.BlockSpec((s_blk, P), lambda i, j: (i, 0),
                          memory_space=pltpu.SMEM),  # pix_x
-            pl.BlockSpec((s_blk, P), lambda i, j, k: (i, 0),
+            pl.BlockSpec((s_blk, P), lambda i, j: (i, 0),
                          memory_space=pltpu.SMEM),  # pix_y
+            smem1(),  # nstep
+            smem1(),  # npix
             pl.BlockSpec(memory_space=pl.ANY),  # padded response (HBM)
         ],
-        out_specs=pl.BlockSpec((s_blk, P, t_blk), lambda i, j, k: (i, 0, j),
+        out_specs=pl.BlockSpec((s_blk, P, t_blk), lambda i, j: (i, 0, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((s_pad, P, t_sig_p), jnp.float32),
         scratch_shapes=[
@@ -305,12 +313,16 @@ def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
         pix_valid = jnp.concatenate(
             [pix_valid, jnp.zeros((s_pad - S, P), bool)])
 
-    xs, ys, shift, phase, charge = prepare_points(
+    xs, ys, shift, phase, charge, nstep = prepare_points(
         segs, det, key, n_steps=n_steps_p, mc_smear=mc_smear, ratio=ratio,
         cap=n_steps)
     # fold pixel validity into the centers: FAR fails every distance check
     pxc = jnp.where(pix_valid, pix_x, FAR).astype(jnp.float32)
     pyc = jnp.where(pix_valid, pix_y, FAR).astype(jnp.float32)
+    # dynamic loop bounds: valid pixels are compacted at the front by
+    # get_pixels, so a per-segment count suffices
+    npix = pix_valid.sum(axis=1).astype(jnp.int32)[:, None]
+    nstep_c = nstep.astype(jnp.int32)[:, None]
 
     # host-side shift band (one scalar sync; bounds the slab width),
     # bucketed so the padded response + compiled kernel are reused across
@@ -351,11 +363,11 @@ def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
     total_cols = _round_up((t_sig_p - t_blk) + slab_w, 128)
     padded_dev = _padded_response(response, ratio, K0, total_cols)
 
-    fn = _kernel_fn(s_pad, P, t_sig_p, n_steps_p, s_blk, t_blk, step_blk,
+    fn = _kernel_fn(s_pad, P, t_sig_p, n_steps_p, s_blk, t_blk,
                     slab_w, K0, float(det.response_bin_size),
                     resp_np.shape[0], resp_np.shape[1], ratio, n_rows,
                     interpret)
-    out = fn(xs, ys, shift, phase, pxc, pyc, padded_dev)
+    out = fn(xs, ys, shift, phase, pxc, pyc, nstep_c, npix, padded_dev)
     out = out[:S, :, :t_sig]
     # charge is constant per segment: fold it in outside the kernel, along
     # with the negative-time-tick mask (detsim.py:299: ticks before the
