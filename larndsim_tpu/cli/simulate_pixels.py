@@ -322,6 +322,7 @@ def run_simulation(input_filename: str,
         # ---- batching loop ----
         results_acc = defaultdict(list)
         i_trig = 0
+        i_light_trig = 0  # global light-trigger counter for truth records
         i_batch = 0
         event_id_buffer = -1
         sync_start = (event_times[0] // (det.clock_reset_period
@@ -512,6 +513,14 @@ def run_simulation(input_filename: str,
                         results_acc['light_op_channel_idx'].append(
                             lres.op_channel_idx)
                         results_acc['light_waveforms'].append(lres.waveforms)
+                        if lres.truth_waveforms is not None:
+                            truth = export.zero_suppress_waveform_truth(
+                                lres.truth_ids, lres.truth_waveforms,
+                                int(ievd), i_light_trig, op_channel_sim,
+                                sim.mc_truth_threshold)
+                            export.export_light_truth_to_hdf5(
+                                output_filename, truth)
+                        i_light_trig += ntrig
 
             if len(results_acc['event_id']) >= sim.write_batch_size:
                 flush_results()

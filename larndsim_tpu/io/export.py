@@ -414,6 +414,45 @@ def export_light_trig_to_hdf5(event_id, start_times, trigger_idx,
         _append_dataset(f, 'light_trig', trig)
 
 
+TRUTH_DTYPE = np.dtype([('trigger_id', 'i4'), ('op_channel_id', 'i4'),
+                        ('tick', 'i4'), ('event_id', 'i4'),
+                        ('segment_id', 'i8'), ('pe_current', 'f8')])
+
+
+def zero_suppress_waveform_truth(truth_ids, truth_waveforms, event_id,
+                                 i_trig, op_channel, threshold: float):
+    """Flatten nonzero light-truth samples into the association records
+    (light_sim.zero_suppress_waveform_truth, :621-661).
+
+    Args:
+        truth_ids: (C, K) segment ids per channel contributor.
+        truth_waveforms: (ntrig, C, samples, K) true photocurrents.
+        op_channel: (C,) absolute channel ids.
+        threshold: minimum |pe_current| to store (sim.mc_truth_threshold).
+    """
+    ntrig, C, samples, K = truth_waveforms.shape
+    ids = np.broadcast_to(truth_ids[None, :, None, :],
+                          truth_waveforms.shape)
+    keep = (ids >= 0) & (np.abs(truth_waveforms) > threshold)
+    trig, chan, tick, k = np.nonzero(keep)
+    out = np.empty(len(trig), dtype=TRUTH_DTYPE)
+    out['trigger_id'] = i_trig + trig
+    out['op_channel_id'] = np.asarray(op_channel)[chan]
+    out['tick'] = tick
+    out['event_id'] = event_id
+    out['segment_id'] = ids[trig, chan, tick, k]
+    out['pe_current'] = truth_waveforms[trig, chan, tick, k]
+    return out
+
+
+def export_light_truth_to_hdf5(filename, truth_data: np.ndarray):
+    """Append light_wvfm_mc_assn records."""
+    if truth_data.shape[0] == 0:
+        return
+    with h5py.File(filename, 'a') as f:
+        _append_dataset(f, 'light_wvfm_mc_assn', truth_data)
+
+
 def export_light_wvfm_to_hdf5(event_id, waveforms, filename,
                               sim: SimParams, light: LightParams,
                               i_mod: int = -1):

@@ -29,6 +29,9 @@ class LightBatchResult:
     waveforms: np.ndarray          # (ntrig, C, digit_samples)
     start_time: float              # simulation window start [us]
     n_ticks: int
+    # MC truth (sim.max_mc_truth_ids > 0): per-channel top-K contributors
+    truth_ids: np.ndarray | None = None        # (C, K) segment ids
+    truth_waveforms: np.ndarray | None = None  # (ntrig, C, samples, K)
 
 
 def simulate_light_batch(segs: Segments, det_model: DetectorModel,
@@ -112,6 +115,31 @@ def simulate_light_batch(segs: Segments, det_model: DetectorModel,
 
     wvfms = light_ops.digitize_signal(signal, padded_trigger_idx, light,
                                       digit_samples=digit_samples)
+
+    # --- MC truth backtracking (linear chain: no Poisson/gain/noise) ---
+    truth_ids = truth_wvfms = None
+    if sim.max_mc_truth_ids > 0:
+        truth_ids, truth_series = light_ops.light_truth_series(
+            segs, jnp.asarray(voxels), jnp.asarray(n_photons_det),
+            jnp.asarray(op_channel), lut.time_dist, lut.t0_avg,
+            jnp.float32(start_time), light, n_ticks=n_ticks,
+            k_truth=sim.max_mc_truth_ids,
+            lut_smearing=light.enable_lut_smearing)
+        K = truth_series.shape[1]
+        flat = truth_series.reshape(C * K, n_ticks)
+        flat = light_ops.causal_convolve(
+            flat, light_ops.scintillation_kernel(light, conv_ticks))
+        flat = light_ops.causal_convolve(
+            flat, light_ops.sipm_kernel(light, conv_ticks))
+        flat = jnp.pad(flat, ((0, 0), (pad_front, pad_back)))
+        tw = light_ops.digitize_signal(flat, padded_trigger_idx, light,
+                                       digit_samples=digit_samples,
+                                       quantize=False)
+        truth_wvfms = np.asarray(
+            tw.reshape(tw.shape[0], C, K, digit_samples)
+            .transpose(0, 1, 3, 2))
+        truth_ids = np.asarray(truth_ids)
+
     return LightBatchResult(
         trigger_idx=trigger_idx,
         trigger_type=trig_type,
@@ -119,4 +147,6 @@ def simulate_light_batch(segs: Segments, det_model: DetectorModel,
         waveforms=np.asarray(wvfms),
         start_time=start_time,
         n_ticks=n_ticks,
+        truth_ids=truth_ids,
+        truth_waveforms=truth_wvfms,
     )

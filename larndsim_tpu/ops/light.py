@@ -210,6 +210,72 @@ def sum_light_signals(segs: Segments, voxels, n_photons_det, op_channel,
     return out
 
 
+@functools.partial(jax.jit, static_argnames=('n_ticks', 'k_truth',
+                                             'lut_smearing'))
+def light_truth_series(segs: Segments, voxels, n_photons_det, op_channel,
+                       lut_time_dist, lut_t0_avg, start_time,
+                       light: LightParams, *, n_ticks: int, k_truth: int,
+                       lut_smearing: bool):
+    """Per-(channel, top-K segment) photon time series for MC truth.
+
+    The reference tracks up to MAX_MC_TRUTH_IDS (segment, photons) pairs per
+    (channel, tick) with first-empty-slot searches inside every kernel
+    (light_sim.py:106-129, :170-183, :322-336).  The truth chain is linear
+    (no Poisson, no gain, no noise: light_sim.py:320 vs :335), so here we
+    instead select the K strongest contributing segments per channel and
+    propagate their individual series through the same convolutions.
+
+    Returns:
+        truth_ids: (C, K) int32 global segment ids (-1 padding).
+        series: (C, K, n_ticks) float32 photons/us per contributor.
+    """
+    S, C = n_photons_det.shape
+    k_truth = min(k_truth, S)
+    tick = light.light_tick_size
+    # top-K segments per channel by detected photons
+    order = jnp.argsort(-n_photons_det, axis=0)[:k_truth]       # (K, C)
+    contrib = jnp.take_along_axis(n_photons_det, order, axis=0)  # (K, C)
+    has = contrib > 0
+    truth_ids = jnp.where(has, segs.segment_id[order], -1).T    # (C, K)
+
+    lut_idx = op_channel % lut_time_dist.shape[3]
+    track_time = segs.t0[order]                                  # (K, C)
+    vox = voxels[order]                                          # (K, C, 3)
+
+    if lut_smearing:
+        nprof = lut_time_dist.shape[4]
+        prof = lut_time_dist[vox[..., 0], vox[..., 1], vox[..., 2],
+                             lut_idx[None, :]]                   # (K, C, nprof)
+        t_arr = (track_time[..., None]
+                 + jnp.arange(nprof)[None, None, :] * 1e-3)
+        tick_f = (t_arr - start_time) / tick
+        itick = jnp.ceil(tick_f).astype(jnp.int32) - 1
+        ok = (tick_f > itick) & (itick >= 0) & (itick < n_ticks) \
+            & has[..., None]
+        photons = contrib[..., None] * prof / tick * ok
+        out = jnp.zeros((C, k_truth, n_ticks), jnp.float32)
+        c_ix = jnp.broadcast_to(jnp.arange(C)[None, :, None], photons.shape)
+        k_ix = jnp.broadcast_to(jnp.arange(k_truth)[:, None, None],
+                                photons.shape)
+        out = out.at[c_ix, k_ix, jnp.where(ok, itick, 0)].add(
+            photons, mode='drop')
+        return truth_ids, out
+
+    t0_avg = lut_t0_avg[vox[..., 0], vox[..., 1], vox[..., 2],
+                        lut_idx[None, :]]                        # (K, C)
+    t_arr = track_time + t0_avg * 1e-3
+    tick_f = (t_arr - start_time) / tick
+    itick = jnp.ceil(tick_f).astype(jnp.int32) - 1
+    ok = (tick_f > itick) & (itick >= 0) & (itick < n_ticks) & has
+    photons = contrib / tick * ok
+    out = jnp.zeros((C, k_truth, n_ticks), jnp.float32)
+    c_ix = jnp.broadcast_to(jnp.arange(C)[None, :], (k_truth, C))
+    k_ix = jnp.broadcast_to(jnp.arange(k_truth)[:, None], (k_truth, C))
+    out = out.at[c_ix, k_ix, jnp.where(ok, itick, 0)].add(
+        photons, mode='drop')
+    return truth_ids, out
+
+
 def scintillation_kernel(light: LightParams, conv_ticks: int) -> jnp.ndarray:
     """Two-exponential emission-time kernel (light_sim.py:132-145)."""
     k = jnp.arange(conv_ticks)
@@ -397,9 +463,9 @@ def get_triggers(signal: np.ndarray, group_threshold: np.ndarray,
             np.empty((0,), int))
 
 
-@functools.partial(jax.jit, static_argnames=('digit_samples',))
+@functools.partial(jax.jit, static_argnames=('digit_samples', 'quantize'))
 def digitize_signal(signal, padded_trigger_idx, light: LightParams, *,
-                    digit_samples: int):
+                    digit_samples: int, quantize: bool = True):
     """Interpolate to the ADC sample grid (light_sim.digitize_signal,
     :480-543) and truncate to the digitizer bit depth.
 
@@ -433,5 +499,7 @@ def digitize_signal(signal, padded_trigger_idx, light: LightParams, *,
     # linear interp with reference edge handling (light_sim.interp :241-271)
     out = jnp.where((i0 > n - 2)[:, None, :], 0.0,
                     v0 + (v1 - v0) * frac[:, None, :])
+    if not quantize:  # truth samples are interpolated but not bit-truncated
+        return out
     quant = 2 ** (16 - light.light_nbit)
     return jnp.round(out / quant) * quant

@@ -1,0 +1,75 @@
+"""Light MC-truth backtracking: top-K contributor propagation + export."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from larndsim_tpu.params import load_detector, load_light, load_sim
+from larndsim_tpu.assets.light_lut import make_light_lut, make_light_noise
+from larndsim_tpu.ops import light as light_ops
+from larndsim_tpu.models.light import simulate_light_batch
+from larndsim_tpu.io import export
+
+from test_charge_chain import DETPROP, PIXEL, SIMPROP
+from test_light import drifted_segments
+
+
+@pytest.fixture(scope='module')
+def setup():
+    det_model = load_detector(DETPROP, PIXEL)
+    light = load_light(DETPROP, asset_root='/root/reference')
+    light = dataclasses.replace(light, light_trig_mode=1)
+    sim = load_sim(SIMPROP)
+    sim = dataclasses.replace(sim, max_mc_truth_ids=4)
+    lut = light_ops.LightLUT.from_structured(
+        make_light_lut(vox_div=(14, 26, 8), n_det_tpc=48))
+    return det_model, light, sim, lut
+
+
+class TestLightTruth:
+    def test_truth_series_conserves(self, setup):
+        det_model, light, sim, lut = setup
+        segs = drifted_segments(det_model.params, n=3)  # K >= n: all tracked
+        op_channel = np.arange(light.n_op_channel)
+        n_det, t0_det, vox = light_ops.calculate_light_incidence(
+            segs, det_model.params, light, lut.vis, lut.t0,
+            n_channels=light.n_op_channel)
+        ids, series = light_ops.light_truth_series(
+            segs, vox, n_det, jnp.asarray(op_channel), lut.time_dist,
+            lut.t0_avg, jnp.float32(0.0), light, n_ticks=4096,
+            k_truth=8, lut_smearing=False)
+        ids, series = np.asarray(ids), np.asarray(series)
+        # summed truth series equals the total photon series per channel
+        tick = light.light_tick_size
+        total_truth = series.sum(axis=1).sum(axis=1) * tick      # (C,)
+        total_inc = np.asarray(n_det).sum(axis=0)
+        np.testing.assert_allclose(total_truth, total_inc, rtol=1e-3)
+        # ids reference real segments
+        valid_ids = ids[ids >= 0]
+        assert set(valid_ids.tolist()) <= set(
+            np.asarray(segs.segment_id)[np.asarray(segs.valid)].tolist())
+
+    def test_batch_produces_truth(self, setup):
+        det_model, light, sim, lut = setup
+        segs = drifted_segments(det_model.params, n=6)
+        op_channel = np.arange(light.n_op_channel)
+        n_det, t0_det, vox = light_ops.calculate_light_incidence(
+            segs, det_model.params, light, lut.vis, lut.t0,
+            n_channels=light.n_op_channel)
+        res = simulate_light_batch(
+            segs, det_model, light, sim, n_det, vox, lut,
+            make_light_noise(light.n_op_channel), jax.random.PRNGKey(5),
+            t0_det=t0_det)
+        assert res.truth_waveforms is not None
+        ntrig, C, samples, K = res.truth_waveforms.shape
+        assert (ntrig, C, K) == (1, light.n_op_channel, 4)
+
+        truth = export.zero_suppress_waveform_truth(
+            res.truth_ids, res.truth_waveforms, event_id=3, i_trig=0,
+            op_channel=op_channel, threshold=sim.mc_truth_threshold)
+        assert truth.shape[0] > 0
+        assert (np.abs(truth['pe_current']) > sim.mc_truth_threshold).all()
+        assert (truth['event_id'] == 3).all()
+        assert (truth['segment_id'] >= 0).all()
