@@ -37,6 +37,7 @@ from ..assets.light_lut import load_light_lut, make_light_noise
 from ..models.charge import bucket, simulate_charge_batch
 from ..models.light import simulate_light_batch
 from ..utils import MemoryLogger, PixelLUT, TPCBatcher
+from ..utils import trace
 
 logger = logging.getLogger('simulate_pixels')
 
@@ -458,7 +459,8 @@ def run_simulation(input_filename: str,
 
                 segs = from_structured(selected,
                                        pad_to=bucket(len(selected), lo=32))
-                res = simulate_charge_batch(
+                with trace.phase('charge_batch'):
+                    res = simulate_charge_batch(
                     segs, det_model, sim, key_batch, response_dev,
                     pixel_thresholds=thresholds_lut, pixel_gains=gains_lut,
                     already_drifted=True, step_scale=step_scale)
@@ -496,11 +498,12 @@ def run_simulation(input_filename: str,
                     t0_batch[:len(sel)] = light_inc_t0[sel]
                     vox_batch = np.zeros((pad_n, 3), np.int32)
                     vox_batch[:len(sel)] = np.asarray(track_light_voxel)[sel]
-                    lres = simulate_light_batch(
-                        segs, det_model, light, sim,
-                        inc_batch, vox_batch, lut, light_noise,
-                        key_batch, i_subbatch=itrk,
-                        op_channel=op_channel_sim, t0_det=t0_batch)
+                    with trace.phase('light_batch'):
+                        lres = simulate_light_batch(
+                            segs, det_model, light, sim,
+                            inc_batch, vox_batch, lut, light_noise,
+                            key_batch, i_subbatch=itrk,
+                            op_channel=op_channel_sim, t0_det=t0_batch)
                     ntrig = lres.trigger_idx.shape[0]
                     if ntrig:
                         results_acc['light_event_id'].append(
@@ -523,7 +526,8 @@ def run_simulation(input_filename: str,
                         i_light_trig += ntrig
 
             if len(results_acc['event_id']) >= sim.write_batch_size:
-                flush_results()
+                with trace.phase('export'):
+                    flush_results()
             memlog.take_snapshot()
 
         flush_results()
@@ -590,6 +594,10 @@ def run_simulation(input_filename: str,
     memlog.store(save_memory)
     print(f'Output saved in: {output_filename}')
     print(f'Elapsed time: {time.time() - t_sim0:.2f} s')
+    rep = trace.report()
+    if rep:
+        print('Phase breakdown:')
+        print(rep)
 
 
 def main():

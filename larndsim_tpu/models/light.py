@@ -127,10 +127,14 @@ def simulate_light_batch(segs: Segments, det_model: DetectorModel,
             lut_smearing=light.enable_lut_smearing)
         K = truth_series.shape[1]
         flat = truth_series.reshape(C * K, n_ticks)
-        flat = light_ops.causal_convolve(
-            flat, light_ops.scintillation_kernel(light, conv_ticks))
-        flat = light_ops.causal_convolve(
-            flat, light_ops.sipm_kernel(light, conv_ticks))
+        # the truth chain is linear with no step between the convolutions:
+        # combine scintillation and SiPM kernels into one pass, and block
+        # the FFT over rows (C*K can reach 384*50)
+        scint_k = jnp.pad(light_ops.scintillation_kernel(light, conv_ticks),
+                          (0, conv_ticks))  # keep the full combined support
+        combined = light_ops.causal_convolve(
+            scint_k[None, :], light_ops.sipm_kernel(light, conv_ticks))[0]
+        flat = light_ops.causal_convolve(flat, combined, row_chunk=1024)
         flat = jnp.pad(flat, ((0, 0), (pad_front, pad_back)))
         tw = light_ops.digitize_signal(flat, padded_trigger_idx, light,
                                        digit_samples=digit_samples,

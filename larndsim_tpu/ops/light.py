@@ -313,14 +313,32 @@ def sipm_kernel(light: LightParams, conv_ticks: int) -> jnp.ndarray:
     return imp / (light.impulse_tick_size / light.light_tick_size)
 
 
-def causal_convolve(signal: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
-    """FFT causal convolution, output truncated to the signal length."""
+def causal_convolve(signal: jnp.ndarray, kernel: jnp.ndarray,
+                    row_chunk: int | None = None) -> jnp.ndarray:
+    """FFT causal convolution, output truncated to the signal length.
+
+    Args:
+        row_chunk: process rows in chunks of this size (bounds the complex
+            FFT intermediates for very wide inputs, e.g. truth series).
+    """
     n = signal.shape[-1]
     k = kernel.shape[-1]
     fft_len = int(2 ** np.ceil(np.log2(max(n + k - 1, 1))))
-    sig_f = jnp.fft.rfft(signal, fft_len, axis=-1)
     ker_f = jnp.fft.rfft(kernel, fft_len)
-    return jnp.fft.irfft(sig_f * ker_f, fft_len, axis=-1)[..., :n]
+
+    def conv(rows):
+        sig_f = jnp.fft.rfft(rows, fft_len, axis=-1)
+        return jnp.fft.irfft(sig_f * ker_f, fft_len, axis=-1)[..., :n]
+
+    if row_chunk is None or signal.ndim == 1 \
+            or signal.shape[0] <= row_chunk:
+        return conv(signal)
+    rows = signal.shape[0]
+    pad = (-rows) % row_chunk
+    padded = jnp.pad(signal, ((0, pad), (0, 0)))
+    chunks = padded.reshape(-1, row_chunk, n)
+    out = jax.lax.map(conv, chunks)
+    return out.reshape(-1, n)[:rows]
 
 
 @functools.partial(jax.jit, static_argnames=('conv_ticks',))
