@@ -37,6 +37,7 @@ from ..assets.light_lut import load_light_lut, make_light_noise
 from ..models.charge import bucket, simulate_charge_batch
 from ..models.light import simulate_light_batch
 from ..utils import MemoryLogger, PixelLUT, TPCBatcher
+from ..utils.batching_native import FastTPCBatcher
 from ..utils import trace
 
 logger = logging.getLogger('simulate_pixels')
@@ -398,10 +399,10 @@ def run_simulation(input_filename: str,
             i_trig += 1
             results_acc = defaultdict(list)
 
-        batcher = TPCBatcher(all_mod_tracks, tracks_mod,
-                             sim.event_separator,
-                             tpc_batch_size=sim.event_batch_size,
-                             tpc_borders=module_borders)
+        batcher = FastTPCBatcher(all_mod_tracks, tracks_mod,
+                                 sim.event_separator,
+                                 tpc_batch_size=sim.event_batch_size,
+                                 tpc_borders=module_borders)
         key_mod = jax.random.fold_in(root_key, max(i_mod, 0))
 
         for ievd, batch_mask in batcher:
