@@ -119,30 +119,42 @@ def simulate_light_batch(segs: Segments, det_model: DetectorModel,
     # --- MC truth backtracking (linear chain: no Poisson/gain/noise) ---
     truth_ids = truth_wvfms = None
     if sim.max_mc_truth_ids > 0:
-        truth_ids, truth_series = light_ops.light_truth_series(
-            segs, jnp.asarray(voxels), jnp.asarray(n_photons_det),
-            jnp.asarray(op_channel), lut.time_dist, lut.t0_avg,
-            jnp.float32(start_time), light, n_ticks=n_ticks,
-            k_truth=sim.max_mc_truth_ids,
-            lut_smearing=light.enable_lut_smearing)
-        K = truth_series.shape[1]
-        flat = truth_series.reshape(C * K, n_ticks)
         # the truth chain is linear with no step between the convolutions:
-        # combine scintillation and SiPM kernels into one pass, and block
-        # the FFT over rows (C*K can reach 384*50)
+        # combine scintillation and SiPM kernels into one response
         scint_k = jnp.pad(light_ops.scintillation_kernel(light, conv_ticks),
                           (0, conv_ticks))  # keep the full combined support
         combined = light_ops.causal_convolve(
             scint_k[None, :], light_ops.sipm_kernel(light, conv_ticks))[0]
-        flat = light_ops.causal_convolve(flat, combined, row_chunk=1024)
-        flat = jnp.pad(flat, ((0, 0), (pad_front, pad_back)))
-        tw = light_ops.digitize_signal(flat, padded_trigger_idx, light,
-                                       digit_samples=digit_samples,
-                                       quantize=False)
-        truth_wvfms = np.asarray(
-            tw.reshape(tw.shape[0], C, K, digit_samples)
-            .transpose(0, 1, 3, 2))
-        truth_ids = np.asarray(truth_ids)
+        if not light.enable_lut_smearing:
+            # delta contributors: closed-form kernel interpolation, no
+            # (C, K, n_ticks) intermediate and no FFT over C*K rows
+            truth_ids, amp, itick = light_ops.light_truth_points(
+                segs, jnp.asarray(voxels), jnp.asarray(n_photons_det),
+                jnp.asarray(op_channel), lut.t0_avg,
+                jnp.float32(start_time), light,
+                k_truth=sim.max_mc_truth_ids)
+            truth_wvfms = np.asarray(light_ops.light_truth_sample(
+                amp, itick, combined, jnp.asarray(trigger_idx), light,
+                digit_samples=digit_samples))
+            truth_ids = np.asarray(truth_ids)
+        else:
+            truth_ids, truth_series = light_ops.light_truth_series(
+                segs, jnp.asarray(voxels), jnp.asarray(n_photons_det),
+                jnp.asarray(op_channel), lut.time_dist, lut.t0_avg,
+                jnp.float32(start_time), light, n_ticks=n_ticks,
+                k_truth=sim.max_mc_truth_ids,
+                lut_smearing=True)
+            K = truth_series.shape[1]
+            flat = truth_series.reshape(C * K, n_ticks)
+            flat = light_ops.causal_convolve(flat, combined, row_chunk=1024)
+            flat = jnp.pad(flat, ((0, 0), (pad_front, pad_back)))
+            tw = light_ops.digitize_signal(flat, padded_trigger_idx, light,
+                                           digit_samples=digit_samples,
+                                           quantize=False)
+            truth_wvfms = np.asarray(
+                tw.reshape(tw.shape[0], C, K, digit_samples)
+                .transpose(0, 1, 3, 2))
+            truth_ids = np.asarray(truth_ids)
 
     return LightBatchResult(
         trigger_idx=trigger_idx,

@@ -276,6 +276,63 @@ def light_truth_series(segs: Segments, voxels, n_photons_det, op_channel,
     return truth_ids, out
 
 
+@functools.partial(jax.jit, static_argnames=('k_truth',))
+def light_truth_points(segs: Segments, voxels, n_photons_det, op_channel,
+                       lut_t0_avg, start_time, light: LightParams, *,
+                       k_truth: int):
+    """Top-K truth contributors as (segment id, photons/us, arrival tick).
+
+    Without LUT smearing each contributor's photon series is a single
+    delta, so the whole truth chain (two linear convolutions + digitizer
+    interpolation) collapses to a closed-form kernel lookup — see
+    light_truth_sample.  Returns (ids (C,K), amp (C,K), itick (C,K)).
+    """
+    S, C = n_photons_det.shape
+    k_truth = min(k_truth, S)
+    tick = light.light_tick_size
+    order = jnp.argsort(-n_photons_det, axis=0)[:k_truth]       # (K, C)
+    contrib = jnp.take_along_axis(n_photons_det, order, axis=0)
+    has = contrib > 0
+    ids = jnp.where(has, segs.segment_id[order], -1).T          # (C, K)
+
+    lut_idx = op_channel % lut_t0_avg.shape[3]
+    vox = voxels[order]
+    t0_avg = lut_t0_avg[vox[..., 0], vox[..., 1], vox[..., 2],
+                        lut_idx[None, :]]
+    t_arr = segs.t0[order] + t0_avg * 1e-3
+    tick_f = (t_arr - start_time) / tick
+    itick = jnp.ceil(tick_f).astype(jnp.int32) - 1              # (K, C)
+    amp = jnp.where(has & (tick_f > itick), contrib / tick, 0.0)
+    return ids, amp.T.astype(jnp.float32), itick.T
+
+
+@functools.partial(jax.jit, static_argnames=('digit_samples',))
+def light_truth_sample(amp, itick, kernel, trigger_idx,
+                       light: LightParams, *, digit_samples: int):
+    """Truth waveform samples via direct kernel interpolation.
+
+    truth[trig, c, s, k] = amp[c,k] * kernel(sample_tick(trig,s) - itick),
+    linearly interpolated, 0 outside the kernel support — exactly the
+    delta-series pushed through the combined convolution + digitizer
+    interp, with no (C, K, n_ticks) intermediate.
+    """
+    f = light.light_digit_sample_spacing / light.light_tick_size
+    pre = int(np.ceil(light.light_trig_window[0] / light.light_tick_size))
+    sample_tick = (trigger_idx[:, None] - pre
+                   + jnp.arange(digit_samples)[None, :] * f)    # (T, S)
+    x = (sample_tick[:, None, None, :]
+         - itick[None, :, :, None])                             # (T, C, K, S)
+    i0 = jnp.floor(x).astype(jnp.int32)
+    frac = x - i0
+    n = kernel.shape[0]
+    v0 = jnp.where((i0 >= 0) & (i0 < n), kernel[jnp.clip(i0, 0, n - 1)], 0.)
+    v1 = jnp.where((i0 + 1 >= 0) & (i0 + 1 < n),
+                   kernel[jnp.clip(i0 + 1, 0, n - 1)], 0.)
+    vals = v0 + (v1 - v0) * frac
+    out = amp[None, :, :, None] * vals                          # (T,C,K,S)
+    return out.transpose(0, 1, 3, 2)                            # (T,C,S,K)
+
+
 def scintillation_kernel(light: LightParams, conv_ticks: int) -> jnp.ndarray:
     """Two-exponential emission-time kernel (light_sim.py:132-145)."""
     k = jnp.arange(conv_ticks)

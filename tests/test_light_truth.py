@@ -51,6 +51,49 @@ class TestLightTruth:
         assert set(valid_ids.tolist()) <= set(
             np.asarray(segs.segment_id)[np.asarray(segs.valid)].tolist())
 
+    def test_delta_path_matches_fft_path(self, setup):
+        """Closed-form kernel interpolation == series->FFT->interp."""
+        import jax.numpy as jnp
+        det_model, light, sim, lut = setup
+        segs = drifted_segments(det_model.params, n=4)
+        op_channel = jnp.arange(light.n_op_channel)
+        n_det, t0_det, vox = light_ops.calculate_light_incidence(
+            segs, det_model.params, light, lut.vis, lut.t0,
+            n_channels=light.n_op_channel)
+        n_ticks, conv_ticks, samples = 4096, 2048, 128
+        scint_k = jnp.pad(
+            light_ops.scintillation_kernel(light, conv_ticks),
+            (0, conv_ticks))
+        combined = light_ops.causal_convolve(
+            scint_k[None, :], light_ops.sipm_kernel(light, conv_ticks))[0]
+
+        trigger_idx = jnp.asarray([64])
+        ids1, amp, itick = light_ops.light_truth_points(
+            segs, vox, n_det, op_channel, lut.t0_avg, jnp.float32(0.0),
+            light, k_truth=4)
+        direct = np.asarray(light_ops.light_truth_sample(
+            amp, itick, combined, trigger_idx, light,
+            digit_samples=samples))
+
+        ids2, series = light_ops.light_truth_series(
+            segs, vox, n_det, op_channel, lut.time_dist, lut.t0_avg,
+            jnp.float32(0.0), light, n_ticks=n_ticks, k_truth=4,
+            lut_smearing=False)
+        C, K = ids2.shape
+        flat = light_ops.causal_convolve(
+            series.reshape(C * K, n_ticks), combined)
+        pre = int(np.ceil(light.light_trig_window[0]
+                          / light.light_tick_size))
+        flat = jnp.pad(flat, ((0, 0), (pre, 2048)))
+        fft_path = np.asarray(light_ops.digitize_signal(
+            flat, trigger_idx + pre, light, digit_samples=samples,
+            quantize=False)).reshape(1, C, K, samples).transpose(0, 1, 3, 2)
+
+        np.testing.assert_array_equal(np.asarray(ids1), np.asarray(ids2))
+        scale = np.abs(fft_path).max() + 1e-30
+        np.testing.assert_allclose(direct / scale, fft_path / scale,
+                                   atol=2e-5)
+
     def test_batch_produces_truth(self, setup):
         det_model, light, sim, lut = setup
         segs = drifted_segments(det_model.params, n=6)
