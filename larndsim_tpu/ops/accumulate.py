@@ -119,9 +119,14 @@ def track_pixel_map(pix_idx: jnp.ndarray, distances: jnp.ndarray,
 def sum_pixel_signals(signals: jnp.ndarray, pix_idx: jnp.ndarray,
                       track_starts: jnp.ndarray, n_unique_cap: int,
                       *, n_ticks: int, time_sampling: float):
-    """Scatter per-(segment, pixel) signal windows into per-pixel waveforms.
+    """Sum per-(segment, pixel) signal windows into per-pixel waveforms.
 
-    (reference detsim.sum_pixel_signals, atomics -> XLA scatter-add)
+    (reference detsim.sum_pixel_signals, atomics -> TPU-native reduction)
+
+    The reduction is formulated for the MXU instead of a scatter-add: each
+    (segment, pixel) row is first aligned to global ticks (a contiguous
+    dynamic slice per row), then summed per unique pixel with a one-hot
+    matmul — orders of magnitude faster than XLA scatter on TPU.
 
     Args:
         signals: (S, P, T_sig) induced current.
@@ -136,12 +141,48 @@ def sum_pixel_signals(signals: jnp.ndarray, pix_idx: jnp.ndarray,
     """
     S, P, T = signals.shape
     start_tick = jnp.round(track_starts / time_sampling).astype(jnp.int32)
-    cols = start_tick[:, None] + jnp.arange(T)[None, :]            # (S, T)
-    col_ok = (cols >= 0) & (cols < n_ticks)
-    rows = jnp.broadcast_to(pix_idx[:, :, None], (S, P, T))
-    cols = jnp.broadcast_to(cols[:, None, :], (S, P, T))
-    ok = (rows >= 0) & jnp.broadcast_to(col_ok[:, None, :], (S, P, T))
-    out = jnp.zeros((n_unique_cap, n_ticks), jnp.float32)
-    return out.at[jnp.where(ok, rows, 0),
-                  jnp.where(ok, cols, 0)].add(
-        jnp.where(ok, signals, 0.0), mode='drop')
+
+    # Static front padding: the most negative start_tick is
+    # -time_padding/dt (t_start >= 0 after drift, detsim.py:36-39), and the
+    # window length T always covers the padding, so pad_front = T bounds
+    # it; windows starting past n_ticks clamp to an offset whose content
+    # the final crop discards entirely.
+    pad_front = T
+    width = pad_front + n_ticks + T
+    offset = jnp.clip(start_tick + pad_front, 0, width - T)
+
+    # chunk the align+matmul over segments to bound the aligned buffer
+    # (~64 MB per chunk)
+    chunk = max(int(64e6) // max(P * width * 4, 1), 1)
+    chunk = min(1 << (chunk.bit_length() - 1), max(S, 1))
+    n_chunks = -(-S // chunk)
+    S_pad = n_chunks * chunk
+    if S_pad != S:
+        signals = jnp.pad(signals, ((0, S_pad - S), (0, 0), (0, 0)))
+        offset = jnp.pad(offset, (0, S_pad - S))
+        pix_idx = jnp.pad(pix_idx, ((0, S_pad - S), (0, 0)),
+                          constant_values=-1)
+
+    sig_c = signals.reshape(n_chunks, chunk, P, T)
+    off_c = offset.reshape(n_chunks, chunk)
+    idx_c = pix_idx.reshape(n_chunks, chunk, P)
+    uvals = jnp.arange(n_unique_cap)
+
+    def body(acc, inp):
+        sig, off, idx = inp
+        aligned = jax.vmap(
+            lambda row, o: jax.lax.dynamic_update_slice(
+                jnp.zeros((P, width), jnp.float32), row, (0, o))
+        )(sig, off)                                    # (chunk, P, width)
+        flat = aligned.reshape(chunk * P, width)
+        onehot = (idx.reshape(chunk * P)[:, None] == uvals[None, :]) \
+            .astype(jnp.float32)
+        acc = acc + jax.lax.dot_general(
+            onehot, flat, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return acc, None
+
+    acc = jnp.zeros((n_unique_cap, width), jnp.float32)
+    acc, _ = jax.lax.scan(body, acc, (sig_c, off_c, idx_c))
+    return jax.lax.dynamic_slice(acc, (0, pad_front),
+                                 (n_unique_cap, n_ticks))

@@ -99,8 +99,12 @@ def get_adc_values(pixels_signals: jnp.ndarray, tick_times: jnp.ndarray,
         r_out: jnp.ndarray
         e_out: jnp.ndarray
 
-    def step(st: State, t):
-        noise = jax.random.normal(jax.random.fold_in(k_scan, t), (5, U))
+    # hoist all noise draws out of the scan: per-tick threefry dominates
+    # the scan step cost otherwise
+    noise_all = jax.random.normal(k_scan, (n_scan, 5, U))
+
+    def step(st: State, inp):
+        t, noise = inp
         n_q, n_disc, n_adc, n_disc2, n_reset = noise
 
         skipping = st.skip_rem > 0
@@ -169,7 +173,7 @@ def get_adc_values(pixels_signals: jnp.ndarray, tick_times: jnp.ndarray,
         r_out=jnp.full((U, max_adc), -1, jnp.int32),
         e_out=jnp.full((U, max_adc), -1, jnp.int32),
     )
-    final, _ = jax.lax.scan(step, init, jnp.arange(n_scan))
+    final, _ = jax.lax.scan(step, init, (jnp.arange(n_scan), noise_all))
     return FeeResult(final.integrals, final.ticks_us, final.iadc,
                      final.r_out, final.e_out)
 
