@@ -1,0 +1,112 @@
+"""Coverage for config registry, pixel LUTs, RNG statistics, and units."""
+import numpy as np
+import pytest
+
+import jax
+
+from larndsim_tpu import units
+from larndsim_tpu.config import CONFIG_MAP, get_config, list_config_keys
+from larndsim_tpu.utils.pixel_lut import PixelLUT
+from larndsim_tpu.params import load_detector, load_light, load_sim
+
+
+class TestConfigRegistry:
+    def test_reference_keywords_present(self):
+        """Same keyword set as the reference config.yaml."""
+        expected = {'module0', '2x2_no_modvar', '2x2_mpvmpr_no_modvar',
+                    '2x2_non_beam_no_modvar', '2x2', '2x2_old_response',
+                    '2x2_mpvmpr', '2x2_mpvmpr_old_response', 'ndlar'}
+        assert expected <= set(list_config_keys())
+
+    def test_all_configs_resolve(self):
+        for key in list_config_keys():
+            cfg = get_config(key)
+            for cat in ('SIM_PROPERTIES', 'PIXEL_LAYOUT', 'DET_PROPERTIES',
+                        'RESPONSE'):
+                assert cat in cfg
+
+    def test_2x2_mod2mod_indirection(self):
+        cfg = get_config('2x2')
+        assert cfg['MOD2MOD_VARIATION'] is True
+        assert cfg['PIXEL_LAYOUT_ID'] == [0, 0, 1, 0]
+        assert isinstance(cfg['PIXEL_LAYOUT'], list)
+
+    def test_unknown_key_raises(self):
+        with pytest.raises(KeyError):
+            get_config('nonsense')
+
+
+class TestPixelLUT:
+    def test_roundtrip_and_lookup(self, tmp_path):
+        keys = np.array([10, 3, 99, 42], np.int64)
+        values = np.array([1.0, 2.0, 3.0, 4.0])
+        lut = PixelLUT(keys, values, default=7.5)
+        path = tmp_path / 'thresholds.npz'
+        lut.save(str(path))
+        lut2 = PixelLUT.load(str(path))
+        got = np.asarray(lut2.lookup(np.array([3, 42, 5, 99, 10])))
+        np.testing.assert_allclose(got, [2.0, 4.0, 7.5, 3.0, 1.0])
+        assert 42 in lut2 and 5 not in lut2
+
+    def test_thresholds_affect_triggering(self):
+        """Per-pixel thresholds from an npz flow through the charge batch."""
+        import jax.numpy as jnp
+        from larndsim_tpu.ops import fee as fee_mod
+        from test_charge_chain import DETPROP, PIXEL
+        det = load_detector(DETPROP, PIXEL).params
+        det0 = det.replace(reset_noise_charge=jnp.float32(0),
+                           uncorrelated_noise_charge=jnp.float32(0),
+                           discriminator_noise=jnp.float32(0))
+        wf = np.zeros((2, 300), np.float32)
+        wf[:, 100:120] = 5e2  # same waveform on both pixels
+        tick_times = jnp.linspace(0, 200.0, 301)
+        # pixel 0: low threshold -> triggers; pixel 1: high -> silent
+        thr = jnp.array([1e3, 1e9], jnp.float32)
+        res = fee_mod.get_adc_values(jnp.asarray(wf), tick_times, thr, det0,
+                                     jax.random.PRNGKey(0), max_adc=5,
+                                     n_scan=330)
+        assert int(res.n_adc[0]) > 0
+        assert int(res.n_adc[1]) == 0
+
+
+class TestRngStatistics:
+    def test_diffusion_smear_moments(self):
+        """MC diffusion draws reproduce the long/tran widths statistically
+        (SURVEY §7.5: xoroshiro vs threefry parity is statistical)."""
+        import jax.numpy as jnp
+        from larndsim_tpu.ops.current_pallas import prepare_points
+        from larndsim_tpu import segments as seg_mod
+        from test_charge_chain import DETPROP, PIXEL, make_test_tracks
+        from larndsim_tpu.ops.quench import quench
+        from larndsim_tpu.ops.drift import drift
+        from larndsim_tpu.params import physics
+
+        det = load_detector(DETPROP, PIXEL).params
+        tr = make_test_tracks(det, n=4)
+        segs = seg_mod.from_structured(tr)
+        segs = quench(segs, det, physics.BIRKS)
+        segs = drift(segs, det)
+        segs = segs.replace(long_diff=jnp.full(4, 0.05),
+                            tran_diff=jnp.full(4, 0.02))
+
+        xs, ys, shift, phase, charge, nstep = prepare_points(
+            segs, det, jax.random.PRNGKey(0), n_steps=1024, mc_smear=True,
+            ratio=1)
+        xs0, ys0, *_ = prepare_points(
+            segs, det, jax.random.PRNGKey(0), n_steps=1024, mc_smear=False,
+            ratio=1)
+        dx = np.asarray(xs - xs0)
+        dy = np.asarray(ys - ys0)
+        mask = np.asarray(xs0) < 1e8
+        assert abs(dx[mask].std() - 0.02) < 0.002
+        assert abs(dy[mask].std() - 0.02) < 0.002
+        assert abs(dx[mask].mean()) < 0.002
+
+
+class TestUnits:
+    def test_hep_coherence(self):
+        assert units.cm == 10 * units.mm
+        assert units.mus == 1e3 * units.ns
+        assert units.mV == pytest.approx(1e-9 * units.MeV / units.e)
+        # kV/cm in (MeV/e)/mm: 1e-3 MeV/e / 10 mm
+        assert units.kV / units.cm == pytest.approx(1e-4)
