@@ -517,11 +517,9 @@ def run_simulation(input_filename: str,
                         results_acc['light_op_channel_idx'].append(
                             lres.op_channel_idx)
                         results_acc['light_waveforms'].append(lres.waveforms)
-                        if lres.truth_waveforms is not None:
-                            truth = export.zero_suppress_waveform_truth(
-                                lres.truth_ids, lres.truth_waveforms,
-                                int(ievd), i_light_trig, op_channel_sim,
-                                sim.mc_truth_threshold)
+                        if lres.truth_sparse is not None:
+                            truth = export.truth_sparse_to_records(
+                                lres.truth_sparse, int(ievd), i_light_trig)
                             export.export_light_truth_to_hdf5(
                                 output_filename, truth)
                         i_light_trig += ntrig

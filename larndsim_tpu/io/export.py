@@ -445,6 +445,20 @@ def zero_suppress_waveform_truth(truth_ids, truth_waveforms, event_id,
     return out
 
 
+def truth_sparse_to_records(sparse: dict, event_id: int,
+                            i_trig: int) -> np.ndarray:
+    """Assemble light_wvfm_mc_assn records from device-sparsified truth."""
+    n = len(sparse['trig'])
+    out = np.empty(n, dtype=TRUTH_DTYPE)
+    out['trigger_id'] = i_trig + sparse['trig']
+    out['op_channel_id'] = sparse['op_channel']
+    out['tick'] = sparse['tick']
+    out['event_id'] = event_id
+    out['segment_id'] = sparse['segment_id']
+    out['pe_current'] = sparse['pe_current']
+    return out
+
+
 def export_light_truth_to_hdf5(filename, truth_data: np.ndarray):
     """Append light_wvfm_mc_assn records."""
     if truth_data.shape[0] == 0:

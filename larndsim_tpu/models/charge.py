@@ -232,15 +232,18 @@ def simulate_charge_batch(segs: Segments, det_model: DetectorModel,
 
     adc = fee.digitize(fee_res.integrals, det, gain=gains)
 
+    # pull only the occupied unique-pixel rows off device (the fractions
+    # tensor alone is ~12 MB at cap size; valid rows are compacted first)
+    n_u = min(bucket(max(int(n_unique), 1), lo=32), n_unique_cap)
     return ChargeChainResult(
-        unique_pix=np.asarray(uniq),
+        unique_pix=np.asarray(uniq[:n_u]),
         n_unique=int(n_unique),
-        adc=np.asarray(adc),
-        adc_ticks=np.asarray(fee_res.ticks),
-        integrals=np.asarray(fee_res.integrals),
-        n_adc=np.asarray(fee_res.n_adc),
-        current_fractions=np.asarray(fractions),
-        track_pixel_map=np.asarray(track_map),
+        adc=np.asarray(adc[:n_u]),
+        adc_ticks=np.asarray(fee_res.ticks[:n_u]),
+        integrals=np.asarray(fee_res.integrals[:n_u]),
+        n_adc=np.asarray(fee_res.n_adc[:n_u]),
+        current_fractions=np.asarray(fractions[:n_u]),
+        track_pixel_map=np.asarray(track_map[:n_u]),
         overflow=bool(np.asarray(overflow).any()),
         segments=segs,
     )

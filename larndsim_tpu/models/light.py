@@ -32,6 +32,9 @@ class LightBatchResult:
     # MC truth (sim.max_mc_truth_ids > 0): per-channel top-K contributors
     truth_ids: np.ndarray | None = None        # (C, K) segment ids
     truth_waveforms: np.ndarray | None = None  # (ntrig, C, samples, K)
+    # sparse zero-suppressed truth (preferred: avoids pulling the dense
+    # tensor off-device): (trig, chan, tick, segment_id, pe) columns
+    truth_sparse: dict | None = None
 
 
 def simulate_light_batch(segs: Segments, det_model: DetectorModel,
@@ -79,14 +82,27 @@ def simulate_light_batch(segs: Segments, det_model: DetectorModel,
     response = light_ops.calc_light_detector_response(
         disc, gains, light, conv_ticks=conv_ticks)
 
-    # --- triggers (host) ---
-    thr = np.asarray(light.light_trig_threshold)
-    thr = np.repeat(thr[:, None], light.op_channel_per_trig, axis=-1).ravel()
-    thr = thr[op_channel].reshape(-1, light.op_channel_per_trig)[:, 0]
-    trigger_idx, trig_op, trig_type = light_ops.get_triggers(
-        response, thr, op_channel, i_subbatch, light,
-        det_model.module_to_tpcs, det_model.tpc_to_module,
-        np.asarray(light.tpc_to_op_channel))
+    # --- triggers ---
+    if light.light_trig_mode == 1:
+        # beam mode forces one trigger per event (light_sim.py:444-451):
+        # no threshold scan, and crucially no device->host waveform pull
+        if i_subbatch == 0:
+            trigger_idx = np.zeros(1, int)
+            trig_op = np.asarray(op_channel)[None, :]
+            trig_type = np.ones(1, int)
+        else:
+            trigger_idx = np.empty(0, int)
+            trig_op = np.empty((0, C), int)
+            trig_type = np.empty(0, int)
+    else:
+        thr = np.asarray(light.light_trig_threshold)
+        thr = np.repeat(thr[:, None], light.op_channel_per_trig,
+                        axis=-1).ravel()
+        thr = thr[op_channel].reshape(-1, light.op_channel_per_trig)[:, 0]
+        trigger_idx, trig_op, trig_type = light_ops.get_triggers(
+            response, thr, op_channel, i_subbatch, light,
+            det_model.module_to_tpcs, det_model.tpc_to_module,
+            np.asarray(light.tpc_to_op_channel))
 
     digit_samples = int(np.ceil((light.light_trig_window[1]
                                  + light.light_trig_window[0])
@@ -117,7 +133,7 @@ def simulate_light_batch(segs: Segments, det_model: DetectorModel,
                                       digit_samples=digit_samples)
 
     # --- MC truth backtracking (linear chain: no Poisson/gain/noise) ---
-    truth_ids = truth_wvfms = None
+    truth_ids_dev = tw_dev = None
     if sim.max_mc_truth_ids > 0:
         # the truth chain is linear with no step between the convolutions:
         # combine scintillation and SiPM kernels into one response
@@ -128,17 +144,16 @@ def simulate_light_batch(segs: Segments, det_model: DetectorModel,
         if not light.enable_lut_smearing:
             # delta contributors: closed-form kernel interpolation, no
             # (C, K, n_ticks) intermediate and no FFT over C*K rows
-            truth_ids, amp, itick = light_ops.light_truth_points(
+            truth_ids_dev, amp, itick = light_ops.light_truth_points(
                 segs, jnp.asarray(voxels), jnp.asarray(n_photons_det),
                 jnp.asarray(op_channel), lut.t0_avg,
                 jnp.float32(start_time), light,
                 k_truth=sim.max_mc_truth_ids)
-            truth_wvfms = np.asarray(light_ops.light_truth_sample(
+            tw_dev = light_ops.light_truth_sample(
                 amp, itick, combined, jnp.asarray(trigger_idx), light,
-                digit_samples=digit_samples))
-            truth_ids = np.asarray(truth_ids)
+                digit_samples=digit_samples)
         else:
-            truth_ids, truth_series = light_ops.light_truth_series(
+            truth_ids_dev, truth_series = light_ops.light_truth_series(
                 segs, jnp.asarray(voxels), jnp.asarray(n_photons_det),
                 jnp.asarray(op_channel), lut.time_dist, lut.t0_avg,
                 jnp.float32(start_time), light, n_ticks=n_ticks,
@@ -151,10 +166,45 @@ def simulate_light_batch(segs: Segments, det_model: DetectorModel,
             tw = light_ops.digitize_signal(flat, padded_trigger_idx, light,
                                            digit_samples=digit_samples,
                                            quantize=False)
-            truth_wvfms = np.asarray(
-                tw.reshape(tw.shape[0], C, K, digit_samples)
-                .transpose(0, 1, 3, 2))
-            truth_ids = np.asarray(truth_ids)
+            tw_dev = tw.reshape(tw.shape[0], C, K, digit_samples) \
+                .transpose(0, 1, 3, 2)
+
+    truth_sparse = None
+    if tw_dev is not None:
+        # zero-suppress on device and pull only the surviving entries
+        # (the dense (ntrig, C, samples, K) tensor stays on-chip)
+        keep = ((truth_ids_dev[None, :, None, :] >= 0)
+                & (jnp.abs(tw_dev) > sim.mc_truth_threshold))
+        n_keep = int(keep.sum())
+        if n_keep:
+            kcap = max(64, 1 << (n_keep - 1).bit_length())
+            flat_idx = jnp.nonzero(keep.reshape(-1), size=kcap,
+                                   fill_value=-1)[0]
+            vals = tw_dev.reshape(-1)[jnp.maximum(flat_idx, 0)]
+            flat_idx = np.asarray(flat_idx)
+            vals = np.asarray(vals)
+            ok = flat_idx >= 0
+            flat_idx, vals = flat_idx[ok], vals[ok]
+            ntrig_, C_, S_, K_ = tw_dev.shape
+            trig, rem = np.divmod(flat_idx, C_ * S_ * K_)
+            chan, rem = np.divmod(rem, S_ * K_)
+            tick, k = np.divmod(rem, K_)
+            ids_host = np.asarray(truth_ids_dev)
+            truth_sparse = dict(
+                trig=trig.astype(np.int32),
+                op_channel=np.asarray(op_channel)[chan].astype(np.int32),
+                tick=tick.astype(np.int32),
+                segment_id=ids_host[chan, k].astype(np.int64),
+                pe_current=vals.astype(np.float64),
+            )
+        else:
+            truth_sparse = dict(
+                trig=np.empty(0, np.int32),
+                op_channel=np.empty(0, np.int32),
+                tick=np.empty(0, np.int32),
+                segment_id=np.empty(0, np.int64),
+                pe_current=np.empty(0, np.float64),
+            )
 
     return LightBatchResult(
         trigger_idx=trigger_idx,
@@ -163,6 +213,8 @@ def simulate_light_batch(segs: Segments, det_model: DetectorModel,
         waveforms=np.asarray(wvfms),
         start_time=start_time,
         n_ticks=n_ticks,
-        truth_ids=truth_ids,
-        truth_waveforms=truth_wvfms,
+        truth_ids=(np.asarray(truth_ids_dev)
+                   if truth_ids_dev is not None else None),
+        truth_waveforms=None,
+        truth_sparse=truth_sparse,
     )

@@ -105,14 +105,11 @@ class TestLightTruth:
             segs, det_model, light, sim, n_det, vox, lut,
             make_light_noise(light.n_op_channel), jax.random.PRNGKey(5),
             t0_det=t0_det)
-        assert res.truth_waveforms is not None
-        ntrig, C, samples, K = res.truth_waveforms.shape
-        assert (ntrig, C, K) == (1, light.n_op_channel, 4)
-
-        truth = export.zero_suppress_waveform_truth(
-            res.truth_ids, res.truth_waveforms, event_id=3, i_trig=0,
-            op_channel=op_channel, threshold=sim.mc_truth_threshold)
+        assert res.truth_sparse is not None
+        truth = export.truth_sparse_to_records(res.truth_sparse,
+                                               event_id=3, i_trig=0)
         assert truth.shape[0] > 0
         assert (np.abs(truth['pe_current']) > sim.mc_truth_threshold).all()
         assert (truth['event_id'] == 3).all()
         assert (truth['segment_id'] >= 0).all()
+        assert truth['op_channel_id'].max() < light.n_op_channel
