@@ -223,8 +223,10 @@ def simulate_charge_batch(segs: Segments, det_model: DetectorModel,
         pixels_signals, tick_times, thresholds, det, k_fee,
         max_adc=sim.max_adc_values, n_scan=n_scan)
 
-    # bound the fraction computation by the batch's actual max hit count
-    n_adc_scan = bucket(max(int(np.asarray(fee_res.n_adc).max()), 1), lo=1)
+    # bound the fraction computation by the batch's actual max hit count,
+    # quantized to {4, max_adc} so the static shape rarely changes
+    max_hits = int(np.asarray(fee_res.n_adc).max())
+    n_adc_scan = 4 if max_hits <= 4 else sim.max_adc_values
     fractions = fee.current_fractions(
         signals, pix_idx, slot, track_starts, fee_res, det,
         max_adc=sim.max_adc_values, max_tracks=sim.max_tracks_per_pixel,

@@ -177,7 +177,9 @@ def simulate_light_batch(segs: Segments, det_model: DetectorModel,
                 & (jnp.abs(tw_dev) > sim.mc_truth_threshold))
         n_keep = int(keep.sum())
         if n_keep:
-            kcap = max(64, 1 << (n_keep - 1).bit_length())
+            # floor of 16384 keeps the static shape constant across
+            # typical batches (one compile); tiny pull either way
+            kcap = max(16384, 1 << (n_keep - 1).bit_length())
             flat_idx = jnp.nonzero(keep.reshape(-1), size=kcap,
                                    fill_value=-1)[0]
             vals = tw_dev.reshape(-1)[jnp.maximum(flat_idx, 0)]

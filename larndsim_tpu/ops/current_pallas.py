@@ -281,15 +281,47 @@ def _kernel_fn(s_pad, P, t_sig_p, n_steps_p, s_blk, t_blk,
     return jax.jit(call)
 
 
+def host_shift_band(segs_np: dict, det: DetectorParams,
+                    mc_smear: bool = True) -> tuple[int, int]:
+    """Conservative (shift_lo, shift_hi) from host-side segment fields —
+    avoids the device sync of reading the realized shifts.
+
+    shift = round((t0 - t_start)/resp_dt) with t0 = |z - z_anode|/v - W;
+    bound z by the segment extent +- 6 sigma of the longitudinal smear.
+    """
+    dt = float(det.time_sampling)
+    resp_dt = float(det.response_sampling)
+    ratio = int(round(dt / resp_dt))
+    v = float(det.v_drift)
+    borders = np.asarray(det.tpc_borders)
+    plane = np.clip(segs_np['pixel_plane'], 0, borders.shape[0] - 1)
+    z_anode = borders[plane, 2, 0]
+    pad = 6.0 * segs_np['long_diff'] if mc_smear else 0.0
+    z_lo = np.minimum(segs_np['z_start'], segs_np['z_end']) - pad
+    z_hi = np.maximum(segs_np['z_start'], segs_np['z_end']) + pad
+    d_lo = np.minimum(np.abs(z_lo - z_anode), np.abs(z_hi - z_anode))
+    d_lo = np.where((z_lo - z_anode) * (z_hi - z_anode) < 0, 0.0, d_lo)
+    d_hi = np.maximum(np.abs(z_lo - z_anode), np.abs(z_hi - z_anode))
+    t_start = np.round((segs_np['t_start'] - segs_np['t0_start']
+                        - float(det.time_padding)) / dt) * dt
+    w = float(det.time_window)
+    lo = np.floor((d_lo / v - w - t_start) / resp_dt).min() - 2
+    hi = np.ceil((d_hi / v - w - t_start) / resp_dt).max() + 2
+    # fine-shift -> phase-folded tick shift (see prepare_points)
+    return int(np.floor(lo / ratio)), int(np.ceil(hi / ratio)) + 1
+
+
 def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
                    det: DetectorParams, key, *, n_steps: int, t_sig: int,
                    mc_smear: bool = True, s_blk: int = 8, t_blk: int = 512,
-                   step_blk: int = 128, interpret: bool = False
+                   step_blk: int = 128, interpret: bool = False,
+                   shift_band: tuple[int, int] | None = None
                    ) -> jnp.ndarray:
     """Induced current per (segment, pixel, tick) — Pallas TPU backend.
 
     Same contract as ops.current.current; `response` is the raw
-    (nx, ny, nt) LUT (host numpy or device array).
+    (nx, ny, nt) LUT (host numpy or device array).  Pass ``shift_band``
+    (from :func:`host_shift_band`) to avoid the per-batch device sync.
     """
     resp_np = np.asarray(response)
     nx_r, ny_r, nt_r = resp_np.shape
@@ -324,18 +356,23 @@ def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
     npix = pix_valid.sum(axis=1).astype(jnp.int32)[:, None]
     nstep_c = nstep.astype(jnp.int32)[:, None]
 
-    # host-side shift band (one scalar sync; bounds the slab width),
-    # bucketed so the padded response + compiled kernel are reused across
-    # batches of the same module
-    sh = np.asarray(shift)
-    valid_any = np.asarray(xs) < 1e8                            # (S, n)
-    if valid_any.any():
-        shift_lo = int(sh[valid_any].min())
-        shift_hi = int(sh[valid_any].max())
+    # shift band (bounds the slab width), bucketed so the padded response
+    # + compiled kernel are reused across batches of the same module
+    if shift_band is not None:
+        shift_lo, shift_hi = shift_band
     else:
-        shift_lo = shift_hi = 0
-    K0 = _round_up(shift_hi, 64)
-    span = _round_up(max(K0 - shift_lo, 1), 128)
+        sh = np.asarray(shift)
+        valid_any = np.asarray(xs) < 1e8                        # (S, n)
+        if valid_any.any():
+            shift_lo = int(sh[valid_any].min())
+            shift_hi = int(sh[valid_any].max())
+        else:
+            shift_lo = shift_hi = 0
+    # coarse quantization: the band is a *static* kernel parameter, so a
+    # fine granularity would recompile per batch (compiles through the
+    # remote-TPU tunnel cost tens of seconds)
+    K0 = _round_up(shift_hi, 512)
+    span = _round_up(max(K0 - shift_lo, 1), 256)
     shift = jnp.clip(shift, K0 - span, K0)
 
     # +256: aligned-window read (t_blk + 128 wide) starting at the
