@@ -200,10 +200,15 @@ def simulate_charge_batch(segs: Segments, det_model: DetectorModel,
     pix_valid = pixels >= 0
     k_cur, k_fee = jax.random.split(key)
     if backend == 'pallas':
-        from ..ops.current_pallas import current_pallas
+        from ..ops.current_pallas import current_pallas, host_shift_band
+        vmask = np.asarray(segs.valid)
+        band = host_shift_band(
+            {k: np.asarray(getattr(segs, k))[vmask] for k in
+             ('z_start', 'z_end', 'pixel_plane', 'long_diff',
+              't_start', 't0_start')}, det, mc_smear=True)
         signals = current_pallas(
             segs, px, py, pix_valid, response, det, k_cur,
-            n_steps=n_steps, t_sig=t_sig, mc_smear=True)
+            n_steps=n_steps, t_sig=t_sig, mc_smear=True, shift_band=band)
     else:
         signals = current.current(
             segs, px, py, pix_valid, response, det, k_cur,

@@ -84,6 +84,24 @@ class TestCurrentPallas:
                             mc_smear=True, key=jax.random.PRNGKey(3))
         assert np.abs(ref).max() > 0
 
+    def test_host_shift_band_path(self, setup):
+        """Conservative host-computed band == device-synced band output."""
+        det, segs, response, px, py, pv = setup
+        key = jax.random.PRNGKey(2)
+        synced = current_pallas.current_pallas(
+            segs, px, py, pv, response, det, key, n_steps=64, t_sig=1024,
+            mc_smear=True, s_blk=4, t_blk=256, interpret=True)
+        vmask = np.asarray(segs.valid)
+        band = current_pallas.host_shift_band(
+            {k: np.asarray(getattr(segs, k))[vmask] for k in
+             ('z_start', 'z_end', 'pixel_plane', 'long_diff',
+              't_start', 't0_start')}, det, mc_smear=True)
+        banded = current_pallas.current_pallas(
+            segs, px, py, pv, response, det, key, n_steps=64, t_sig=1024,
+            mc_smear=True, s_blk=4, t_blk=256, interpret=True,
+            shift_band=band)
+        np.testing.assert_array_equal(np.asarray(synced), np.asarray(banded))
+
     def test_charge_conservation(self, setup):
         det, segs, response, px, py, pv = setup
         out = current_pallas.current_pallas(
