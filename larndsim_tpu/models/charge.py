@@ -116,6 +116,46 @@ def charge_step(segs: Segments, det: DetectorParams, response, key, *,
     return uniq, n_unique, adc, fee_res, fractions, track_map, overflow
 
 
+@functools.partial(jax.jit,
+                   static_argnames=('n_unique_cap', 'max_tracks'))
+def _prep_stage(pixels, distances, segs: Segments, det: DetectorParams, *,
+                n_unique_cap: int, max_tracks: int):
+    """Fused post-pixelization indexing stage (one dispatch/compile)."""
+    uniq, n_unique = accumulate.unique_pixels(pixels, n_unique_cap)
+    pix_idx = accumulate.pixel_index_map(pixels, uniq)
+    track_map, slot, overflow = accumulate.track_pixel_map(
+        pix_idx, distances, n_unique_cap, max_tracks=max_tracks)
+    px, py = pixel_centers(jnp.maximum(pixels, 0), det)
+    track_starts, _ = pixelize.time_intervals(segs, det)
+    return (uniq, n_unique, pix_idx, track_map, slot, overflow, px, py,
+            track_starts)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('n_unique_cap', 'max_adc', 'max_tracks',
+                                    'n_adc_scan'))
+def _fee_stage(signals, pix_idx, slot, track_starts, thresholds, gains,
+               det: DetectorParams, key, *, n_unique_cap: int, max_adc: int,
+               max_tracks: int, n_adc_scan: int):
+    """Fused waveform-reduce + FEE + backtracking stage."""
+    pixels_signals = accumulate.sum_pixel_signals(
+        signals, pix_idx, track_starts, n_unique_cap,
+        n_ticks=det.time_ticks, time_sampling=float(det.time_sampling))
+    tick_times = jnp.linspace(0, det.time_interval[1], det.time_ticks + 1)
+    if thresholds is None:
+        thresholds = jnp.full((n_unique_cap,),
+                              det.discrimination_threshold * 1.0)
+    n_scan = det.time_ticks + det.integrate_ticks + det.busy_ticks + 4
+    fee_res = fee.get_adc_values(
+        pixels_signals, tick_times, thresholds, det, key,
+        max_adc=max_adc, n_scan=n_scan)
+    fractions = fee.current_fractions(
+        signals, pix_idx, slot, track_starts, fee_res, det,
+        max_adc=max_adc, max_tracks=max_tracks, n_adc_scan=n_adc_scan)
+    adc = fee.digitize(fee_res.integrals, det, gain=gains)
+    return fee_res, fractions, adc
+
+
 def simulate_charge_batch(segs: Segments, det_model: DetectorModel,
                           sim: SimParams, key: jax.Array, response,
                           *, pixel_thresholds=None, pixel_gains=None,
@@ -184,11 +224,10 @@ def simulate_charge_batch(segs: Segments, det_model: DetectorModel,
         max_neighboring=max_nb)
     n_unique_cap = bucket(int(np.asarray(npix).sum()), lo=32)
 
-    uniq, n_unique = accumulate.unique_pixels(pixels, n_unique_cap)
-    pix_idx = accumulate.pixel_index_map(pixels, uniq)
-    track_map, slot, overflow = accumulate.track_pixel_map(
-        pix_idx, distances, n_unique_cap,
-        max_tracks=sim.max_tracks_per_pixel)
+    uniq, n_unique, pix_idx, track_map, slot, overflow, px, py, \
+        track_starts = _prep_stage(pixels, distances, segs, det,
+                                   n_unique_cap=n_unique_cap,
+                                   max_tracks=sim.max_tracks_per_pixel)
 
     thresholds = gains = None
     if pixel_thresholds is not None:
@@ -196,7 +235,6 @@ def simulate_charge_batch(segs: Segments, det_model: DetectorModel,
     if pixel_gains is not None:
         gains = pixel_gains.lookup(jnp.maximum(uniq, 0))[:, None]
 
-    px, py = pixel_centers(jnp.maximum(pixels, 0), det)
     pix_valid = pixels >= 0
     k_cur, k_fee = jax.random.split(key)
     if backend == 'pallas':
@@ -214,41 +252,35 @@ def simulate_charge_batch(segs: Segments, det_model: DetectorModel,
             segs, px, py, pix_valid, response, det, k_cur,
             n_steps=n_steps, t_sig=t_sig, mc_smear=True)
 
-    track_starts, _ = pixelize.time_intervals(segs, det)
-    pixels_signals = accumulate.sum_pixel_signals(
-        signals, pix_idx, track_starts, n_unique_cap,
-        n_ticks=det.time_ticks, time_sampling=float(det.time_sampling))
+    # fractions are computed speculatively with a shallow ADC-slot scan;
+    # n_adc comes back with the final pull, and the rare deep-hit batch
+    # recomputes with the full depth
+    n_u = n_unique_cap  # sliced below after the single sync
+    out = _fee_stage(
+        signals, pix_idx, slot, track_starts, thresholds, gains, det, k_fee,
+        n_unique_cap=n_unique_cap, max_adc=sim.max_adc_values,
+        max_tracks=sim.max_tracks_per_pixel, n_adc_scan=4)
+    fee_res, fractions, adc = out
 
-    tick_times = jnp.linspace(0, det.time_interval[1], det.time_ticks + 1)
-    if thresholds is None:
-        thresholds = jnp.full((n_unique_cap,),
-                              det.discrimination_threshold * 1.0)
-    n_scan = det.time_ticks + det.integrate_ticks + det.busy_ticks + 4
-    fee_res = fee.get_adc_values(
-        pixels_signals, tick_times, thresholds, det, k_fee,
-        max_adc=sim.max_adc_values, n_scan=n_scan)
-
-    # bound the fraction computation by the batch's actual max hit count,
-    # quantized to {4, max_adc} so the static shape rarely changes
-    max_hits = int(np.asarray(fee_res.n_adc).max())
-    n_adc_scan = 4 if max_hits <= 4 else sim.max_adc_values
-    fractions = fee.current_fractions(
-        signals, pix_idx, slot, track_starts, fee_res, det,
-        max_adc=sim.max_adc_values, max_tracks=sim.max_tracks_per_pixel,
-        n_adc_scan=min(n_adc_scan, sim.max_adc_values))
-
-    adc = fee.digitize(fee_res.integrals, det, gain=gains)
+    n_unique_i = int(n_unique)
+    n_u = min(bucket(max(n_unique_i, 1), lo=32), n_unique_cap)
+    n_adc_host = np.asarray(fee_res.n_adc[:n_u])
+    if n_adc_host.size and n_adc_host.max() > 4:
+        fractions = fee.current_fractions(
+            signals, pix_idx, slot, track_starts, fee_res, det,
+            max_adc=sim.max_adc_values,
+            max_tracks=sim.max_tracks_per_pixel,
+            n_adc_scan=sim.max_adc_values)
 
     # pull only the occupied unique-pixel rows off device (the fractions
     # tensor alone is ~12 MB at cap size; valid rows are compacted first)
-    n_u = min(bucket(max(int(n_unique), 1), lo=32), n_unique_cap)
     return ChargeChainResult(
         unique_pix=np.asarray(uniq[:n_u]),
-        n_unique=int(n_unique),
+        n_unique=n_unique_i,
         adc=np.asarray(adc[:n_u]),
         adc_ticks=np.asarray(fee_res.ticks[:n_u]),
         integrals=np.asarray(fee_res.integrals[:n_u]),
-        n_adc=np.asarray(fee_res.n_adc[:n_u]),
+        n_adc=n_adc_host,
         current_fractions=np.asarray(fractions[:n_u]),
         track_pixel_map=np.asarray(track_map[:n_u]),
         overflow=bool(np.asarray(overflow).any()),

@@ -37,6 +37,101 @@ class LightBatchResult:
     truth_sparse: dict | None = None
 
 
+
+import functools
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('n_ticks', 'conv_ticks', 'lut_smearing'))
+def _signal_stage(segs, voxels, n_det, op_channel, time_dist, t0_avg,
+                  start_time, gains, key, light: LightParams, *,
+                  n_ticks: int, conv_ticks: int, lut_smearing: bool):
+    """Fused photon-series -> scintillation -> Poisson -> SiPM stage."""
+    inc = light_ops.sum_light_signals(
+        segs, voxels, n_det, op_channel, time_dist, t0_avg, start_time,
+        light, n_ticks=n_ticks, lut_smearing=lut_smearing)
+    scint = light_ops.calc_scintillation_effect(inc, light,
+                                                conv_ticks=conv_ticks)
+    disc = light_ops.calc_stat_fluctuations(scint, key, light)
+    return light_ops.calc_light_detector_response(disc, gains, light,
+                                                  conv_ticks=conv_ticks)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('digit_samples', 'pad_front', 'pad_back',
+                                    'add_noise', 'k_truth', 'conv_ticks'))
+def _beam_digitize_stage(response, noise_rows, key_noise, light: LightParams,
+                         segs, voxels, n_det, op_channel, t0_avg,
+                         start_time, *, digit_samples: int, pad_front: int,
+                         pad_back: int, add_noise: bool, k_truth: int,
+                         conv_ticks: int):
+    """Fused pad + noise + digitize (+ truth points) for the beam trigger
+    (fixed trigger at tick 0)."""
+    signal = jnp.pad(response, ((0, 0), (pad_front, pad_back)))
+    if add_noise:
+        noise = light_ops.gen_light_detector_noise(
+            signal.shape, noise_rows, key_noise, light)
+        signal = signal + noise
+    trig = jnp.asarray([pad_front])
+    wvfms = light_ops.digitize_signal(signal, trig, light,
+                                      digit_samples=digit_samples)
+    truth_ids = amp = itick = None
+    if k_truth > 0:
+        truth_ids, amp, itick = light_ops.light_truth_points(
+            segs, voxels, n_det, op_channel, t0_avg, start_time, light,
+            k_truth=k_truth)
+    return wvfms, truth_ids, amp, itick
+
+
+_KERNEL_CACHE: dict = {}
+
+
+def _combined_kernel_host(light: LightParams, conv_ticks: int) -> np.ndarray:
+    """Combined scintillation*SiPM kernel on host (cached per config)."""
+    key = (conv_ticks, light.sipm_response_model,
+           float(light.tau_s), float(light.tau_t),
+           float(light.singlet_fraction), float(light.light_response_time),
+           float(light.light_oscillation_period), light.light_tick_size,
+           light.impulse_tick_size, int(light.impulse_model.shape[0]))
+    hit = _KERNEL_CACHE.get(key)
+    if hit is not None:
+        return hit
+    scint_k = jnp.pad(light_ops.scintillation_kernel(light, conv_ticks),
+                      (0, conv_ticks))
+    combined = np.asarray(light_ops.causal_convolve(
+        scint_k[None, :], light_ops.sipm_kernel(light, conv_ticks))[0])
+    if len(_KERNEL_CACHE) > 16:
+        _KERNEL_CACHE.clear()
+    _KERNEL_CACHE[key] = combined
+    return combined
+
+
+def _host_truth_sparse(truth_ids, amp, itick, kernel, trigger_idx,
+                       light: LightParams, digit_samples: int,
+                       op_channel, threshold: float) -> dict:
+    """Zero-suppressed truth records computed on host from the (C, K)
+    contributor points — no dense (ntrig, C, samples, K) tensor anywhere."""
+    ids = np.asarray(truth_ids)
+    amp = np.asarray(amp)
+    itick = np.asarray(itick)
+    f = light.light_digit_sample_spacing / light.light_tick_size
+    pre = int(np.ceil(light.light_trig_window[0] / light.light_tick_size))
+    sample_tick = (np.asarray(trigger_idx)[:, None] - pre
+                   + np.arange(digit_samples)[None, :] * f)     # (T, S)
+    x = sample_tick[:, None, None, :] - itick[None, :, :, None]  # (T,C,K,S)
+    vals = amp[None, :, :, None] * np.interp(
+        x, np.arange(kernel.shape[0]), kernel, left=0.0, right=0.0)
+    keep = (ids[None, :, :, None] >= 0) & (np.abs(vals) > threshold)
+    trig, chan, k, tick = np.nonzero(keep)
+    return dict(
+        trig=trig.astype(np.int32),
+        op_channel=np.asarray(op_channel)[chan].astype(np.int32),
+        tick=tick.astype(np.int32),
+        segment_id=ids[chan, k].astype(np.int64),
+        pe_current=vals[trig, chan, k, tick].astype(np.float64),
+    )
+
+
 def simulate_light_batch(segs: Segments, det_model: DetectorModel,
                          light: LightParams, sim: SimParams,
                          n_photons_det, voxels, lut: light_ops.LightLUT,
@@ -70,17 +165,14 @@ def simulate_light_batch(segs: Segments, det_model: DetectorModel,
 
     k_poisson, k_noise = jax.random.split(jax.random.fold_in(key, i_subbatch))
 
-    inc = light_ops.sum_light_signals(
-        segs, voxels, jnp.asarray(n_photons_det),
-        jnp.asarray(op_channel), lut.time_dist, lut.t0_avg,
-        jnp.float32(start_time), light, n_ticks=n_ticks,
+    op_channel_dev = jnp.asarray(op_channel)
+    gains = light.light_gain[op_channel_dev]
+    response = _signal_stage(
+        segs, jnp.asarray(voxels), jnp.asarray(n_photons_det),
+        op_channel_dev, lut.time_dist, lut.t0_avg,
+        jnp.float32(start_time), gains, k_poisson, light,
+        n_ticks=n_ticks, conv_ticks=conv_ticks,
         lut_smearing=light.enable_lut_smearing)
-    scint = light_ops.calc_scintillation_effect(inc, light,
-                                                conv_ticks=conv_ticks)
-    disc = light_ops.calc_stat_fluctuations(scint, k_poisson, light)
-    gains = light.light_gain[jnp.asarray(op_channel)]
-    response = light_ops.calc_light_detector_response(
-        disc, gains, light, conv_ticks=conv_ticks)
 
     # --- triggers ---
     if light.light_trig_mode == 1:
@@ -119,49 +211,54 @@ def simulate_light_batch(segs: Segments, det_model: DetectorModel,
     pad_front = max(pre - int(trigger_idx.min()), 0)
     pad_back = max(post + int(trigger_idx.max()) + pad_front
                    - (n_ticks + pad_front), 0)
-    signal = jnp.pad(response, ((0, 0), (pad_front, pad_back)))
-    padded_trigger_idx = jnp.asarray(trigger_idx + pad_front)
 
-    if add_noise and light_noise is not None:
-        noise = light_ops.gen_light_detector_noise(
-            signal.shape, jnp.asarray(light_noise)[jnp.asarray(op_channel)
-                                                   % len(light_noise)],
-            k_noise, light)
-        signal = signal + noise
+    noise_rows = (jnp.asarray(light_noise)[op_channel_dev % len(light_noise)]
+                  if (add_noise and light_noise is not None) else None)
+    do_truth = sim.max_mc_truth_ids > 0 and not light.enable_lut_smearing
+    beam_single = (light.light_trig_mode == 1
+                   and trigger_idx.shape[0] == 1 and trigger_idx[0] == 0)
 
-    wvfms = light_ops.digitize_signal(signal, padded_trigger_idx, light,
-                                      digit_samples=digit_samples)
-
-    # --- MC truth backtracking (linear chain: no Poisson/gain/noise) ---
-    truth_ids_dev = tw_dev = None
-    if sim.max_mc_truth_ids > 0:
-        # the truth chain is linear with no step between the convolutions:
-        # combine scintillation and SiPM kernels into one response
-        scint_k = jnp.pad(light_ops.scintillation_kernel(light, conv_ticks),
-                          (0, conv_ticks))  # keep the full combined support
-        combined = light_ops.causal_convolve(
-            scint_k[None, :], light_ops.sipm_kernel(light, conv_ticks))[0]
-        if not light.enable_lut_smearing:
-            # delta contributors: closed-form kernel interpolation, no
-            # (C, K, n_ticks) intermediate and no FFT over C*K rows
+    truth_ids_dev = tw_dev = amp = itick = None
+    if beam_single:
+        # fused single-dispatch path: pad + noise + digitize + truth points
+        wvfms, truth_ids_dev, amp, itick = _beam_digitize_stage(
+            response, noise_rows, k_noise, light, segs,
+            jnp.asarray(voxels), jnp.asarray(n_photons_det),
+            op_channel_dev, lut.t0_avg, jnp.float32(start_time),
+            digit_samples=digit_samples, pad_front=pad_front,
+            pad_back=pad_back, add_noise=noise_rows is not None,
+            k_truth=sim.max_mc_truth_ids if do_truth else 0,
+            conv_ticks=conv_ticks)
+    else:
+        signal = jnp.pad(response, ((0, 0), (pad_front, pad_back)))
+        padded_trigger_idx = jnp.asarray(trigger_idx + pad_front)
+        if noise_rows is not None:
+            noise = light_ops.gen_light_detector_noise(
+                signal.shape, noise_rows, k_noise, light)
+            signal = signal + noise
+        wvfms = light_ops.digitize_signal(signal, padded_trigger_idx, light,
+                                          digit_samples=digit_samples)
+        if do_truth:
             truth_ids_dev, amp, itick = light_ops.light_truth_points(
                 segs, jnp.asarray(voxels), jnp.asarray(n_photons_det),
-                jnp.asarray(op_channel), lut.t0_avg,
-                jnp.float32(start_time), light,
+                op_channel_dev, lut.t0_avg, jnp.float32(start_time), light,
                 k_truth=sim.max_mc_truth_ids)
-            tw_dev = light_ops.light_truth_sample(
-                amp, itick, combined, jnp.asarray(trigger_idx), light,
-                digit_samples=digit_samples)
-        else:
+        elif sim.max_mc_truth_ids > 0:
+            # LUT-smearing truth: dense series + blocked FFT path
+            scint_k = jnp.pad(
+                light_ops.scintillation_kernel(light, conv_ticks),
+                (0, conv_ticks))
+            combined_dev = light_ops.causal_convolve(
+                scint_k[None, :], light_ops.sipm_kernel(light, conv_ticks))[0]
             truth_ids_dev, truth_series = light_ops.light_truth_series(
                 segs, jnp.asarray(voxels), jnp.asarray(n_photons_det),
-                jnp.asarray(op_channel), lut.time_dist, lut.t0_avg,
+                op_channel_dev, lut.time_dist, lut.t0_avg,
                 jnp.float32(start_time), light, n_ticks=n_ticks,
-                k_truth=sim.max_mc_truth_ids,
-                lut_smearing=True)
+                k_truth=sim.max_mc_truth_ids, lut_smearing=True)
             K = truth_series.shape[1]
             flat = truth_series.reshape(C * K, n_ticks)
-            flat = light_ops.causal_convolve(flat, combined, row_chunk=1024)
+            flat = light_ops.causal_convolve(flat, combined_dev,
+                                             row_chunk=1024)
             flat = jnp.pad(flat, ((0, 0), (pad_front, pad_back)))
             tw = light_ops.digitize_signal(flat, padded_trigger_idx, light,
                                            digit_samples=digit_samples,
@@ -169,16 +266,20 @@ def simulate_light_batch(segs: Segments, det_model: DetectorModel,
             tw_dev = tw.reshape(tw.shape[0], C, K, digit_samples) \
                 .transpose(0, 1, 3, 2)
 
+    # --- truth zero-suppression ---
     truth_sparse = None
-    if tw_dev is not None:
-        # zero-suppress on device and pull only the surviving entries
-        # (the dense (ntrig, C, samples, K) tensor stays on-chip)
+    if amp is not None:
+        # host path: sample the combined kernel at the (C, K) contributor
+        # points in numpy; only those small arrays ever leave the device
+        kernel = _combined_kernel_host(light, conv_ticks)
+        truth_sparse = _host_truth_sparse(
+            truth_ids_dev, amp, itick, kernel, trigger_idx, light,
+            digit_samples, op_channel, sim.mc_truth_threshold)
+    elif tw_dev is not None:
         keep = ((truth_ids_dev[None, :, None, :] >= 0)
                 & (jnp.abs(tw_dev) > sim.mc_truth_threshold))
         n_keep = int(keep.sum())
         if n_keep:
-            # floor of 16384 keeps the static shape constant across
-            # typical batches (one compile); tiny pull either way
             kcap = max(16384, 1 << (n_keep - 1).bit_length())
             flat_idx = jnp.nonzero(keep.reshape(-1), size=kcap,
                                    fill_value=-1)[0]
@@ -190,19 +291,18 @@ def simulate_light_batch(segs: Segments, det_model: DetectorModel,
             ntrig_, C_, S_, K_ = tw_dev.shape
             trig, rem = np.divmod(flat_idx, C_ * S_ * K_)
             chan, rem = np.divmod(rem, S_ * K_)
-            tick, k = np.divmod(rem, K_)
+            tick_i, k = np.divmod(rem, K_)
             ids_host = np.asarray(truth_ids_dev)
             truth_sparse = dict(
                 trig=trig.astype(np.int32),
                 op_channel=np.asarray(op_channel)[chan].astype(np.int32),
-                tick=tick.astype(np.int32),
+                tick=tick_i.astype(np.int32),
                 segment_id=ids_host[chan, k].astype(np.int64),
                 pe_current=vals.astype(np.float64),
             )
         else:
             truth_sparse = dict(
-                trig=np.empty(0, np.int32),
-                op_channel=np.empty(0, np.int32),
+                trig=np.empty(0, np.int32), op_channel=np.empty(0, np.int32),
                 tick=np.empty(0, np.int32),
                 segment_id=np.empty(0, np.int64),
                 pe_current=np.empty(0, np.float64),
