@@ -370,8 +370,9 @@ def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
             shift_lo = shift_hi = 0
     # coarse quantization: the band is a *static* kernel parameter, so a
     # fine granularity would recompile per batch (compiles through the
-    # remote-TPU tunnel cost tens of seconds)
-    K0 = _round_up(shift_hi, 512)
+    # remote-TPU tunnel cost tens of seconds).  K0 granularity stays
+    # moderate: its slack adds directly to the slab span.
+    K0 = _round_up(shift_hi, 128)
     span = _round_up(max(K0 - shift_lo, 1), 256)
     shift = jnp.clip(shift, K0 - span, K0)
 
