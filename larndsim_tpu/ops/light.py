@@ -465,39 +465,46 @@ def gen_light_detector_noise(shape, light_det_noise, key,
     return noise[:, :shape[1]]
 
 
-def get_triggers(signal: np.ndarray, group_threshold: np.ndarray,
+@functools.partial(jax.jit, static_argnames=('per_trig', 'sample_factor'))
+def group_above_threshold(signal, group_threshold, *, per_trig: int,
+                          sample_factor: int):
+    """Per-trigger-group threshold comparison at the ADC sample rate
+    (light_sim.py:394-409), reduced on device: only the (n_grp, nticks)
+    boolean leaves the chip.
+
+    NOTE: the comparison is `<` — the measured thresholds are negative-
+    going ADC pulses (light_sim.py:407).
+    """
+    C, T = signal.shape
+    n_grp = C // per_trig
+    s = signal.reshape(n_grp, per_trig, T).sum(axis=1)        # (n_grp, T)
+    padding = (-T) % sample_factor
+    if padding:
+        s = jnp.pad(s, ((0, 0), (0, padding)))
+    blocks = s.reshape(n_grp, -1, sample_factor).mean(axis=-1)
+    s_ds = jnp.repeat(blocks, sample_factor, axis=-1)[:, :T]
+    return s_ds < group_threshold[:, None]
+
+
+def get_triggers(signal, group_threshold: np.ndarray,
                  op_channel_idx: np.ndarray, i_subbatch: int,
                  light: LightParams, module_to_tpcs, tpc_to_module,
                  tpc_to_op_channel: np.ndarray):
-    """Trigger scan (light_sim.get_triggers, :380-477).  Host-side: the
-    dead-time while-loop is inherently sequential and tiny.
+    """Trigger scan (light_sim.get_triggers, :380-477).  The threshold
+    reduction runs on device; the dead-time while-loop is inherently
+    sequential and tiny, so it runs on the host booleans.
 
     Returns (trigger_idx, trigger_op_channel_idx, trigger_type) numpy arrays.
     """
-    signal = np.asarray(signal)
     shape = signal.shape
     n_grp = shape[0] // light.op_channel_per_trig
-    signal_sum = signal.reshape(n_grp, light.op_channel_per_trig,
-                                shape[-1]).sum(axis=1, keepdims=True)
     sample_factor = round(light.light_digit_sample_spacing
                           / light.light_tick_size)
-    padding = sample_factor - shape[-1] % sample_factor
-    if padding > 0:
-        signal_sum = np.concatenate(
-            [signal_sum, np.zeros((n_grp, 1, padding))], axis=-1)
-    signal_sum = signal_sum.reshape(
-        -1, 1, signal_sum.shape[-1] // sample_factor, sample_factor
-    ).mean(axis=-1, keepdims=True)
-    signal_sum = np.broadcast_to(
-        signal_sum, signal_sum.shape[:3] + (sample_factor,)).reshape(
-        -1, 1, shape[-1] + padding)[..., :(-padding if padding > 0
-                                           else shape[-1])]
-
-    # NOTE: the comparison is `<` — the measured thresholds are negative-
-    # going ADC pulses (light_sim.py:407)
-    above = np.broadcast_to(
-        signal_sum < group_threshold[:, None, None],
-        (n_grp, light.op_channel_per_trig, shape[-1])).reshape(signal.shape)
+    grp_above = np.asarray(group_above_threshold(
+        jnp.asarray(signal), jnp.asarray(group_threshold, jnp.float32),
+        per_trig=light.op_channel_per_trig, sample_factor=sample_factor))
+    # expand back to per-channel rows for the module masks below
+    above = np.repeat(grp_above, light.op_channel_per_trig, axis=0)
 
     digit_ticks = int(np.ceil((light.light_trig_window[1]
                                + light.light_trig_window[0])
