@@ -40,7 +40,9 @@ def main():
 
     n_warm_ev = 1
     n_bench_ev = 4
-    per_spill_kwargs = dict(tracks_per_event=4, segments_per_track=25,
+    # ~1000 segments/spill: representative beam-spill occupancy (the
+    # overheads amortize; tiny spills only measure dispatch latency)
+    per_spill_kwargs = dict(tracks_per_event=24, segments_per_track=42,
                             dEdx=8.0, segment_length=0.4)
     write_input(warm_in, det_model.tpc_borders, n_events=n_warm_ev,
                 seed=1, **per_spill_kwargs)

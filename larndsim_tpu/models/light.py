@@ -165,8 +165,16 @@ def simulate_light_batch(segs: Segments, det_model: DetectorModel,
 
     k_poisson, k_noise = jax.random.split(jax.random.fold_in(key, i_subbatch))
 
-    op_channel_dev = jnp.asarray(op_channel)
-    gains = light.light_gain[op_channel_dev]
+    # per-module device constants, uploaded once and cached on the LUT
+    cache = getattr(lut, '_dev_cache', None)
+    if cache is None or cache[0] is not op_channel:
+        op_channel_dev = jnp.asarray(op_channel)
+        gains = light.light_gain[op_channel_dev]
+        noise_dev = (jnp.asarray(light_noise)[op_channel_dev
+                                              % len(light_noise)]
+                     if light_noise is not None else None)
+        lut._dev_cache = (op_channel, op_channel_dev, gains, noise_dev)
+    _, op_channel_dev, gains, noise_cached = lut._dev_cache
     response = _signal_stage(
         segs, jnp.asarray(voxels), jnp.asarray(n_photons_det),
         op_channel_dev, lut.time_dist, lut.t0_avg,
@@ -212,8 +220,7 @@ def simulate_light_batch(segs: Segments, det_model: DetectorModel,
     pad_back = max(post + int(trigger_idx.max()) + pad_front
                    - (n_ticks + pad_front), 0)
 
-    noise_rows = (jnp.asarray(light_noise)[op_channel_dev % len(light_noise)]
-                  if (add_noise and light_noise is not None) else None)
+    noise_rows = noise_cached if add_noise else None
     do_truth = sim.max_mc_truth_ids > 0 and not light.enable_lut_smearing
     beam_single = (light.light_trig_mode == 1
                    and trigger_idx.shape[0] == 1 and trigger_idx[0] == 0)
