@@ -80,6 +80,24 @@ def signal_start_times(segs: Segments, det: DetectorParams) -> jnp.ndarray:
                      / dt) * dt
 
 
+def signal_window_start(segs: Segments, det: DetectorParams) -> jnp.ndarray:
+    """Signal window start clamped at t=0.
+
+    Ticks before the event start contribute nothing (detsim.py:299:
+    `time_tick < 0: return`), so starting the *local* window at
+    max(start, 0) produces identical output with up to ~half the tick axis
+    (the reference's time_padding commonly exceeds the drift time).  The
+    global placement compensates via `window_clamp_shift`.
+    """
+    return jnp.maximum(signal_start_times(segs, det), 0.0)
+
+
+def window_clamp_shift(segs: Segments, det: DetectorParams) -> jnp.ndarray:
+    """Time [us] by which the clamped local window was advanced."""
+    sst = signal_start_times(segs, det)
+    return jnp.maximum(sst, 0.0) - sst
+
+
 @functools.partial(
     jax.jit, static_argnames=('n_steps', 't_sig', 'mc_smear'))
 def current(segs: Segments, pix_x: jnp.ndarray, pix_y: jnp.ndarray,
@@ -132,7 +150,7 @@ def current(segs: Segments, pix_x: jnp.ndarray, pix_y: jnp.ndarray,
 
     plane = jnp.clip(segs.pixel_plane, 0, det.n_tpcs - 1)
     z_anode = det.tpc_borders[plane, 2, 0]
-    t_start = signal_start_times(segs, det)                     # (S,)
+    t_start = signal_window_start(segs, det)                    # (S,)
     ticks = t_start[:, None] + jnp.arange(t_sig) * dt           # (S, T)
 
     charge = jnp.where(

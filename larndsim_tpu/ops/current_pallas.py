@@ -39,7 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..params.detector import DetectorParams
 from ..segments import Segments
-from .current import signal_start_times
+from .current import signal_start_times, signal_window_start
 
 
 def _round_up(x: int, m: int) -> int:
@@ -86,7 +86,7 @@ def prepare_points(segs: Segments, det: DetectorParams, key, *,
 
     plane = jnp.clip(segs.pixel_plane, 0, det.n_tpcs - 1)
     z_anode = det.tpc_borders[plane, 2, 0]
-    t_start = signal_start_times(segs, det)
+    t_start = signal_window_start(segs, det)
 
     steps = jnp.arange(n_steps)
     arc = (steps[None, :] + 0.5) * step_len[:, None]           # (S, n)
@@ -304,6 +304,7 @@ def host_shift_band(segs_np: dict, det: DetectorParams,
     d_hi = np.maximum(np.abs(z_lo - z_anode), np.abs(z_hi - z_anode))
     t_start = np.round((segs_np['t_start'] - segs_np['t0_start']
                         - float(det.time_padding)) / dt) * dt
+    t_start = np.maximum(t_start, 0.0)  # matches signal_window_start
     w = float(det.time_window)
     lo = np.floor((d_lo / v - w - t_start) / resp_dt).min() - 2
     hi = np.ceil((d_hi / v - w - t_start) / resp_dt).max() + 2
@@ -411,7 +412,7 @@ def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
     # with the negative-time-tick mask (detsim.py:299: ticks before the
     # event window start contribute nothing)
     segs_S = jax.tree.map(lambda x: x[:S], segs)
-    t_start = signal_start_times(segs_S, det)
+    t_start = signal_window_start(segs_S, det)
     ticks = t_start[:, None] + jnp.arange(t_sig) * det.time_sampling
-    mask = (ticks >= 0).astype(jnp.float32)
+    mask = (ticks >= 0).astype(jnp.float32)  # always true after the clamp
     return out * (charge[:S, None] * mask)[:, None, :]
