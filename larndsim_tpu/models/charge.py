@@ -93,8 +93,6 @@ def charge_step(segs: Segments, det: DetectorParams, response, key, *,
         n_steps=n_steps, t_sig=t_sig, mc_smear=True)
 
     track_starts, _ = pixelize.time_intervals(segs, det)
-    # local window clamped at t=0 -> advance global placement to match
-    track_starts = track_starts + current.window_clamp_shift(segs, det)
     pixels_signals = accumulate.sum_pixel_signals(
         signals, pix_idx, track_starts, n_unique_cap,
         n_ticks=det.time_ticks, time_sampling=float(det.time_sampling))
@@ -129,9 +127,6 @@ def _prep_stage(pixels, distances, segs: Segments, det: DetectorParams, *,
         pix_idx, distances, n_unique_cap, max_tracks=max_tracks)
     px, py = pixel_centers(jnp.maximum(pixels, 0), det)
     track_starts, _ = pixelize.time_intervals(segs, det)
-    # the local signal window is clamped at t=0 (ops.current.
-    # signal_window_start): advance the global placement to match
-    track_starts = track_starts + current.window_clamp_shift(segs, det)
     return (uniq, n_unique, pix_idx, track_map, slot, overflow, px, py,
             track_starts)
 
@@ -206,21 +201,15 @@ def simulate_charge_batch(segs: Segments, det_model: DetectorModel,
     max_nb = bucket((2 * max_radius + 1) * max_active
                     + (1 + 2 * max_radius) * max_radius * 2, lo=16)
 
-    # signal window length (time_intervals, detsim.py:18-40); the local
-    # window starts at max(start, 0) (signal_window_start) since earlier
-    # ticks are identically zero -- typically halves the tick axis.
+    # signal window length (time_intervals, detsim.py:18-40)
     dt = det.time_sampling
     t_end_r = np.round((seg_np['t_end'] + 1) / dt) * dt
-    t_start_r = np.round((seg_np['t_start'] - seg_np['t0_start']
-                          - float(det.time_padding)) / dt) * dt
-    t_start_r = np.maximum(t_start_r, 0.0)
+    t_start_r = np.round((seg_np['t_start'] - float(det.time_padding)) / dt) * dt
     # NOTE: not capped at det.time_ticks — padding + drift can exceed the
     # event interval (module0: 190 us padding); the global-waveform scatter
     # crops out-of-window ticks exactly as the reference placement does
     # (detsim.py:516-517).
-    window = (np.round((seg_np['t_end'] - seg_np['t0_start'] + 1) / dt) * dt
-              - t_start_r)
-    t_sig = bucket(int(np.ceil(window.max() / dt)), lo=64)
+    t_sig = bucket(int(np.ceil((t_end_r - t_start_r).max() / dt)), lo=64)
 
     # Sample-count cap: the current op clamps each segment's dynamic nstep
     # to this and divides the charge by the clamped value, so any cap

@@ -150,7 +150,7 @@ def current(segs: Segments, pix_x: jnp.ndarray, pix_y: jnp.ndarray,
 
     plane = jnp.clip(segs.pixel_plane, 0, det.n_tpcs - 1)
     z_anode = det.tpc_borders[plane, 2, 0]
-    t_start = signal_window_start(segs, det)                    # (S,)
+    t_start = signal_start_times(segs, det)                     # (S,)
     ticks = t_start[:, None] + jnp.arange(t_sig) * dt           # (S, T)
 
     charge = jnp.where(

@@ -86,7 +86,7 @@ def prepare_points(segs: Segments, det: DetectorParams, key, *,
 
     plane = jnp.clip(segs.pixel_plane, 0, det.n_tpcs - 1)
     z_anode = det.tpc_borders[plane, 2, 0]
-    t_start = signal_window_start(segs, det)
+    t_start = signal_start_times(segs, det)
 
     steps = jnp.arange(n_steps)
     arc = (steps[None, :] + 0.5) * step_len[:, None]           # (S, n)
@@ -119,8 +119,17 @@ def prepare_points(segs: Segments, det: DetectorParams, key, *,
     charge = jnp.where(seg_ok,
                        segs.n_electrons / nstep.astype(jnp.float32), 0.0)
     nstep_out = jnp.where(seg_ok, nstep, 0)
+    # per-segment active local-tick window: ticks below ceil(-t_start/dt)
+    # are pre-event (zero; detsim.py:299) and ticks at/after
+    # max(shift) + response length read zero padding -- the kernel skips
+    # whole tick blocks outside [lo, hi)
+    dt = det.time_sampling
+    tick_lo = jnp.maximum(jnp.ceil(-t_start / dt), 0.0).astype(jnp.int32)
+    tick_hi = jnp.max(jnp.where(ok, shift, 0), axis=1)
+    tick_lo = jnp.where(seg_ok, tick_lo, 0)
     return (px.astype(jnp.float32), py.astype(jnp.float32),
-            shift, phase, charge.astype(jnp.float32), nstep_out)
+            shift, phase, charge.astype(jnp.float32), nstep_out,
+            tick_lo, tick_hi)
 
 
 def phase_split_response(response: np.ndarray, ratio: int) -> np.ndarray:
@@ -138,8 +147,9 @@ def phase_split_response(response: np.ndarray, ratio: int) -> np.ndarray:
 
 
 def _current_kernel(xs_ref, ys_ref, shift_ref, phase_ref, px_ref, py_ref,
-                    nstep_ref, npix_ref, resp_hbm, out_ref, slab, sem, *,
-                    t_blk, slab_w, k0, s_blk, bin_size, nx_r, ny_r, ratio):
+                    nstep_ref, npix_ref, lo_ref, hi_ref, resp_hbm, out_ref,
+                    slab, sem, *, t_blk, slab_w, k0, s_blk, bin_size, nx_r,
+                    ny_r, ratio, ntp):
     """One (segment-block, tick-block) grid instance.
 
     All per-point/per-pixel metadata lives in SMEM and the response-row
@@ -166,7 +176,11 @@ def _current_kernel(xs_ref, ys_ref, shift_ref, phase_ref, px_ref, py_ref,
 
     def seg_body(s, _):
         ns = nstep_ref[s, 0]
-        n_pix = npix_ref[s, 0]
+        # skip tick blocks entirely outside this segment's active window
+        blk_lo = jt * t_blk
+        in_window = ((hi_ref[s, 0] + ntp > blk_lo)
+                     & (lo_ref[s, 0] < blk_lo + t_blk))
+        n_pix = jnp.where(in_window, npix_ref[s, 0], 0)
 
         def pix_body(p, _):
             pxv = px_ref[s, p]
@@ -242,12 +256,14 @@ def _padded_response(response, ratio: int, K0: int, total_cols: int):
 
 @functools.lru_cache(maxsize=64)
 def _kernel_fn(s_pad, P, t_sig_p, n_steps_p, s_blk, t_blk,
-               slab_w, k0, bin_size, nx_r, ny_r, ratio, n_rows, interpret):
+               slab_w, k0, bin_size, nx_r, ny_r, ratio, n_rows, ntp,
+               interpret):
     """Jitted pallas_call, cached on the static configuration."""
     grid = (s_pad // s_blk, t_sig_p // t_blk)
     kernel = functools.partial(
         _current_kernel, t_blk=t_blk, slab_w=slab_w, k0=k0,
-        s_blk=s_blk, bin_size=bin_size, nx_r=nx_r, ny_r=ny_r, ratio=ratio)
+        s_blk=s_blk, bin_size=bin_size, nx_r=nx_r, ny_r=ny_r, ratio=ratio,
+        ntp=ntp)
 
     smem2 = lambda: pl.BlockSpec((s_blk, n_steps_p), lambda i, j: (i, 0),
                                  memory_space=pltpu.SMEM)
@@ -267,6 +283,8 @@ def _kernel_fn(s_pad, P, t_sig_p, n_steps_p, s_blk, t_blk,
                          memory_space=pltpu.SMEM),  # pix_y
             smem1(),  # nstep
             smem1(),  # npix
+            smem1(),  # tick_lo
+            smem1(),  # tick_hi
             pl.BlockSpec(memory_space=pl.ANY),  # padded response (HBM)
         ],
         out_specs=pl.BlockSpec((s_blk, P, t_blk), lambda i, j: (i, 0, j),
@@ -304,7 +322,6 @@ def host_shift_band(segs_np: dict, det: DetectorParams,
     d_hi = np.maximum(np.abs(z_lo - z_anode), np.abs(z_hi - z_anode))
     t_start = np.round((segs_np['t_start'] - segs_np['t0_start']
                         - float(det.time_padding)) / dt) * dt
-    t_start = np.maximum(t_start, 0.0)  # matches signal_window_start
     w = float(det.time_window)
     lo = np.floor((d_lo / v - w - t_start) / resp_dt).min() - 2
     hi = np.ceil((d_hi / v - w - t_start) / resp_dt).max() + 2
@@ -346,7 +363,7 @@ def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
         pix_valid = jnp.concatenate(
             [pix_valid, jnp.zeros((s_pad - S, P), bool)])
 
-    xs, ys, shift, phase, charge, nstep = prepare_points(
+    xs, ys, shift, phase, charge, nstep, tick_lo, tick_hi = prepare_points(
         segs, det, key, n_steps=n_steps_p, mc_smear=mc_smear, ratio=ratio,
         cap=n_steps)
     # fold pixel validity into the centers: FAR fails every distance check
@@ -356,6 +373,8 @@ def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
     # get_pixels, so a per-segment count suffices
     npix = pix_valid.sum(axis=1).astype(jnp.int32)[:, None]
     nstep_c = nstep.astype(jnp.int32)[:, None]
+    tick_lo_c = tick_lo[:, None]
+    tick_hi_c = tick_hi[:, None]
 
     # shift band (bounds the slab width), bucketed so the padded response
     # + compiled kernel are reused across batches of the same module
@@ -402,17 +421,19 @@ def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
     total_cols = _round_up((t_sig_p - t_blk) + slab_w, 128)
     padded_dev = _padded_response(response, ratio, K0, total_cols)
 
+    ntp = -(-nt_r // ratio)
     fn = _kernel_fn(s_pad, P, t_sig_p, n_steps_p, s_blk, t_blk,
                     slab_w, K0, float(det.response_bin_size),
-                    resp_np.shape[0], resp_np.shape[1], ratio, n_rows,
+                    resp_np.shape[0], resp_np.shape[1], ratio, n_rows, ntp,
                     interpret)
-    out = fn(xs, ys, shift, phase, pxc, pyc, nstep_c, npix, padded_dev)
+    out = fn(xs, ys, shift, phase, pxc, pyc, nstep_c, npix, tick_lo_c,
+             tick_hi_c, padded_dev)
     out = out[:S, :, :t_sig]
     # charge is constant per segment: fold it in outside the kernel, along
     # with the negative-time-tick mask (detsim.py:299: ticks before the
     # event window start contribute nothing)
     segs_S = jax.tree.map(lambda x: x[:S], segs)
-    t_start = signal_window_start(segs_S, det)
+    t_start = signal_start_times(segs_S, det)
     ticks = t_start[:, None] + jnp.arange(t_sig) * det.time_sampling
-    mask = (ticks >= 0).astype(jnp.float32)  # always true after the clamp
+    mask = (ticks >= 0).astype(jnp.float32)
     return out * (charge[:S, None] * mask)[:, None, :]

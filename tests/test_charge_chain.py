@@ -128,8 +128,6 @@ class TestChargeConservation:
         uniq, _ = accumulate.unique_pixels(pixels, n_unique_cap)
         pix_idx = accumulate.pixel_index_map(pixels, uniq)
         track_starts, _ = pixelize.time_intervals(segs, det)
-        # local windows are clamped at t=0; shift the global placement
-        track_starts = track_starts + current.window_clamp_shift(segs, det)
         waveforms = accumulate.sum_pixel_signals(
             signals, pix_idx, track_starts, n_unique_cap,
             n_ticks=det.time_ticks, time_sampling=dt)
