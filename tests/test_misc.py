@@ -89,7 +89,7 @@ class TestRngStatistics:
         segs = segs.replace(long_diff=jnp.full(4, 0.05),
                             tran_diff=jnp.full(4, 0.02))
 
-        xs, ys, shift, phase, charge, nstep = prepare_points(
+        xs, ys, shift, phase, charge, nstep, _, _ = prepare_points(
             segs, det, jax.random.PRNGKey(0), n_steps=1024, mc_smear=True,
             ratio=1)
         xs0, ys0, *_ = prepare_points(
