@@ -28,6 +28,7 @@ from ..segments import Segments
 from ..ops import accumulate, current, fee, pixelize
 from ..ops.drift import drift
 from ..ops.quench import quench
+from ..utils import trace
 
 
 def bucket(n: int, lo: int = 16) -> int:
@@ -219,15 +220,18 @@ def simulate_charge_batch(segs: Segments, det_model: DetectorModel,
                      * sim.mc_sample_multiplier, lo=8)
 
     # measure the unique-pixel count to size the unique axis
-    pixels, distances, npix = pixelize.get_pixels(
+    with trace.phase('charge/get_pixels'):
+      pixels, distances, npix = pixelize.get_pixels(
         segs, det, max_active=max_active, radius=max_radius,
         max_neighboring=max_nb)
-    n_unique_cap = bucket(int(np.asarray(npix).sum()), lo=32)
+    with trace.phase('charge/npix_sync'):
+      n_unique_cap = bucket(int(np.asarray(npix).sum()), lo=32)
 
-    uniq, n_unique, pix_idx, track_map, slot, overflow, px, py, \
-        track_starts = _prep_stage(pixels, distances, segs, det,
-                                   n_unique_cap=n_unique_cap,
-                                   max_tracks=sim.max_tracks_per_pixel)
+    with trace.phase('charge/prep'):
+      uniq, n_unique, pix_idx, track_map, slot, overflow, px, py, \
+          track_starts = _prep_stage(pixels, distances, segs, det,
+                                     n_unique_cap=n_unique_cap,
+                                     max_tracks=sim.max_tracks_per_pixel)
 
     thresholds = gains = None
     if pixel_thresholds is not None:
@@ -244,9 +248,11 @@ def simulate_charge_batch(segs: Segments, det_model: DetectorModel,
             {k: np.asarray(getattr(segs, k))[vmask] for k in
              ('z_start', 'z_end', 'pixel_plane', 'long_diff',
               't_start', 't0_start')}, det, mc_smear=True)
-        signals = current_pallas(
-            segs, px, py, pix_valid, response, det, k_cur,
-            n_steps=n_steps, t_sig=t_sig, mc_smear=True, shift_band=band)
+        with trace.phase('charge/current_pallas'):
+            signals = current_pallas(
+                segs, px, py, pix_valid, response, det, k_cur,
+                n_steps=n_steps, t_sig=t_sig, mc_smear=True,
+                shift_band=band)
     else:
         signals = current.current(
             segs, px, py, pix_valid, response, det, k_cur,
@@ -256,11 +262,12 @@ def simulate_charge_batch(segs: Segments, det_model: DetectorModel,
     # n_adc comes back with the final pull, and the rare deep-hit batch
     # recomputes with the full depth
     n_u = n_unique_cap  # sliced below after the single sync
-    out = _fee_stage(
-        signals, pix_idx, slot, track_starts, thresholds, gains, det, k_fee,
-        n_unique_cap=n_unique_cap, max_adc=sim.max_adc_values,
-        max_tracks=sim.max_tracks_per_pixel, n_adc_scan=4)
-    fee_res, fractions, adc = out
+    with trace.phase('charge/fee_stage'):
+      out = _fee_stage(
+          signals, pix_idx, slot, track_starts, thresholds, gains, det,
+          k_fee, n_unique_cap=n_unique_cap, max_adc=sim.max_adc_values,
+          max_tracks=sim.max_tracks_per_pixel, n_adc_scan=4)
+      fee_res, fractions, adc = out
 
     n_unique_i = int(n_unique)
     n_u = min(bucket(max(n_unique_i, 1), lo=32), n_unique_cap)
@@ -274,7 +281,8 @@ def simulate_charge_batch(segs: Segments, det_model: DetectorModel,
 
     # pull only the occupied unique-pixel rows off device (the fractions
     # tensor alone is ~12 MB at cap size; valid rows are compacted first)
-    return ChargeChainResult(
+    with trace.phase('charge/pull'):
+     return ChargeChainResult(
         unique_pix=np.asarray(uniq[:n_u]),
         n_unique=n_unique_i,
         adc=np.asarray(adc[:n_u]),
