@@ -272,7 +272,9 @@ def simulate_charge_batch(segs: Segments, det_model: DetectorModel,
     n_unique_i = int(n_unique)
     n_u = min(bucket(max(n_unique_i, 1), lo=32), n_unique_cap)
     n_adc_host = np.asarray(fee_res.n_adc[:n_u])
+    n_frac_slots = 4
     if n_adc_host.size and n_adc_host.max() > 4:
+        n_frac_slots = sim.max_adc_values
         fractions = fee.current_fractions(
             signals, pix_idx, slot, track_starts, fee_res, det,
             max_adc=sim.max_adc_values,
@@ -289,7 +291,10 @@ def simulate_charge_batch(segs: Segments, det_model: DetectorModel,
         adc_ticks=np.asarray(fee_res.ticks[:n_u]),
         integrals=np.asarray(fee_res.integrals[:n_u]),
         n_adc=n_adc_host,
-        current_fractions=np.asarray(fractions[:n_u]),
+        # only the computed ADC slots transfer; pad the rest host-side
+        current_fractions=np.pad(
+            np.asarray(fractions[:n_u, :n_frac_slots]),
+            ((0, 0), (0, sim.max_adc_values - n_frac_slots), (0, 0))),
         track_pixel_map=np.asarray(track_map[:n_u]),
         overflow=bool(np.asarray(overflow).any()),
         segments=segs,

@@ -33,8 +33,11 @@ def unique_pixels(pixels: jnp.ndarray, max_unique: int):
     s = jnp.sort(flat)
     first = jnp.concatenate([jnp.array([True]), s[1:] != s[:-1]])
     first &= s != _INT_MAX
-    comp = jnp.lexsort((jnp.arange(s.shape[0]), ~first))[:max_unique]
-    uniq = jnp.where(first[comp], s[comp], -1)
+    # compact first-occurrences to the front without a second sort
+    dst = jnp.cumsum(first) - 1
+    uniq = jnp.full((max_unique,), -1, jnp.int32).at[
+        jnp.where(first, dst, max_unique)].set(
+        s.astype(jnp.int32), mode='drop')
     return uniq, first.sum().astype(jnp.int32)
 
 
@@ -78,11 +81,16 @@ def track_pixel_map(pix_idx: jnp.ndarray, distances: jnp.ndarray,
     seg_idx = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[:, None], (S, P))
     flat_pix = pix_idx.reshape(-1)
     flat_seg = seg_idx.reshape(-1)
-    flat_dist = jnp.where(distances < 0, 127, distances).reshape(-1)
-    flat_pix_key = jnp.where(flat_pix < 0, _INT_MAX, flat_pix)
+    flat_dist = jnp.where(distances < 0, 15, distances).reshape(-1)
+    flat_pix_key = jnp.where(flat_pix < 0, n_unique_cap, flat_pix)
 
-    order = jnp.lexsort((flat_seg, flat_dist, flat_pix_key))
+    # one stable argsort on a combined (pixel, dist) key: the flatten order
+    # is segment-major, so stability supplies the segment-index tie-break
+    # (replaces a 3-key lexsort; TPU sorts are expensive)
+    combined = flat_pix_key * 16 + flat_dist
+    order = jnp.argsort(combined, stable=True)
     sp = flat_pix_key[order]
+    sp = jnp.where(sp >= n_unique_cap, _INT_MAX, sp)
     ss = flat_seg[order]
     # rank within each pixel group
     group_start = jnp.concatenate([jnp.array([True]), sp[1:] != sp[:-1]])
@@ -91,12 +99,12 @@ def track_pixel_map(pix_idx: jnp.ndarray, distances: jnp.ndarray,
     start_pos = jax.lax.associative_scan(jnp.maximum, start_pos)
     rank = (pos - start_pos).astype(jnp.int32)
 
-    # Entries beyond the backtrack range (code -1 -> 127) are never stored by
-    # the reference (its target_dist sweep covers only codes >= 0,
+    # Entries beyond the backtrack range (code -1 -> sentinel 15) are never
+    # stored by the reference (its target_dist sweep covers only codes >= 0,
     # detsim.py:582-591) and raise the overflow flag downstream.
     sd = flat_dist[order]
     present = sp != _INT_MAX
-    valid = present & (rank < max_tracks) & (sd < 127)
+    valid = present & (rank < max_tracks) & (sd < 15)
     track_map = jnp.full((n_unique_cap, max_tracks), -1, jnp.int32)
     track_map = track_map.at[
         jnp.where(valid, sp, n_unique_cap),  # OOB row -> dropped

@@ -161,25 +161,30 @@ def get_pixels(segs: Segments, det: DetectorParams, *, max_active: int,
 
     S = cand_id.shape[0]
     flat_id = cand_id.reshape(S, -1)
-    flat_dist = cand_dist.reshape(S, -1)
-    # distance -1 means "beyond backtrack range": it must not win the
-    # per-pixel min, so order it after real codes in the sort key.
-    sort_dist = jnp.where(flat_dist < 0, 127, flat_dist).astype(jnp.int32)
+    flat_dist = jnp.where(cand_dist < 0, 127,
+                          cand_dist).reshape(S, -1).astype(jnp.int32)
 
     def dedup(ids, dists):
-        order = jnp.lexsort((dists, ids))
+        # one *stable* argsort: the candidate flatten order matches the
+        # reference's generation order (active-pixel walk x (x_r, y_r)
+        # offsets), so the first duplicate keeps the reference's distance
+        # code exactly (pixels_from_track.py:239-269); compaction is a
+        # cumsum scatter, not a second sort.
+        order = jnp.argsort(ids, stable=True)
         ids, dists = ids[order], dists[order]
         first = jnp.concatenate([jnp.array([True]), ids[1:] != ids[:-1]])
         first &= ids != jnp.iinfo(jnp.int32).max
-        # stable-compact unique entries to the front
-        comp = jnp.lexsort((jnp.arange(ids.shape[0]), ~first))
-        return ids[comp], dists[comp], first[comp]
+        dst = jnp.where(first, jnp.cumsum(first) - 1, ids.shape[0])
+        out_ids = jnp.full(ids.shape[0], -1, jnp.int32).at[dst].set(
+            ids, mode='drop')
+        out_dists = jnp.full(ids.shape[0], 127, jnp.int32).at[dst].set(
+            dists, mode='drop')
+        return out_ids, out_dists
 
-    ids, dists, keep = jax.vmap(dedup)(flat_id, sort_dist)
-    ids = ids[:, :max_neighboring]
+    ids, dists = jax.vmap(dedup)(flat_id, flat_dist)
+    pixels = ids[:, :max_neighboring]
     dists = dists[:, :max_neighboring]
-    keep = keep[:, :max_neighboring]
-    pixels = jnp.where(keep, ids, -1)
+    keep = pixels >= 0
     distances = jnp.where(keep & (dists < 127), dists, -1)
     npix = keep.sum(axis=1).astype(jnp.int32)
     return pixels, distances, npix

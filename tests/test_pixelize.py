@@ -102,7 +102,11 @@ class TestRasterize:
         planes = np.asarray(segs.pixel_plane)
 
         for i in range(16):
-            expected = {}  # pixel id -> min distance code
+            # pixel id -> distance code of the FIRST generator in the
+            # reference's iteration order (walk order x (dx, dy) offsets):
+            # matches the reference dedup exactly
+            # (pixels_from_track.py:239-269)
+            expected = {}
             for x, y in zip(xs[i][valid[i]], ys[i][valid[i]]):
                 for dx in range(-radius, radius + 1):
                     for dy in range(-radius, radius + 1):
@@ -111,7 +115,7 @@ class TestRasterize:
                             pid = px + nx * (py + ny * planes[i])
                             code = codes[dx + radius, dy + radius]
                             key = 127 if code < 0 else code
-                            expected[pid] = min(expected.get(pid, 127), key)
+                            expected.setdefault(pid, key)
             got_ids = pixels[i][pixels[i] >= 0]
             assert npix[i] == len(expected)
             assert set(got_ids.tolist()) == set(expected)
