@@ -246,7 +246,6 @@ def export_to_hdf5(event_id_list, adc_list, adc_ticks_list, unique_pix,
     # timestamp-group boundary: time_tick change (fee.py:262-268)
     new_tick = np.concatenate([[True], time_tick[1:] != time_tick[:-1]])
 
-    records = []      # (hit_index, priority, packets, assn)
     assn_dtype = _assn_dtype(store)
 
     def service_assn(n, event_vals=-1):
@@ -255,6 +254,19 @@ def export_to_hdf5(event_id_list, adc_list, adc_ticks_list, unique_pix,
         a['segment_ids'] = -1
         a['file_traj_ids'] = -1
         return a
+
+    # the stream is assembled from vectorized blocks + (hit, priority)
+    # sort keys; a final stable argsort interleaves them in the reference's
+    # order: event-boundary service packets, timestamp-group packet, data
+    parts, part_assn, part_keys = [], [], []
+
+    def add(pkts, assn, hits, prio):
+        parts.append(pkts)
+        part_assn.append(assn)
+        part_keys.append(np.stack([np.broadcast_to(hits, (len(pkts),)),
+                                   np.full(len(pkts), prio)], axis=1)
+                         if np.ndim(hits) == 0 else
+                         np.stack([hits, np.full(len(pkts), prio)], axis=1))
 
     if light.light_trig_mode != 1:
         for h in np.nonzero(new_event & ok)[0]:
@@ -279,13 +291,15 @@ def export_to_hdf5(event_id_list, adc_list, adc_ticks_list, unique_pix,
                             pk.append(lp.make_trigger_packets(
                                 [t_trig_tick], g))
             pkts = np.concatenate(pk)
-            records.append((h, 0, pkts, service_assn(len(pkts))))
+            add(pkts, service_assn(len(pkts)), int(h), 0)
 
     # per-timestamp-group timestamp packet (constant payload, fee.py:267)
     ts_payload = np.floor(event_t0_ticks[0] * clock * units.mus / units.s)
-    for h in np.nonzero(new_tick & ok)[0]:
-        tp = lp.make_timestamp_packets([ts_payload], io_group=io_group[h])
-        records.append((h, 1, tp, service_assn(1)))
+    tick_hits = np.nonzero(new_tick & ok)[0]
+    if len(tick_hits):
+        tp = lp.make_timestamp_packets(np.full(len(tick_hits), ts_payload))
+        tp['io_group'] = io_group[tick_hits]
+        add(tp, service_assn(len(tick_hits)), tick_hits, 1)
 
     # --- data packets (vectorized) ---
     sel = np.nonzero(ok)[0]
@@ -309,14 +323,13 @@ def export_to_hdf5(event_id_list, adc_list, adc_ticks_list, unique_pix,
     data_assn['fraction'] = _pad_to(fr_s, store, 0.0)
     data_assn['file_traj_ids'] = _pad_to(uniq_trj, store, -1)
     data_assn['fraction_traj'] = _pad_to(uniq_fr, store, 0.0)
+    add(data_pkts, data_assn, sel, 2)
 
-    for j, h in enumerate(sel):
-        records.append((h, 2, data_pkts[j:j + 1], data_assn[j:j + 1]))
-
-    # --- assemble in stream order ---
-    records.sort(key=lambda r: (r[0], r[1]))
-    packets = np.concatenate([r[2] for r in records])
-    assn = np.concatenate([r[3] for r in records])
+    # --- assemble in stream order (one concat + one stable lexsort) ---
+    keys = np.concatenate(part_keys)
+    stream_order = np.lexsort((keys[:, 1], keys[:, 0]))
+    packets = np.concatenate(parts)[stream_order]
+    assn = np.concatenate(part_assn)[stream_order]
 
     lp.to_file(filename, packets)
     with h5py.File(filename, 'a') as f:
