@@ -86,11 +86,14 @@ def run_simulation(input_filename: str,
                    pixel_gains_file=None,
                    rand_seed: int | None = None,
                    save_memory: str | None = None,
-                   step_scale: float = 1.0):
+                   step_scale: float = 1.0,
+                   event_group_size: int = 1):
     """Simulate a pixelated LArTPC (same flag surface as the reference CLI).
 
-    Extra knob: ``step_scale`` coarsens the MC charge-sampling density
-    (1.0 = reference MIN_STEP_SIZE density).
+    Extra knobs: ``step_scale`` coarsens the MC charge-sampling density
+    (1.0 = reference MIN_STEP_SIZE density); ``event_group_size`` processes
+    G independent events per device invocation (charge chain grouped via
+    per-event pixel-key offsets -- the on-chip data-parallel axis).
     """
     if not os.path.exists(input_filename):
         raise FileNotFoundError(input_filename)
@@ -405,6 +408,116 @@ def run_simulation(input_filename: str,
                                  tpc_borders=module_borders)
         key_mod = jax.random.fold_in(root_key, max(i_mod, 0))
 
+        nx_, ny_ = det.n_pixels
+        n_pix_total = nx_ * ny_ * det.n_tpcs
+        group_cap = max(int(event_group_size), 1)
+        if n_pix_total * (group_cap + 1) >= 2 ** 31:
+            warnings.warn('event_group_size reduced to 1: pixel keys would '
+                          'overflow int32 for this geometry')
+            group_cap = 1
+        group: list = []  # buffered (ievd, global segment indices)
+        light_done_events: set = set()
+        group_seq = 0  # distinct RNG stream per processed group
+
+        def process_group():
+            nonlocal i_light_trig, group_seq
+            if not group:
+                return
+            group_seq += 1
+            sels = [sel for _, sel in group]
+            lens = [len(s) for s in sels]
+            cat = np.concatenate(sels)
+            selected = tracks_mod[cat]
+            slot = np.repeat(np.arange(len(group)), lens)
+            pad_n = bucket(len(cat), lo=32)
+            segs = from_structured(selected, pad_to=pad_n)
+            slot_p = np.zeros(pad_n, np.int32)
+            slot_p[:len(cat)] = slot
+            key_batch = jax.random.fold_in(
+                jax.random.fold_in(key_mod, int(group[0][0])), group_seq)
+
+            with trace.phase('charge_batch'):
+                res = simulate_charge_batch(
+                    segs, det_model, sim, key_batch, response_dev,
+                    pixel_thresholds=thresholds_lut, pixel_gains=gains_lut,
+                    already_drifted=True, step_scale=step_scale,
+                    event_slot=slot_p if len(group) > 1 else None)
+            if res.overflow:
+                warnings.warn(
+                    'More segments per pixel than MAX_TRACKS_PER_PIXEL '
+                    f'({sim.max_tracks_per_pixel}); backtracking may be '
+                    'incomplete')
+            uniq = res.unique_pix
+            valid_u = uniq >= 0
+            if len(group) > 1:
+                ev_slot_u = np.where(valid_u, uniq // n_pix_total, 0)
+                pid_u = np.where(valid_u, uniq % n_pix_total, -1)
+            else:
+                ev_slot_u = np.zeros(len(uniq), np.int64)
+                pid_u = uniq
+            group_events = np.array([ev for ev, _ in group])
+            event_u = group_events[np.clip(ev_slot_u, 0, len(group) - 1)]
+
+            # remap batch-local track indices to global ids (cli:1112-1115)
+            tmap = res.track_pixel_map
+            seg_ids_batch = segment_ids[cat]
+            traj_ids_batch = traj_ids[cat]
+            tmap_seg = np.where(tmap >= 0,
+                                seg_ids_batch[np.clip(tmap, 0, None)], -1)
+            tmap_trj = np.where(tmap >= 0,
+                                traj_ids_batch[np.clip(tmap, 0, None)], -1)
+
+            results_acc['event_id'].append(
+                np.broadcast_to(event_u[:, None],
+                                res.adc.shape).copy()[valid_u])
+            results_acc['adc_tot'].append(res.adc[valid_u])
+            results_acc['adc_tot_ticks'].append(res.adc_ticks[valid_u])
+            results_acc['unique_pix'].append(pid_u[valid_u])
+            results_acc['current_fractions'].append(
+                res.current_fractions[valid_u])
+            results_acc['track_pixel_map'].append(tmap_seg[valid_u])
+            results_acc['traj_pixel_map'].append(tmap_trj[valid_u])
+
+            if light.light_simulated:
+                for ievd_l, sel in group:
+                    pad_l = bucket(len(sel), lo=32)
+                    segs_l = from_structured(tracks_mod[sel], pad_to=pad_l)
+                    inc_batch = np.zeros((pad_l, light_inc.shape[1]),
+                                         light_inc.dtype)
+                    inc_batch[:len(sel)] = light_inc[sel]
+                    t0_batch = np.zeros_like(inc_batch)
+                    t0_batch[:len(sel)] = light_inc_t0[sel]
+                    vox_batch = np.zeros((pad_l, 3), np.int32)
+                    vox_batch[:len(sel)] = np.asarray(track_light_voxel)[sel]
+                    key_l = jax.random.fold_in(key_mod, int(ievd_l))
+                    i_sub = 0 if ievd_l not in light_done_events else 1
+                    light_done_events.add(ievd_l)
+                    with trace.phase('light_batch'):
+                        lres = simulate_light_batch(
+                            segs_l, det_model, light, sim,
+                            inc_batch, vox_batch, lut, light_noise,
+                            key_l, i_subbatch=i_sub,
+                            op_channel=op_channel_sim, t0_det=t0_batch)
+                    ntrig = lres.trigger_idx.shape[0]
+                    if ntrig:
+                        results_acc['light_event_id'].append(
+                            np.full(ntrig, ievd_l))
+                        results_acc['light_start_time'].append(
+                            np.full(ntrig, lres.start_time))
+                        results_acc['light_trigger_idx'].append(
+                            lres.trigger_idx)
+                        results_acc['trigger_type'].append(lres.trigger_type)
+                        results_acc['light_op_channel_idx'].append(
+                            lres.op_channel_idx)
+                        results_acc['light_waveforms'].append(lres.waveforms)
+                        if lres.truth_sparse is not None:
+                            truth = export.truth_sparse_to_records(
+                                lres.truth_sparse, int(ievd_l), i_light_trig)
+                            export.export_light_truth_to_hdf5(
+                                output_filename, truth)
+                        i_light_trig += ntrig
+            group.clear()
+
         for ievd, batch_mask in batcher:
             i_batch += 1
             track_subset = tracks_mod[batch_mask]
@@ -429,6 +542,7 @@ def run_simulation(input_filename: str,
                         light, sim, i_mod)
 
             if len(track_subset) == 0:
+                process_group()
                 # keep light triggers aligned with empty events
                 if light.light_simulated and light.light_trig_mode in (0, 1):
                     digit_samples = ceil(
@@ -449,86 +563,28 @@ def run_simulation(input_filename: str,
                 continue
 
             batch_idx_global = np.nonzero(batch_mask)[0]
-            for itrk in range(0, len(track_subset), sim.batch_size):
-                if itrk > 0:
-                    warnings.warn('Entered sub-batch loop; consider '
-                                  f'increasing batch_size ({sim.batch_size})')
-                sel = batch_idx_global[itrk: itrk + sim.batch_size]
-                selected = tracks_mod[sel]
-                key_batch = jax.random.fold_in(
-                    jax.random.fold_in(key_mod, int(ievd)), itrk)
-
-                segs = from_structured(selected,
-                                       pad_to=bucket(len(selected), lo=32))
-                with trace.phase('charge_batch'):
-                    res = simulate_charge_batch(
-                    segs, det_model, sim, key_batch, response_dev,
-                    pixel_thresholds=thresholds_lut, pixel_gains=gains_lut,
-                    already_drifted=True, step_scale=step_scale)
-                uniq = res.unique_pix
-                valid_u = uniq >= 0
-                # remap batch-local track indices to global ids (cli:1112-1115)
-                tmap = res.track_pixel_map
-                seg_ids_batch = segment_ids[sel]
-                traj_ids_batch = traj_ids[sel]
-                tmap_seg = np.where(tmap >= 0,
-                                    seg_ids_batch[np.clip(tmap, 0, None)],
-                                    -1)
-                tmap_trj = np.where(tmap >= 0,
-                                    traj_ids_batch[np.clip(tmap, 0, None)],
-                                    -1)
-
-                results_acc['event_id'].append(
-                    np.full(res.adc.shape, ievd)[valid_u])
-                results_acc['adc_tot'].append(res.adc[valid_u])
-                results_acc['adc_tot_ticks'].append(res.adc_ticks[valid_u])
-                results_acc['unique_pix'].append(uniq[valid_u])
-                results_acc['current_fractions'].append(
-                    res.current_fractions[valid_u])
-                results_acc['track_pixel_map'].append(tmap_seg[valid_u])
-                results_acc['traj_pixel_map'].append(tmap_trj[valid_u])
-
-                if light.light_simulated:
-                    # pad to the bucketed batch size (padding rows carry
-                    # zero photons and are inert in the scatter)
-                    pad_n = segs.size
-                    inc_batch = np.zeros((pad_n, light_inc.shape[1]),
-                                         light_inc.dtype)
-                    inc_batch[:len(sel)] = light_inc[sel]
-                    t0_batch = np.zeros_like(inc_batch)
-                    t0_batch[:len(sel)] = light_inc_t0[sel]
-                    vox_batch = np.zeros((pad_n, 3), np.int32)
-                    vox_batch[:len(sel)] = np.asarray(track_light_voxel)[sel]
-                    with trace.phase('light_batch'):
-                        lres = simulate_light_batch(
-                            segs, det_model, light, sim,
-                            inc_batch, vox_batch, lut, light_noise,
-                            key_batch, i_subbatch=itrk,
-                            op_channel=op_channel_sim, t0_det=t0_batch)
-                    ntrig = lres.trigger_idx.shape[0]
-                    if ntrig:
-                        results_acc['light_event_id'].append(
-                            np.full(ntrig, ievd))
-                        results_acc['light_start_time'].append(
-                            np.full(ntrig, lres.start_time))
-                        results_acc['light_trigger_idx'].append(
-                            lres.trigger_idx)
-                        results_acc['trigger_type'].append(lres.trigger_type)
-                        results_acc['light_op_channel_idx'].append(
-                            lres.op_channel_idx)
-                        results_acc['light_waveforms'].append(lres.waveforms)
-                        if lres.truth_sparse is not None:
-                            truth = export.truth_sparse_to_records(
-                                lres.truth_sparse, int(ievd), i_light_trig)
-                            export.export_light_truth_to_hdf5(
-                                output_filename, truth)
-                        i_light_trig += ntrig
+            if len(track_subset) > sim.batch_size:
+                # oversized event: flush the pending group, then process in
+                # solo sub-batches (reference semantics, cli:902-905)
+                process_group()
+                warnings.warn('Entered sub-batch loop; consider increasing '
+                              f'batch_size (currently {sim.batch_size})')
+                for itrk in range(0, len(track_subset), sim.batch_size):
+                    group.append((ievd,
+                                  batch_idx_global[itrk:itrk
+                                                   + sim.batch_size]))
+                    process_group()
+            else:
+                group.append((ievd, batch_idx_global))
+                if len(group) >= group_cap:
+                    process_group()
 
             if len(results_acc['event_id']) >= sim.write_batch_size:
                 with trace.phase('export'):
                     flush_results()
             memlog.take_snapshot()
 
+        process_group()
         flush_results()
         memlog.archive(f'loop_mod{i_mod}')
 

@@ -120,13 +120,19 @@ def charge_step(segs: Segments, det: DetectorParams, response, key, *,
 @functools.partial(jax.jit,
                    static_argnames=('n_unique_cap', 'max_tracks'))
 def _prep_stage(pixels, distances, segs: Segments, det: DetectorParams, *,
-                n_unique_cap: int, max_tracks: int):
-    """Fused post-pixelization indexing stage (one dispatch/compile)."""
+                n_unique_cap: int, max_tracks: int, centers_src=None):
+    """Fused post-pixelization indexing stage (one dispatch/compile).
+
+    ``pixels`` may carry event-offset keys (event grouping); pass the raw
+    ids as ``centers_src`` for the geometry lookup in that case.
+    """
+    if centers_src is None:
+        centers_src = pixels
     uniq, n_unique = accumulate.unique_pixels(pixels, n_unique_cap)
     pix_idx = accumulate.pixel_index_map(pixels, uniq)
     track_map, slot, overflow = accumulate.track_pixel_map(
         pix_idx, distances, n_unique_cap, max_tracks=max_tracks)
-    px, py = pixel_centers(jnp.maximum(pixels, 0), det)
+    px, py = pixel_centers(jnp.maximum(centers_src, 0), det)
     track_starts, _ = pixelize.time_intervals(segs, det)
     return (uniq, n_unique, pix_idx, track_map, slot, overflow, px, py,
             track_starts)
@@ -163,7 +169,8 @@ def simulate_charge_batch(segs: Segments, det_model: DetectorModel,
                           mode: int = physics.BIRKS,
                           already_drifted: bool = False,
                           step_scale: float = 1.0,
-                          backend: str = 'auto') -> ChargeChainResult:
+                          backend: str = 'auto',
+                          event_slot=None) -> ChargeChainResult:
     """Run the full charge chain on one (padded) segment batch.
 
     Args:
@@ -177,6 +184,11 @@ def simulate_charge_batch(segs: Segments, det_model: DetectorModel,
             the reference's MIN_STEP_SIZE sampling density).
         backend: induced-current backend: 'pallas' (TPU kernel), 'xla', or
             'auto' (pallas on accelerators, xla on CPU).
+        event_slot: optional (S,) int array grouping several *independent*
+            events into one pipeline invocation: pixel ids are offset by
+            slot * n_pixels_total so per-event waveforms/FEE never mix
+            (events are statistically independent -- the data-parallel
+            axis, SURVEY §2.6 P8).  Decode with unique_pix // n_pixels_total.
     """
     if backend == 'auto':
         backend = 'xla' if jax.default_backend() == 'cpu' else 'pallas'
@@ -227,11 +239,24 @@ def simulate_charge_batch(segs: Segments, det_model: DetectorModel,
     with trace.phase('charge/npix_sync'):
       n_unique_cap = bucket(int(np.asarray(npix).sum()), lo=32)
 
+    if event_slot is not None:
+        # separate per-event pixel-id spaces (events never share waveforms)
+        nx, ny = det.n_pixels
+        n_pix_total = nx * ny * det.n_tpcs
+        assert n_pix_total * (int(np.asarray(event_slot).max()) + 1) \
+            < 2 ** 31, 'event grouping would overflow int32 pixel keys'
+        keyed = jnp.where(pixels >= 0,
+                          pixels + jnp.asarray(event_slot)[:, None]
+                          * n_pix_total, -1)
+    else:
+        keyed = pixels
+
     with trace.phase('charge/prep'):
       uniq, n_unique, pix_idx, track_map, slot, overflow, px, py, \
-          track_starts = _prep_stage(pixels, distances, segs, det,
+          track_starts = _prep_stage(keyed, distances, segs, det,
                                      n_unique_cap=n_unique_cap,
-                                     max_tracks=sim.max_tracks_per_pixel)
+                                     max_tracks=sim.max_tracks_per_pixel,
+                                     centers_src=pixels)
 
     thresholds = gains = None
     if pixel_thresholds is not None:

@@ -1,0 +1,106 @@
+"""Event grouping: independent events share one pipeline invocation via
+per-event pixel-key offsets, with exact per-event separation."""
+import h5py
+import jax
+import numpy as np
+import pytest
+
+from larndsim_tpu.params import load_detector, load_sim, physics
+from larndsim_tpu.assets.response import make_response
+from larndsim_tpu.assets.make_input import write_input
+from larndsim_tpu.models.charge import simulate_charge_batch
+from larndsim_tpu.ops.quench import quench
+from larndsim_tpu.ops.drift import drift
+from larndsim_tpu.cli.simulate_pixels import run_simulation
+from larndsim_tpu import segments as seg_mod
+
+from test_charge_chain import make_test_tracks, DETPROP, PIXEL, SIMPROP
+
+
+@pytest.fixture(scope='module')
+def setup():
+    det_model = load_detector(DETPROP, PIXEL)
+    det = det_model.params
+    sim = load_sim(SIMPROP)
+    n_t = int(round(float(det.time_window) / float(det.response_sampling)))
+    response = make_response(n_xy=45, n_t=n_t,
+                             bin_size=float(det.response_bin_size),
+                             sampling=float(det.response_sampling),
+                             pixel_pitch=float(det.pixel_pitch))
+    return det_model, sim, response
+
+
+class TestEventGrouping:
+    def test_grouped_events_separate_exactly(self, setup):
+        """Two identical events grouped -> identical per-event pixel sets,
+        matching a solo run's set."""
+        det_model, sim, response = setup
+        det = det_model.params
+        tr = make_test_tracks(det, n=5)
+        tr['dEdx'] = 20.0
+        tr['dE'] = tr['dEdx'] * tr['dx']
+
+        # solo
+        segs1 = seg_mod.from_structured(tr, pad_to=8)
+        r1 = simulate_charge_batch(segs1, det_model, sim,
+                                   jax.random.PRNGKey(3), response,
+                                   step_scale=16.0)
+        solo_pix = set(r1.unique_pix[r1.unique_pix >= 0].tolist())
+
+        # grouped: the same event twice, slots 0 and 1
+        tr2 = np.concatenate([tr, tr])
+        segs2 = seg_mod.from_structured(tr2, pad_to=16)
+        slot = np.zeros(16, np.int32)
+        slot[5:10] = 1
+        r2 = simulate_charge_batch(segs2, det_model, sim,
+                                   jax.random.PRNGKey(3), response,
+                                   step_scale=16.0, event_slot=slot)
+        uniq = r2.unique_pix
+        valid = uniq >= 0
+        nx, ny = det.n_pixels
+        n_pix_total = nx * ny * det.n_tpcs
+        ev = uniq[valid] // n_pix_total
+        pid = uniq[valid] % n_pix_total
+        assert set(ev.tolist()) == {0, 1}
+        set0 = set(pid[ev == 0].tolist())
+        set1 = set(pid[ev == 1].tolist())
+        assert set0 == set1 == solo_pix
+        assert r2.n_unique == 2 * r1.n_unique
+
+    def test_run_simulation_grouped_matches_structure(self, setup, tmp_path):
+        """Grouped orchestration produces the same hit multiset as ungrouped
+        (identical seeds; the RNG grouping differs only in noise draws, so
+        compare pixel sets and per-event packet counts within tolerance)."""
+        det_model, _, _ = setup
+        in_file = str(tmp_path / 'in.h5')
+        write_input(in_file, det_model.tpc_borders, n_events=3,
+                    tracks_per_event=2, segments_per_track=8, dEdx=15.0)
+        outs = {}
+        for g in (1, 3):
+            out = str(tmp_path / f'out_g{g}.h5')
+            run_simulation(in_file, out, config='module0',
+                           detector_properties=DETPROP, pixel_layout=PIXEL,
+                           simulation_properties=SIMPROP,
+                           response_file='__missing__.npy',
+                           light_lut_filename='__missing__.npz',
+                           light_det_noise_filename='__missing__.npy',
+                           rand_seed=31, step_scale=16.0,
+                           event_group_size=g)
+            outs[g] = out
+        with h5py.File(outs[1]) as f1, h5py.File(outs[3]) as f3:
+            p1 = np.array(f1['packets'])
+            p3 = np.array(f3['packets'])
+            d1 = p1[p1['packet_type'] == 0]
+            d3 = p3[p3['packet_type'] == 0]
+            # same channels fire (noise draws differ -> ADC values may
+            # wobble by a few counts; hit sets should agree)
+            k1 = set(zip(d1['io_group'].tolist(), d1['chip_id'].tolist(),
+                         d1['channel_id'].tolist()))
+            k3 = set(zip(d3['io_group'].tolist(), d3['chip_id'].tolist(),
+                         d3['channel_id'].tolist()))
+            overlap = len(k1 & k3) / max(len(k1 | k3), 1)
+            # different noise streams wobble marginal channels: two
+            # *ungrouped* runs with different seeds overlap ~0.86 on this
+            # workload, so grouped-vs-ungrouped must be in the same range
+            assert overlap > 0.7, f'hit-set overlap {overlap}'
+            assert abs(len(d1) - len(d3)) <= 0.25 * max(len(d1), len(d3))
