@@ -57,6 +57,7 @@ def main():
         light_lut_filename='__missing__.npz',
         light_det_noise_filename='__missing__.npy',
         rand_seed=7,
+        event_group_size=4,  # on-chip event data parallelism
     )
 
     # warmup: trigger all jit compiles
