@@ -38,7 +38,8 @@ def main():
     warm_in = os.path.join(tmp, 'warm.h5')
     bench_in = os.path.join(tmp, 'bench.h5')
 
-    n_warm_ev = 1
+    # warmup must cover the same grouped shapes as the timed run
+    n_warm_ev = 4
     n_bench_ev = 4
     # ~1000 segments/spill: representative beam-spill occupancy (the
     # overheads amortize; tiny spills only measure dispatch latency)
