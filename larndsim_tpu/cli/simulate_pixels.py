@@ -351,8 +351,10 @@ def run_simulation(input_filename: str,
                 else:
                     results_acc = defaultdict(list)
                     return
-            res = {k: np.concatenate(v, axis=0)
-                   for k, v in results_acc.items() if len(v)}
+            with trace.phase('export/concat'):
+                res = {k: np.concatenate(
+                           [np.asarray(x) for x in v], axis=0)
+                       for k, v in results_acc.items() if len(v)}
             uniq_events = (np.unique(res['event_id'])
                            if not light_only
                            else np.unique(res['light_event_id']))
@@ -380,15 +382,17 @@ def run_simulation(input_filename: str,
                     light_trig_modules = np.ones(len(uniq_events))
                     light_trigger_times = np.zeros_like(uniq_event_times)
                     light_trigger_event_ids = uniq_events
-                export.export_to_hdf5(
-                    res['event_id'], res['adc_tot'], res['adc_tot_ticks'],
-                    res['unique_pix'], res['current_fractions'],
-                    res['track_pixel_map'], res['traj_pixel_map'],
-                    output_filename, uniq_event_times, det_model, light,
-                    sim, light_trigger_times=light_trigger_times,
-                    light_trigger_event_id=light_trigger_event_ids,
-                    light_trigger_modules=light_trig_modules,
-                    bad_channels=bad_channels, i_mod=i_mod)
+                with trace.phase('export/packets'):
+                    export.export_to_hdf5(
+                        res['event_id'], res['adc_tot'],
+                        res['adc_tot_ticks'],
+                        res['unique_pix'], res['current_fractions'],
+                        res['track_pixel_map'], res['traj_pixel_map'],
+                        output_filename, uniq_event_times, det_model, light,
+                        sim, light_trigger_times=light_trigger_times,
+                        light_trigger_event_id=light_trigger_event_ids,
+                        light_trigger_modules=light_trig_modules,
+                        bad_channels=bad_channels, i_mod=i_mod)
             if light.light_simulated and len(res.get('light_event_id', [])):
                 if light.light_trig_mode == 0:
                     export.export_light_trig_to_hdf5(
@@ -396,9 +400,10 @@ def run_simulation(input_filename: str,
                         res['light_trigger_idx'],
                         res['light_op_channel_idx'], output_filename,
                         uniq_event_times, det_model, light)
-                export.export_light_wvfm_to_hdf5(
-                    res['light_event_id'], res['light_waveforms'],
-                    output_filename, sim, light, i_mod=i_mod)
+                with trace.phase('export/light_wvfm'):
+                    export.export_light_wvfm_to_hdf5(
+                        res['light_event_id'], res['light_waveforms'],
+                        output_filename, sim, light, i_mod=i_mod)
             i_trig += 1
             results_acc = defaultdict(list)
 
@@ -585,7 +590,8 @@ def run_simulation(input_filename: str,
             memlog.take_snapshot()
 
         process_group()
-        flush_results()
+        with trace.phase('export'):
+            flush_results()
         memlog.archive(f'loop_mod{i_mod}')
 
         if segments_to_files is None:
@@ -660,14 +666,30 @@ def main():
         import fire
         fire.Fire(run_simulation)
     except ImportError:
+        # argparse fallback exposing the FULL run_simulation flag surface
+        # (the reference CLI exposes every kwarg via fire, cli:1247)
         import argparse
+        import inspect
+
+        def _bool(v):
+            return str(v).lower() in ('1', 'true', 'yes', 'on')
+
         parser = argparse.ArgumentParser(description=run_simulation.__doc__)
-        parser.add_argument('input_filename')
-        parser.add_argument('output_filename')
-        parser.add_argument('--config', default='2x2')
-        parser.add_argument('--n_events', type=int, default=None)
-        parser.add_argument('--rand_seed', type=int, default=None)
-        parser.add_argument('--step_scale', type=float, default=1.0)
+        sig = inspect.signature(run_simulation)
+        for name, p in sig.parameters.items():
+            if p.default is inspect.Parameter.empty:
+                parser.add_argument(name)
+                continue
+            ann = str(p.annotation)
+            if 'bool' in ann:
+                typ = _bool
+            elif 'int' in ann:
+                typ = int
+            elif 'float' in ann:
+                typ = float
+            else:
+                typ = str
+            parser.add_argument(f'--{name}', type=typ, default=p.default)
         args = parser.parse_args()
         run_simulation(**vars(args))
 

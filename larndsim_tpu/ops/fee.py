@@ -103,14 +103,20 @@ def get_adc_values(pixels_signals: jnp.ndarray, tick_times: jnp.ndarray,
     # the scan step cost otherwise
     noise_all = jax.random.normal(k_scan, (n_scan, 5, U))
 
+    # Feed the waveform through scan xs in (tick, pixel) layout: each step
+    # then reads one contiguous (U,) row.  Slicing a *column* of the (U, T)
+    # array per step would touch a full (8, 128) tile per 8 values —
+    # ~128x the HBM traffic over the 3805-tick scan.
+    sig_rows = jnp.zeros((n_scan, U), pixels_signals.dtype)
+    sig_rows = jax.lax.dynamic_update_slice(
+        sig_rows, pixels_signals.T[:min(n_scan, T)], (0, 0))
+
     def step(st: State, inp):
-        t, noise = inp
+        t, noise, curre_t = inp
         n_q, n_disc, n_adc, n_disc2, n_reset = noise
 
         skipping = st.skip_rem > 0
         integrating = st.integ_rem > 0
-
-        curre_t = jnp.where(t < T, pixels_signals[:, jnp.minimum(t, T - 1)], 0.0)
         # IIR leaky integrator; frozen while skipping (those ticks are
         # jumped over by the reference and excluded from the filter window).
         s_filt = jnp.where(skipping, 0.0, A * st.s_filt + curre_t)
@@ -131,14 +137,13 @@ def get_adc_values(pixels_signals: jnp.ndarray, tick_times: jnp.ndarray,
         # "+2-tick PACMAN delay" (fee.py:639-643, applied as written)
         tick_val = tick_times[crossing] + time_padding - 2 + post
 
-        integrals = st.integrals.at[jnp.arange(U), idx].set(
-            jnp.where(success, adc, st.integrals[jnp.arange(U), idx]))
-        ticks_us = st.ticks_us.at[jnp.arange(U), idx].set(
-            jnp.where(success, tick_val, st.ticks_us[jnp.arange(U), idx]))
-        r_out = st.r_out.at[jnp.arange(U), idx].set(
-            jnp.where(success, st.last_reset, st.r_out[jnp.arange(U), idx]))
-        e_out = st.e_out.at[jnp.arange(U), idx].set(
-            jnp.where(success, t, st.e_out[jnp.arange(U), idx]))
+        # one-hot select instead of a per-step scatter: pure elementwise
+        # (U, max_adc) ops keep the carry update on the VPU
+        sel = success[:, None] & (jnp.arange(max_adc)[None, :] == idx[:, None])
+        integrals = jnp.where(sel, adc[:, None], st.integrals)
+        ticks_us = jnp.where(sel, tick_val, st.ticks_us)
+        r_out = jnp.where(sel, st.last_reset[:, None], st.r_out)
+        e_out = jnp.where(sel, t, st.e_out)
         iadc = jnp.where(success, st.iadc + 1, st.iadc)
 
         # --- idle phase: busy countdown + discriminator ---
@@ -173,7 +178,8 @@ def get_adc_values(pixels_signals: jnp.ndarray, tick_times: jnp.ndarray,
         r_out=jnp.full((U, max_adc), -1, jnp.int32),
         e_out=jnp.full((U, max_adc), -1, jnp.int32),
     )
-    final, _ = jax.lax.scan(step, init, (jnp.arange(n_scan), noise_all))
+    final, _ = jax.lax.scan(step, init,
+                            (jnp.arange(n_scan), noise_all, sig_rows))
     return FeeResult(final.integrals, final.ticks_us, final.iadc,
                      final.r_out, final.e_out)
 
