@@ -31,11 +31,11 @@ from ..ops.drift import drift, select_active_volume
 from ..ops.quench import quench
 from ..params import (get_module_ids, load_detector, load_light, load_sim,
                       physics)
-from ..segments import from_structured, to_structured
+from ..segments import from_structured, from_structured_group, to_structured
 from ..assets.response import load_response
 from ..assets.light_lut import load_light_lut, make_light_noise
 from ..models.charge import bucket, simulate_charge_batch
-from ..models.light import simulate_light_batch
+from ..models.light import simulate_light_batch, simulate_light_group
 from ..utils import MemoryLogger, PixelLUT, TPCBatcher
 from ..utils.batching_native import FastTPCBatcher
 from ..utils import trace
@@ -484,7 +484,66 @@ def run_simulation(input_filename: str,
             results_acc['traj_pixel_map'].append(tmap_trj[valid_u])
 
             if light.light_simulated:
-                for ievd_l, sel in group:
+                def accumulate_light(ievd_l, lres):
+                    nonlocal i_light_trig
+                    ntrig = lres.trigger_idx.shape[0]
+                    if not ntrig:
+                        return
+                    results_acc['light_event_id'].append(
+                        np.full(ntrig, ievd_l))
+                    results_acc['light_start_time'].append(
+                        np.full(ntrig, lres.start_time))
+                    results_acc['light_trigger_idx'].append(
+                        lres.trigger_idx)
+                    results_acc['trigger_type'].append(lres.trigger_type)
+                    results_acc['light_op_channel_idx'].append(
+                        lres.op_channel_idx)
+                    results_acc['light_waveforms'].append(lres.waveforms)
+                    if lres.truth_sparse is not None:
+                        truth = export.truth_sparse_to_records(
+                            lres.truth_sparse, int(ievd_l), i_light_trig)
+                        export.export_light_truth_to_hdf5(
+                            output_filename, truth)
+                    i_light_trig += ntrig
+
+                # events eligible for the one-dispatch grouped beam path:
+                # first light pass (i_sub == 0) in beam trigger mode, and
+                # truth (if on) uses the contributor-point path
+                groupable = (light.light_trig_mode == 1
+                             and not (sim.max_mc_truth_ids > 0
+                                      and light.enable_lut_smearing))
+                g_idx = [i for i, (ev, _) in enumerate(group)
+                         if groupable and ev not in light_done_events]
+                if len(g_idx) > 1:
+                    grouped = [group[i] for i in g_idx]
+                    solo = [g for i, g in enumerate(group)
+                            if i not in g_idx]
+                else:
+                    grouped, solo = [], group
+                if len(grouped) > 1:
+                    pad_l = bucket(max(len(sel) for _, sel in grouped),
+                                   lo=32)
+                    Gl = len(grouped)
+                    inc_g = np.zeros((Gl, pad_l, light_inc.shape[1]),
+                                     light_inc.dtype)
+                    vox_g = np.zeros((Gl, pad_l, 3), np.int32)
+                    vox_np = np.asarray(track_light_voxel)
+                    for g, (ev, sel) in enumerate(grouped):
+                        inc_g[g, :len(sel)] = light_inc[sel]
+                        vox_g[g, :len(sel)] = vox_np[sel]
+                    segs_g = from_structured_group(
+                        [tracks_mod[sel] for _, sel in grouped], pad_l)
+                    ev_ids = np.array([int(ev) for ev, _ in grouped])
+                    with trace.phase('light_batch'):
+                        lres_list = simulate_light_group(
+                            segs_g, det_model, light, sim, inc_g, vox_g,
+                            lut, light_noise, key_mod, ev_ids,
+                            op_channel_sim)
+                    for (ievd_l, _), lres in zip(grouped, lres_list):
+                        light_done_events.add(ievd_l)
+                        accumulate_light(ievd_l, lres)
+
+                for ievd_l, sel in solo:
                     pad_l = bucket(len(sel), lo=32)
                     segs_l = from_structured(tracks_mod[sel], pad_to=pad_l)
                     inc_batch = np.zeros((pad_l, light_inc.shape[1]),
@@ -503,24 +562,7 @@ def run_simulation(input_filename: str,
                             inc_batch, vox_batch, lut, light_noise,
                             key_l, i_subbatch=i_sub,
                             op_channel=op_channel_sim, t0_det=t0_batch)
-                    ntrig = lres.trigger_idx.shape[0]
-                    if ntrig:
-                        results_acc['light_event_id'].append(
-                            np.full(ntrig, ievd_l))
-                        results_acc['light_start_time'].append(
-                            np.full(ntrig, lres.start_time))
-                        results_acc['light_trigger_idx'].append(
-                            lres.trigger_idx)
-                        results_acc['trigger_type'].append(lres.trigger_type)
-                        results_acc['light_op_channel_idx'].append(
-                            lres.op_channel_idx)
-                        results_acc['light_waveforms'].append(lres.waveforms)
-                        if lres.truth_sparse is not None:
-                            truth = export.truth_sparse_to_records(
-                                lres.truth_sparse, int(ievd_l), i_light_trig)
-                            export.export_light_truth_to_hdf5(
-                                output_filename, truth)
-                        i_light_trig += ntrig
+                    accumulate_light(ievd_l, lres)
             group.clear()
 
         for ievd, batch_mask in batcher:

@@ -32,6 +32,21 @@ def get_trig_io(light: LightParams) -> int:
     return 2 if light.light_trig_mode == 0 else 1
 
 
+# Host copies of scalar device leaves (cached, one pull per params object):
+# per-leaf float() — and eager jnp math like fee.digitize — costs a device
+# round trip each, which dominated the export phase on remote TPU hosts.
+from ..params.detector import host_scalars as _host_consts
+
+
+def _digitize_zero(det) -> float:
+    """ADC count for zero integrated charge (fee.digitize on host floats)."""
+    hc = _host_consts(det)
+    v = hc['v_pedestal'] * units.mV - hc['v_cm'] * units.mV
+    return min(round(max(v, 0.0) * det.adc_counts
+                     / (hc['v_ref'] * units.mV - hc['v_cm'] * units.mV)),
+               det.adc_counts - 1)
+
+
 # --------------------------------------------------------------------------
 # pixel id -> readout coordinates (dense)
 # --------------------------------------------------------------------------
@@ -207,8 +222,7 @@ def export_to_hdf5(event_id_list, adc_list, adc_ticks_list, unique_pix,
                              else np.asarray(light_trigger_modules))
 
     # --- flatten valid hits in (pixel, iadc) order ---
-    from ..ops.fee import digitize
-    dig0 = float(np.asarray(digitize(np.zeros(1), det))[0])
+    dig0 = _digitize_zero(det)
     hit_mask = adc_list > dig0                                 # (N, max_adc)
     pix_row, iadc = np.nonzero(hit_mask)
     n_hits = pix_row.size
@@ -334,10 +348,11 @@ def export_to_hdf5(event_id_list, adc_list, adc_ticks_list, unique_pix,
     lp.to_file(filename, packets)
     with h5py.File(filename, 'a') as f:
         _append_dataset(f, 'mc_packets_assn', assn)
-        f['configs'].attrs['vdrift'] = float(det.v_drift)
-        f['configs'].attrs['long_diff'] = float(det.long_diff)
-        f['configs'].attrs['tran_diff'] = float(det.tran_diff)
-        f['configs'].attrs['lifetime'] = float(det.electron_lifetime)
+        hc = _host_consts(det)
+        f['configs'].attrs['vdrift'] = hc['v_drift']
+        f['configs'].attrs['long_diff'] = hc['long_diff']
+        f['configs'].attrs['tran_diff'] = hc['tran_diff']
+        f['configs'].attrs['lifetime'] = hc['electron_lifetime']
         f['configs'].attrs['drift_length'] = det.drift_length
 
 

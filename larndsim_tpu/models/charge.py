@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..params.detector import DetectorModel, DetectorParams
+from ..params.detector import DetectorModel, DetectorParams, host_scalars
 from ..params.sim import SimParams
 from ..params import physics
 from ..segments import Segments
@@ -198,16 +198,24 @@ def simulate_charge_batch(segs: Segments, det_model: DetectorModel,
         segs = drift(segs, det)
 
     # --- host-side shape selection ---
-    host = {k: np.asarray(getattr(segs, k)) for k in
-            ('x_start', 'y_start', 'x_end', 'y_end', 'pixel_plane',
-             'tran_diff', 'dx', 'valid', 't_start', 't_end', 't0_start')}
-    valid = host['valid']
+    # one stacked device->host pull for every field the host logic needs
+    # (per-field np.asarray costs a round trip each on remote TPU hosts)
+    _host_fields = ('x_start', 'y_start', 'x_end', 'y_end', 'z_start',
+                    'z_end', 'pixel_plane', 'tran_diff', 'long_diff', 'dx',
+                    't_start', 't_end', 't0_start', 'valid')
+    stacked = np.asarray(jnp.stack(
+        [jnp.asarray(getattr(segs, k), jnp.float32) for k in _host_fields]))
+    host = {k: stacked[i] for i, k in enumerate(_host_fields)}
+    valid = host['valid'] != 0
+    host['valid'] = valid
+    host['pixel_plane'] = host['pixel_plane'].astype(np.int32)
     seg_np = {k: v[valid] for k, v in host.items()}
     if valid.sum() == 0:
         raise ValueError('empty batch')
 
+    hconst = host_scalars(det)
     max_radius = int(np.ceil(seg_np['tran_diff'].max() * 5
-                             / float(det.pixel_pitch)))  # cli:918
+                             / hconst['pixel_pitch']))  # cli:918
     max_radius = max(max_radius, 1)
     max_active = bucket(pixelize.max_active_pixels(
         seg_np, det, np.asarray(det.tpc_borders)), lo=8)
@@ -217,7 +225,7 @@ def simulate_charge_batch(segs: Segments, det_model: DetectorModel,
     # signal window length (time_intervals, detsim.py:18-40)
     dt = det.time_sampling
     t_end_r = np.round((seg_np['t_end'] + 1) / dt) * dt
-    t_start_r = np.round((seg_np['t_start'] - float(det.time_padding)) / dt) * dt
+    t_start_r = np.round((seg_np['t_start'] - hconst['time_padding']) / dt) * dt
     # NOTE: not capped at det.time_ticks — padding + drift can exceed the
     # event interval (module0: 190 us padding); the global-waveform scatter
     # crops out-of-window ticks exactly as the reference placement does
@@ -268,11 +276,7 @@ def simulate_charge_batch(segs: Segments, det_model: DetectorModel,
     k_cur, k_fee = jax.random.split(key)
     if backend == 'pallas':
         from ..ops.current_pallas import current_pallas, host_shift_band
-        vmask = np.asarray(segs.valid)
-        band = host_shift_band(
-            {k: np.asarray(getattr(segs, k))[vmask] for k in
-             ('z_start', 'z_end', 'pixel_plane', 'long_diff',
-              't_start', 't0_start')}, det, mc_smear=True)
+        band = host_shift_band(seg_np, det, mc_smear=True)
         with trace.phase('charge/current_pallas'):
             signals = current_pallas(
                 segs, px, py, pix_valid, response, det, k_cur,

@@ -83,15 +83,59 @@ def _beam_digitize_stage(response, noise_rows, key_noise, light: LightParams,
     return wvfms, truth_ids, amp, itick
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=('n_ticks', 'conv_ticks', 'lut_smearing',
+                     'digit_samples', 'pad_front', 'pad_back', 'add_noise',
+                     'k_truth'))
+def _group_beam_stage(segs_g, vox_g, nd_g, op_channel, time_dist, t0_avg,
+                      gains, noise_rows, key_mod, event_ids,
+                      light: LightParams, *, n_ticks: int, conv_ticks: int,
+                      lut_smearing: bool, digit_samples: int, pad_front: int,
+                      pad_back: int, add_noise: bool, k_truth: int):
+    """G independent beam-mode events in one dispatch (vmap over events).
+
+    Per-event keys are derived exactly as the solo path does
+    (fold_in(fold_in(key_mod, ievd), 0) -> split), so results are
+    bit-identical to G separate simulate_light_batch calls.
+    """
+    start_time = jnp.float32(0.0)
+
+    def one(segs, vox, nd, ievd):
+        key = jax.random.fold_in(jax.random.fold_in(key_mod, ievd), 0)
+        k_poisson, k_noise = jax.random.split(key)
+        response = _signal_stage(
+            segs, vox, nd, op_channel, time_dist, t0_avg, start_time,
+            gains, k_poisson, light, n_ticks=n_ticks, conv_ticks=conv_ticks,
+            lut_smearing=lut_smearing)
+        return _beam_digitize_stage(
+            response, noise_rows, k_noise, light, segs, vox, nd,
+            op_channel, t0_avg, start_time, digit_samples=digit_samples,
+            pad_front=pad_front, pad_back=pad_back, add_noise=add_noise,
+            k_truth=k_truth, conv_ticks=conv_ticks)
+
+    return jax.vmap(one)(segs_g, vox_g, nd_g, event_ids)
+
+
 _KERNEL_CACHE: dict = {}
+_KERNEL_KEY_CACHE: dict = {}
 
 
 def _combined_kernel_host(light: LightParams, conv_ticks: int) -> np.ndarray:
     """Combined scintillation*SiPM kernel on host (cached per config)."""
-    key = (conv_ticks, light.sipm_response_model,
-           float(light.tau_s), float(light.tau_t),
-           float(light.singlet_fraction), float(light.light_response_time),
-           float(light.light_oscillation_period), light.light_tick_size,
+    # the scalar-leaf part of the key is memoized by params identity:
+    # five float() device pulls per call would dominate on remote TPU hosts
+    ent = _KERNEL_KEY_CACHE.get(id(light))
+    if ent is not None and ent[0] is light:
+        leaf_key = ent[1]
+    else:
+        leaf_key = (float(light.tau_s), float(light.tau_t),
+                    float(light.singlet_fraction),
+                    float(light.light_response_time),
+                    float(light.light_oscillation_period))
+        _KERNEL_KEY_CACHE[id(light)] = (light, leaf_key)
+    key = (conv_ticks, light.sipm_response_model, *leaf_key,
+           light.light_tick_size,
            light.impulse_tick_size, int(light.impulse_model.shape[0]))
     hit = _KERNEL_CACHE.get(key)
     if hit is not None:
@@ -327,3 +371,96 @@ def simulate_light_batch(segs: Segments, det_model: DetectorModel,
         truth_waveforms=None,
         truth_sparse=truth_sparse,
     )
+
+
+def simulate_light_group(segs_g: Segments, det_model: DetectorModel,
+                         light: LightParams, sim: SimParams,
+                         inc_g, vox_g, lut: light_ops.LightLUT,
+                         light_noise, key_mod, event_ids,
+                         op_channel: np.ndarray,
+                         add_noise: bool = True) -> list[LightBatchResult]:
+    """G independent beam-mode events in ONE device dispatch.
+
+    Bit-identical to G solo :func:`simulate_light_batch` calls with
+    ``key = fold_in(key_mod, ievd)``, ``i_subbatch = 0`` (per-event keys are
+    derived inside the stage the same way).  Caller guarantees
+    ``light.light_trig_mode == 1`` (beam: fixed window, one trigger at tick
+    0 per event) and that truth, if enabled, uses the contributor-point
+    path (``not light.enable_lut_smearing``).
+
+    Args:
+        segs_g: (G, S) stacked segments (``from_structured_group``).
+        inc_g: (G, S, C) photons per channel; vox_g: (G, S, 3) LUT voxels.
+        event_ids: (G,) event numbers (RNG stream selectors).
+    """
+    C = len(op_channel)
+    G = int(len(event_ids))
+
+    # beam mode: fixed window, start at 0 (get_nticks trig_mode!=0 branch)
+    n_ticks = int((light.light_window[1] + light.light_window[0])
+                  / light.light_tick_size)
+    n_ticks = max(256, 1 << math.ceil(math.log2(max(n_ticks, 1))))
+    conv_ticks = int(np.ceil((light.light_window[1] - light.light_window[0])
+                             / light.light_tick_size))
+    conv_ticks = max(min(conv_ticks, n_ticks), 1)
+
+    cache = getattr(lut, '_dev_cache', None)
+    if cache is None or cache[0] is not op_channel:
+        op_channel_dev = jnp.asarray(op_channel)
+        gains = light.light_gain[op_channel_dev]
+        noise_dev = (jnp.asarray(light_noise)[op_channel_dev
+                                              % len(light_noise)]
+                     if light_noise is not None else None)
+        lut._dev_cache = (op_channel, op_channel_dev, gains, noise_dev)
+    _, op_channel_dev, gains, noise_cached = lut._dev_cache
+
+    digit_samples = int(np.ceil((light.light_trig_window[1]
+                                 + light.light_trig_window[0])
+                                / light.light_digit_sample_spacing))
+    tick = light.light_tick_size
+    pre = int(np.ceil(light.light_trig_window[0] / tick))
+    post = int(np.ceil(light.light_trig_window[1] / tick))
+    pad_front = max(pre, 0)
+    pad_back = max(post + pad_front - (n_ticks + pad_front), 0)
+
+    noise_rows = noise_cached if add_noise else None
+    do_truth = sim.max_mc_truth_ids > 0 and not light.enable_lut_smearing
+
+    wv_g, tid_g, amp_g, it_g = _group_beam_stage(
+        segs_g, jnp.asarray(vox_g), jnp.asarray(inc_g), op_channel_dev,
+        lut.time_dist, lut.t0_avg, gains, noise_rows, key_mod,
+        jnp.asarray(event_ids, jnp.int32), light,
+        n_ticks=n_ticks, conv_ticks=conv_ticks,
+        lut_smearing=light.enable_lut_smearing,
+        digit_samples=digit_samples, pad_front=pad_front, pad_back=pad_back,
+        add_noise=noise_rows is not None,
+        k_truth=sim.max_mc_truth_ids if do_truth else 0)
+
+    wv = np.asarray(wv_g)                    # (G, 1, C, digit_samples)
+    ids_h = amp_h = it_h = None
+    if do_truth:
+        ids_h = np.asarray(tid_g)            # (G, C, K)
+        amp_h = np.asarray(amp_g)
+        it_h = np.asarray(it_g)
+        kernel = _combined_kernel_host(light, conv_ticks)
+
+    out = []
+    trigger_idx = np.zeros(1, int)
+    for g in range(G):
+        truth_sparse = None
+        if do_truth:
+            truth_sparse = _host_truth_sparse(
+                ids_h[g], amp_h[g], it_h[g], kernel, trigger_idx, light,
+                digit_samples, op_channel, sim.mc_truth_threshold)
+        out.append(LightBatchResult(
+            trigger_idx=trigger_idx.copy(),
+            trigger_type=np.ones(1, int),
+            op_channel_idx=np.asarray(op_channel)[None, :],
+            waveforms=wv[g],
+            start_time=0.0,
+            n_ticks=n_ticks,
+            truth_ids=ids_h[g] if ids_h is not None else None,
+            truth_waveforms=None,
+            truth_sparse=truth_sparse,
+        ))
+    return out

@@ -307,12 +307,15 @@ def host_shift_band(segs_np: dict, det: DetectorParams,
     shift = round((t0 - t_start)/resp_dt) with t0 = |z - z_anode|/v - W;
     bound z by the segment extent +- 6 sigma of the longitudinal smear.
     """
+    from ..params.detector import host_scalars
+    hc = host_scalars(det)
     dt = float(det.time_sampling)
-    resp_dt = float(det.response_sampling)
+    resp_dt = hc['response_sampling']
     ratio = int(round(dt / resp_dt))
-    v = float(det.v_drift)
-    borders = np.asarray(det.tpc_borders)
-    plane = np.clip(segs_np['pixel_plane'], 0, borders.shape[0] - 1)
+    v = hc['v_drift']
+    borders = hc['tpc_borders']
+    plane = np.clip(np.asarray(segs_np['pixel_plane'], np.int64), 0,
+                    borders.shape[0] - 1)
     z_anode = borders[plane, 2, 0]
     pad = 6.0 * segs_np['long_diff'] if mc_smear else 0.0
     z_lo = np.minimum(segs_np['z_start'], segs_np['z_end']) - pad
@@ -321,8 +324,8 @@ def host_shift_band(segs_np: dict, det: DetectorParams,
     d_lo = np.where((z_lo - z_anode) * (z_hi - z_anode) < 0, 0.0, d_lo)
     d_hi = np.maximum(np.abs(z_lo - z_anode), np.abs(z_hi - z_anode))
     t_start = np.round((segs_np['t_start'] - segs_np['t0_start']
-                        - float(det.time_padding)) / dt) * dt
-    w = float(det.time_window)
+                        - hc['time_padding']) / dt) * dt
+    w = hc['time_window']
     lo = np.floor((d_lo / v - w - t_start) / resp_dt).min() - 2
     hi = np.ceil((d_hi / v - w - t_start) / resp_dt).max() + 2
     # fine-shift -> phase-folded tick shift (see prepare_points)

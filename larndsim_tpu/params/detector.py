@@ -111,6 +111,35 @@ class DetectorParams:
         return round(self.adc_busy_delay * self.clock_cycle / self.time_sampling)
 
 
+#: Scalar float leaves of DetectorParams (everything but tpc_borders).
+_SCALAR_LEAVES = (
+    'pixel_pitch', 'e_field', 'temperature', 'v_drift', 'electron_lifetime',
+    'long_diff', 'tran_diff', 'time_padding', 'time_window',
+    'response_sampling', 'response_bin_size', 'discrimination_threshold',
+    'gain', 'buffer_risetime', 'v_cm', 'v_ref', 'v_pedestal',
+    'reset_noise_charge', 'uncorrelated_noise_charge', 'discriminator_noise')
+_HOST_SCALAR_CACHE: dict[int, tuple] = {}
+
+
+def host_scalars(det: 'DetectorParams') -> dict:
+    """Host float copies of all scalar leaves, in ONE device->host pull.
+
+    Per-leaf ``float(det.x)`` costs a device round trip each — expensive on
+    remote-dispatch TPU hosts — so callers that need leaf values on the host
+    (exporters, shape selection) go through this identity-keyed cache.
+    """
+    ent = _HOST_SCALAR_CACHE.get(id(det))
+    if ent is not None and ent[0] is det:
+        return ent[1]
+    import jax.numpy as jnp
+    stacked = np.asarray(jnp.stack(
+        [jnp.ravel(jnp.asarray(getattr(det, n)))[0] for n in _SCALAR_LEAVES]))
+    got = {n: float(v) for n, v in zip(_SCALAR_LEAVES, stacked)}
+    got['tpc_borders'] = np.asarray(det.tpc_borders)
+    _HOST_SCALAR_CACHE[id(det)] = (det, got)
+    return got
+
+
 @dataclasses.dataclass(frozen=True)
 class DetectorModel:
     """Host-side detector description.

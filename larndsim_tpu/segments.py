@@ -77,6 +77,39 @@ def from_structured(tracks: np.ndarray, pad_to: int | None = None) -> Segments:
     return Segments(valid=jnp.asarray(valid), **kwargs)
 
 
+def from_structured_group(tracks_list: list, pad_to: int) -> Segments:
+    """Stack G event batches into a (G, pad_to)-shaped :class:`Segments`.
+
+    Used by grouped per-event pipelines (vmap over the leading axis); each
+    field becomes one (G, pad_to) device array — same transfer count as a
+    single event.
+    """
+    import jax.numpy as jnp
+
+    G = len(tracks_list)
+
+    def field(name, dtype):
+        out = np.zeros((G, pad_to), dtype=dtype)
+        for g, tracks in enumerate(tracks_list):
+            names = tracks.dtype.names or ()
+            if name == 'traj_id' and 'traj_id' not in names \
+                    and 'file_traj_id' in names:
+                src = tracks['file_traj_id']
+            elif name in names:
+                src = tracks[name]
+            else:
+                src = np.zeros(tracks.shape[0])
+            out[g, :tracks.shape[0]] = src.astype(dtype)
+        return jnp.asarray(out)
+
+    kwargs = {name: field(name, np.float32) for name in FLOAT_FIELDS}
+    kwargs.update({name: field(name, np.int32) for name in INT_FIELDS})
+    valid = np.zeros((G, pad_to), bool)
+    for g, tracks in enumerate(tracks_list):
+        valid[g, :tracks.shape[0]] = True
+    return Segments(valid=jnp.asarray(valid), **kwargs)
+
+
 def to_structured(segs: Segments, dtype: np.dtype | None = None) -> np.ndarray:
     """Materialize the valid rows back into a structured array."""
     valid = np.asarray(segs.valid)

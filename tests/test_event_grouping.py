@@ -2,6 +2,7 @@
 per-event pixel-key offsets, with exact per-event separation."""
 import h5py
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -104,3 +105,77 @@ class TestEventGrouping:
             # workload, so grouped-vs-ungrouped must be in the same range
             assert overlap > 0.7, f'hit-set overlap {overlap}'
             assert abs(len(d1) - len(d3)) <= 0.25 * max(len(d1), len(d3))
+
+
+class TestLightGrouping:
+    def test_grouped_light_matches_solo_exactly(self, setup):
+        """simulate_light_group (beam mode) is bit-identical to per-event
+        simulate_light_batch calls with the same key derivation."""
+        import dataclasses
+        from larndsim_tpu.params import load_light
+        from larndsim_tpu.assets.light_lut import (make_light_lut,
+                                                   make_light_noise)
+        from larndsim_tpu.ops import light as light_ops
+        from larndsim_tpu.models.light import (simulate_light_batch,
+                                               simulate_light_group)
+        from larndsim_tpu.segments import from_structured_group
+
+        det_model, sim, _ = setup
+        det = det_model.params
+        light = dataclasses.replace(
+            load_light(DETPROP, asset_root='/root/reference'),
+            light_trig_mode=1)
+        sim = dataclasses.replace(sim, max_mc_truth_ids=4)
+        lut = light_ops.LightLUT.from_structured(
+            make_light_lut(vox_div=(14, 26, 8), n_det_tpc=48))
+        noise = make_light_noise(light.n_op_channel)
+        op_channel = np.asarray(light.tpc_to_op_channel).ravel()
+
+        from larndsim_tpu.ops.quench import quench
+        from larndsim_tpu.ops.drift import drift
+        from larndsim_tpu.params import physics
+
+        key_mod = jax.random.PRNGKey(77)
+        evs, segs_list, incs, voxs = [7, 13], [], [], []
+        pad = 32
+        for ev in evs:
+            tr = make_test_tracks(det, n=4 + ev % 3)
+            tr['dEdx'] = 12.0
+            tr['dE'] = tr['dEdx'] * tr['dx']
+            segs = seg_mod.from_structured(tr, pad_to=pad)
+            segs = drift(quench(segs, det, physics.BIRKS), det)
+            n_det, t0_det, vox = light_ops.calculate_light_incidence(
+                segs, det, light, lut.vis, lut.t0,
+                n_channels=light.n_op_channel)
+            segs_list.append(segs)
+            incs.append(np.asarray(n_det))
+            voxs.append(np.asarray(vox))
+
+        # solo reference results
+        solos = []
+        for ev, segs, inc, vox in zip(evs, segs_list, incs, voxs):
+            key_l = jax.random.fold_in(key_mod, ev)
+            solos.append(simulate_light_batch(
+                segs, det_model, light, sim, inc, vox, lut, noise,
+                key_l, i_subbatch=0, op_channel=op_channel))
+
+        # grouped: same events in one dispatch.  Rebuild the stacked
+        # segments from the raw tracks (drift/quench re-applied) to ensure
+        # the group path sees identical physics inputs.
+        segs_g = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *segs_list)
+        groups = simulate_light_group(
+            segs_g, det_model, light, sim,
+            np.stack(incs), np.stack(voxs), lut, noise,
+            key_mod, np.array(evs), op_channel)
+
+        assert len(groups) == 2
+        for solo, grp in zip(solos, groups):
+            np.testing.assert_array_equal(solo.waveforms, grp.waveforms)
+            assert grp.trigger_idx.tolist() == [0]
+            assert grp.trigger_type.tolist() == [1]
+            if solo.truth_sparse is not None:
+                assert grp.truth_sparse is not None
+                for k in solo.truth_sparse:
+                    np.testing.assert_array_equal(
+                        solo.truth_sparse[k], grp.truth_sparse[k])
