@@ -16,7 +16,8 @@ import logging
 import os
 import time
 import warnings
-from collections import defaultdict
+from collections import defaultdict, deque
+from concurrent.futures import ThreadPoolExecutor
 from math import ceil
 
 import jax
@@ -328,6 +329,19 @@ def run_simulation(input_filename: str,
         results_acc = defaultdict(list)
         i_trig = 0
         i_light_trig = 0  # global light-trigger counter for truth records
+        # single worker thread: light-truth device->host pulls + sparse
+        # decodes run FIFO off the dispatch thread; HDF5 writes stay here
+        truth_executor = ThreadPoolExecutor(max_workers=1) \
+            if light.light_simulated else None
+        pending_truth: deque = deque()
+
+        def drain_truth(block=False):
+            while pending_truth and (block or pending_truth[0][2].done()):
+                ievd_t, trig_t, fut = pending_truth.popleft()
+                sparse = fut.result()
+                truth = export.truth_sparse_to_records(sparse, ievd_t,
+                                                       trig_t)
+                export.export_light_truth_to_hdf5(output_filename, truth)
         i_batch = 0
         event_id_buffer = -1
         sync_start = (event_times[0] // (det.clock_reset_period
@@ -486,6 +500,7 @@ def run_simulation(input_filename: str,
             if light.light_simulated:
                 def accumulate_light(ievd_l, lres):
                     nonlocal i_light_trig
+                    drain_truth()
                     ntrig = lres.trigger_idx.shape[0]
                     if not ntrig:
                         return
@@ -504,14 +519,14 @@ def run_simulation(input_filename: str,
                             lres.truth_sparse, int(ievd_l), i_light_trig)
                         export.export_light_truth_to_hdf5(
                             output_filename, truth)
+                    elif lres.truth_future is not None:
+                        pending_truth.append(
+                            (int(ievd_l), i_light_trig, lres.truth_future))
                     i_light_trig += ntrig
 
                 # events eligible for the one-dispatch grouped beam path:
-                # first light pass (i_sub == 0) in beam trigger mode, and
-                # truth (if on) uses the contributor-point path
-                groupable = (light.light_trig_mode == 1
-                             and not (sim.max_mc_truth_ids > 0
-                                      and light.enable_lut_smearing))
+                # first light pass (i_sub == 0) in beam trigger mode
+                groupable = light.light_trig_mode == 1
                 g_idx = [i for i, (ev, _) in enumerate(group)
                          if groupable and ev not in light_done_events]
                 if len(g_idx) > 1:
@@ -538,7 +553,8 @@ def run_simulation(input_filename: str,
                         lres_list = simulate_light_group(
                             segs_g, det_model, light, sim, inc_g, vox_g,
                             lut, light_noise, key_mod, ev_ids,
-                            op_channel_sim)
+                            op_channel_sim,
+                            truth_executor=truth_executor)
                     for (ievd_l, _), lres in zip(grouped, lres_list):
                         light_done_events.add(ievd_l)
                         accumulate_light(ievd_l, lres)
@@ -561,7 +577,8 @@ def run_simulation(input_filename: str,
                             segs_l, det_model, light, sim,
                             inc_batch, vox_batch, lut, light_noise,
                             key_l, i_subbatch=i_sub,
-                            op_channel=op_channel_sim, t0_det=t0_batch)
+                            op_channel=op_channel_sim, t0_det=t0_batch,
+                            truth_executor=truth_executor)
                     accumulate_light(ievd_l, lres)
             group.clear()
 
@@ -633,7 +650,10 @@ def run_simulation(input_filename: str,
 
         process_group()
         with trace.phase('export'):
+            drain_truth(block=True)
             flush_results()
+        if truth_executor is not None:
+            truth_executor.shutdown(wait=True)
         memlog.archive(f'loop_mod{i_mod}')
 
         if segments_to_files is None:

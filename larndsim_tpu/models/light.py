@@ -35,6 +35,10 @@ class LightBatchResult:
     # sparse zero-suppressed truth (preferred: avoids pulling the dense
     # tensor off-device): (trig, chan, tick, segment_id, pe) columns
     truth_sparse: dict | None = None
+    # future resolving to a truth_sparse dict (async decode on a worker
+    # thread; the caller drains completed futures and writes on its own
+    # thread to keep HDF5 access single-threaded)
+    truth_future: object | None = None
 
 
 
@@ -117,6 +121,38 @@ def _group_beam_stage(segs_g, vox_g, nd_g, op_channel, time_dist, t0_avg,
     return jax.vmap(one)(segs_g, vox_g, nd_g, event_ids)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=('n_ticks', 'conv_ticks', 'k_truth', 'digit_samples',
+                     'pad_front', 'pad_back'))
+def _smeared_truth_stage(segs, voxels, n_det, op_channel, time_dist, t0_avg,
+                         start_time, padded_trigger_idx,
+                         light: LightParams, *, n_ticks: int,
+                         conv_ticks: int, k_truth: int, digit_samples: int,
+                         pad_front: int, pad_back: int):
+    """LUT-smearing MC truth: per-contributor dense series through the
+    scintillation*SiPM convolution and the digitizer interpolation
+    (light_sim.py:170-183, :322-336 truth slots, linear chain)."""
+    scint_k = jnp.pad(light_ops.scintillation_kernel(light, conv_ticks),
+                      (0, conv_ticks))
+    combined_dev = light_ops.causal_convolve(
+        scint_k[None, :], light_ops.sipm_kernel(light, conv_ticks))[0]
+    truth_ids_dev, truth_series = light_ops.light_truth_series(
+        segs, voxels, n_det, op_channel, time_dist, t0_avg,
+        start_time, light, n_ticks=n_ticks,
+        k_truth=k_truth, lut_smearing=True)
+    C, K = truth_series.shape[0], truth_series.shape[1]
+    flat = truth_series.reshape(C * K, n_ticks)
+    flat = light_ops.causal_convolve(flat, combined_dev, row_chunk=1024)
+    flat = jnp.pad(flat, ((0, 0), (pad_front, pad_back)))
+    tw = light_ops.digitize_signal(flat, padded_trigger_idx, light,
+                                   digit_samples=digit_samples,
+                                   quantize=False)
+    tw_dev = tw.reshape(tw.shape[0], C, K, digit_samples) \
+        .transpose(0, 1, 3, 2)
+    return truth_ids_dev, tw_dev
+
+
 _KERNEL_CACHE: dict = {}
 _KERNEL_KEY_CACHE: dict = {}
 
@@ -148,6 +184,67 @@ def _combined_kernel_host(light: LightParams, conv_ticks: int) -> np.ndarray:
         _KERNEL_CACHE.clear()
     _KERNEL_CACHE[key] = combined
     return combined
+
+
+def _tight_bucket(n: int, lo: int = 16384) -> int:
+    """Next bucket in a quarter-step power-of-two ladder (bounds both the
+    number of compiled variants and the 2x transfer overshoot of pure
+    power-of-two rounding)."""
+    if n <= lo:
+        return lo
+    p = 1 << (n - 1).bit_length()          # smallest pow2 >= n
+    for frac in (0.625, 0.75, 0.875):
+        if n <= p * frac:
+            return int(p * frac)
+    return p
+
+
+@functools.partial(jax.jit, static_argnames=('kcap', 'threshold'))
+def _truth_pack_stage(truth_ids, tw, *, kcap: int, threshold: float):
+    """Device-side zero-suppression pack: keep-bitmask (uint8, 1 bit per
+    slot) + compacted kept values.  Pulling (mask, values) costs
+    ~total/8 + 4*n_keep bytes instead of 8*kcap for (indices, values)."""
+    keep = (truth_ids[None, :, None, :] >= 0) & (jnp.abs(tw) > threshold)
+    flat = keep.reshape(-1)
+    mask_bits = jnp.packbits(flat)
+    idx = jnp.nonzero(flat, size=kcap, fill_value=0)[0]
+    vals = tw.reshape(-1)[idx]
+    return mask_bits, vals
+
+
+def _pull_dense_truth_sparse(truth_ids_dev, tw_dev, op_channel,
+                             threshold: float) -> dict:
+    """Zero-suppressed truth records from a dense (ntrig, C, S, K) truth
+    tensor, minimizing device->host bytes (bitmask + packed values)."""
+    keep = ((truth_ids_dev[None, :, None, :] >= 0)
+            & (jnp.abs(tw_dev) > threshold))
+    n_keep = int(keep.sum())
+    if not n_keep:
+        return dict(
+            trig=np.empty(0, np.int32), op_channel=np.empty(0, np.int32),
+            tick=np.empty(0, np.int32),
+            segment_id=np.empty(0, np.int64),
+            pe_current=np.empty(0, np.float64),
+        )
+    kcap = _tight_bucket(n_keep)
+    mask_bits, vals = _truth_pack_stage(
+        truth_ids_dev, tw_dev, kcap=kcap, threshold=float(threshold))
+    mask_h = np.asarray(mask_bits)
+    vals_h = np.asarray(vals)[:n_keep]
+    ntrig_, C_, S_, K_ = tw_dev.shape
+    total = ntrig_ * C_ * S_ * K_
+    flat_idx = np.nonzero(np.unpackbits(mask_h, count=total))[0]
+    trig, rem = np.divmod(flat_idx, C_ * S_ * K_)
+    chan, rem = np.divmod(rem, S_ * K_)
+    tick_i, k = np.divmod(rem, K_)
+    ids_host = np.asarray(truth_ids_dev)
+    return dict(
+        trig=trig.astype(np.int32),
+        op_channel=np.asarray(op_channel)[chan].astype(np.int32),
+        tick=tick_i.astype(np.int32),
+        segment_id=ids_host[chan, k].astype(np.int64),
+        pe_current=vals_h.astype(np.float64),
+    )
 
 
 def _host_truth_sparse(truth_ids, amp, itick, kernel, trigger_idx,
@@ -182,7 +279,8 @@ def simulate_light_batch(segs: Segments, det_model: DetectorModel,
                          light_noise, key, i_subbatch: int = 0,
                          op_channel: np.ndarray | None = None,
                          t0_det=None, max_ticks: int = 50_000,
-                         add_noise: bool = True) -> LightBatchResult:
+                         add_noise: bool = True,
+                         truth_executor=None) -> LightBatchResult:
     """Run the light chain for one batch.
 
     Args:
@@ -280,6 +378,17 @@ def simulate_light_batch(segs: Segments, det_model: DetectorModel,
             pad_back=pad_back, add_noise=noise_rows is not None,
             k_truth=sim.max_mc_truth_ids if do_truth else 0,
             conv_ticks=conv_ticks)
+        if sim.max_mc_truth_ids > 0 and not do_truth:
+            # LUT-smearing truth for the beam trigger at tick 0
+            truth_ids_dev, tw_dev = _smeared_truth_stage(
+                segs, jnp.asarray(voxels), jnp.asarray(n_photons_det),
+                op_channel_dev, lut.time_dist, lut.t0_avg,
+                jnp.float32(start_time),
+                jnp.asarray([pad_front]), light,
+                n_ticks=n_ticks, conv_ticks=conv_ticks,
+                k_truth=sim.max_mc_truth_ids,
+                digit_samples=digit_samples, pad_front=pad_front,
+                pad_back=pad_back)
     else:
         signal = jnp.pad(response, ((0, 0), (pad_front, pad_back)))
         padded_trigger_idx = jnp.asarray(trigger_idx + pad_front)
@@ -295,27 +404,14 @@ def simulate_light_batch(segs: Segments, det_model: DetectorModel,
                 op_channel_dev, lut.t0_avg, jnp.float32(start_time), light,
                 k_truth=sim.max_mc_truth_ids)
         elif sim.max_mc_truth_ids > 0:
-            # LUT-smearing truth: dense series + blocked FFT path
-            scint_k = jnp.pad(
-                light_ops.scintillation_kernel(light, conv_ticks),
-                (0, conv_ticks))
-            combined_dev = light_ops.causal_convolve(
-                scint_k[None, :], light_ops.sipm_kernel(light, conv_ticks))[0]
-            truth_ids_dev, truth_series = light_ops.light_truth_series(
+            truth_ids_dev, tw_dev = _smeared_truth_stage(
                 segs, jnp.asarray(voxels), jnp.asarray(n_photons_det),
                 op_channel_dev, lut.time_dist, lut.t0_avg,
-                jnp.float32(start_time), light, n_ticks=n_ticks,
-                k_truth=sim.max_mc_truth_ids, lut_smearing=True)
-            K = truth_series.shape[1]
-            flat = truth_series.reshape(C * K, n_ticks)
-            flat = light_ops.causal_convolve(flat, combined_dev,
-                                             row_chunk=1024)
-            flat = jnp.pad(flat, ((0, 0), (pad_front, pad_back)))
-            tw = light_ops.digitize_signal(flat, padded_trigger_idx, light,
-                                           digit_samples=digit_samples,
-                                           quantize=False)
-            tw_dev = tw.reshape(tw.shape[0], C, K, digit_samples) \
-                .transpose(0, 1, 3, 2)
+                jnp.float32(start_time), padded_trigger_idx, light,
+                n_ticks=n_ticks, conv_ticks=conv_ticks,
+                k_truth=sim.max_mc_truth_ids,
+                digit_samples=digit_samples, pad_front=pad_front,
+                pad_back=pad_back)
 
     # --- truth zero-suppression ---
     truth_sparse = None
@@ -326,38 +422,18 @@ def simulate_light_batch(segs: Segments, det_model: DetectorModel,
         truth_sparse = _host_truth_sparse(
             truth_ids_dev, amp, itick, kernel, trigger_idx, light,
             digit_samples, op_channel, sim.mc_truth_threshold)
-    elif tw_dev is not None:
-        keep = ((truth_ids_dev[None, :, None, :] >= 0)
-                & (jnp.abs(tw_dev) > sim.mc_truth_threshold))
-        n_keep = int(keep.sum())
-        if n_keep:
-            kcap = max(16384, 1 << (n_keep - 1).bit_length())
-            flat_idx = jnp.nonzero(keep.reshape(-1), size=kcap,
-                                   fill_value=-1)[0]
-            vals = tw_dev.reshape(-1)[jnp.maximum(flat_idx, 0)]
-            flat_idx = np.asarray(flat_idx)
-            vals = np.asarray(vals)
-            ok = flat_idx >= 0
-            flat_idx, vals = flat_idx[ok], vals[ok]
-            ntrig_, C_, S_, K_ = tw_dev.shape
-            trig, rem = np.divmod(flat_idx, C_ * S_ * K_)
-            chan, rem = np.divmod(rem, S_ * K_)
-            tick_i, k = np.divmod(rem, K_)
-            ids_host = np.asarray(truth_ids_dev)
-            truth_sparse = dict(
-                trig=trig.astype(np.int32),
-                op_channel=np.asarray(op_channel)[chan].astype(np.int32),
-                tick=tick_i.astype(np.int32),
-                segment_id=ids_host[chan, k].astype(np.int64),
-                pe_current=vals.astype(np.float64),
-            )
+    truth_future = None
+    if truth_sparse is None and tw_dev is not None:
+        if truth_executor is not None:
+            # device->host pull + sparse decode off the orchestration
+            # thread; the device work is already enqueued so the main
+            # thread can keep dispatching the next batch
+            truth_future = truth_executor.submit(
+                _pull_dense_truth_sparse, truth_ids_dev, tw_dev,
+                op_channel, sim.mc_truth_threshold)
         else:
-            truth_sparse = dict(
-                trig=np.empty(0, np.int32), op_channel=np.empty(0, np.int32),
-                tick=np.empty(0, np.int32),
-                segment_id=np.empty(0, np.int64),
-                pe_current=np.empty(0, np.float64),
-            )
+            truth_sparse = _pull_dense_truth_sparse(
+                truth_ids_dev, tw_dev, op_channel, sim.mc_truth_threshold)
 
     return LightBatchResult(
         trigger_idx=trigger_idx,
@@ -370,6 +446,7 @@ def simulate_light_batch(segs: Segments, det_model: DetectorModel,
                    if truth_ids_dev is not None else None),
         truth_waveforms=None,
         truth_sparse=truth_sparse,
+        truth_future=truth_future,
     )
 
 
@@ -378,7 +455,8 @@ def simulate_light_group(segs_g: Segments, det_model: DetectorModel,
                          inc_g, vox_g, lut: light_ops.LightLUT,
                          light_noise, key_mod, event_ids,
                          op_channel: np.ndarray,
-                         add_noise: bool = True) -> list[LightBatchResult]:
+                         add_noise: bool = True,
+                         truth_executor=None) -> list[LightBatchResult]:
     """G independent beam-mode events in ONE device dispatch.
 
     Bit-identical to G solo :func:`simulate_light_batch` calls with
@@ -436,6 +514,22 @@ def simulate_light_group(segs_g: Segments, det_model: DetectorModel,
         add_noise=noise_rows is not None,
         k_truth=sim.max_mc_truth_ids if do_truth else 0)
 
+    # LUT-smearing truth: per-event dense-series FFT stage on device, with
+    # the (pull + sparse decode) offloaded to the worker thread
+    smear_truth = sim.max_mc_truth_ids > 0 and light.enable_lut_smearing
+    smear = []
+    if smear_truth:
+        for g in range(G):
+            segs_1 = jax.tree_util.tree_map(lambda x: x[g], segs_g)
+            ids_dev, tw_dev = _smeared_truth_stage(
+                segs_1, jnp.asarray(vox_g)[g], jnp.asarray(inc_g)[g],
+                op_channel_dev, lut.time_dist, lut.t0_avg,
+                jnp.float32(0.0), jnp.asarray([pad_front]), light,
+                n_ticks=n_ticks, conv_ticks=conv_ticks,
+                k_truth=sim.max_mc_truth_ids, digit_samples=digit_samples,
+                pad_front=pad_front, pad_back=pad_back)
+            smear.append((ids_dev, tw_dev))
+
     wv = np.asarray(wv_g)                    # (G, 1, C, digit_samples)
     ids_h = amp_h = it_h = None
     if do_truth:
@@ -447,11 +541,21 @@ def simulate_light_group(segs_g: Segments, det_model: DetectorModel,
     out = []
     trigger_idx = np.zeros(1, int)
     for g in range(G):
-        truth_sparse = None
+        truth_sparse = truth_future = truth_ids = None
         if do_truth:
+            truth_ids = ids_h[g]
             truth_sparse = _host_truth_sparse(
                 ids_h[g], amp_h[g], it_h[g], kernel, trigger_idx, light,
                 digit_samples, op_channel, sim.mc_truth_threshold)
+        elif smear_truth:
+            ids_dev, tw_dev = smear[g]
+            if truth_executor is not None:
+                truth_future = truth_executor.submit(
+                    _pull_dense_truth_sparse, ids_dev, tw_dev,
+                    op_channel, sim.mc_truth_threshold)
+            else:
+                truth_sparse = _pull_dense_truth_sparse(
+                    ids_dev, tw_dev, op_channel, sim.mc_truth_threshold)
         out.append(LightBatchResult(
             trigger_idx=trigger_idx.copy(),
             trigger_type=np.ones(1, int),
@@ -459,8 +563,9 @@ def simulate_light_group(segs_g: Segments, det_model: DetectorModel,
             waveforms=wv[g],
             start_time=0.0,
             n_ticks=n_ticks,
-            truth_ids=ids_h[g] if ids_h is not None else None,
+            truth_ids=truth_ids,
             truth_waveforms=None,
             truth_sparse=truth_sparse,
+            truth_future=truth_future,
         ))
     return out

@@ -179,3 +179,65 @@ class TestLightGrouping:
                 for k in solo.truth_sparse:
                     np.testing.assert_array_equal(
                         solo.truth_sparse[k], grp.truth_sparse[k])
+
+    def test_grouped_smeared_truth_matches_solo(self, setup):
+        """LUT-smearing truth (dense-series FFT path) in the grouped call
+        matches per-event solo calls exactly."""
+        import dataclasses
+        from larndsim_tpu.params import load_light
+        from larndsim_tpu.assets.light_lut import (make_light_lut,
+                                                   make_light_noise)
+        from larndsim_tpu.ops import light as light_ops
+        from larndsim_tpu.models.light import (simulate_light_batch,
+                                               simulate_light_group)
+
+        det_model, sim, _ = setup
+        det = det_model.params
+        light = dataclasses.replace(
+            load_light(DETPROP, asset_root='/root/reference'),
+            light_trig_mode=1, enable_lut_smearing=True)
+        sim = dataclasses.replace(sim, max_mc_truth_ids=4)
+        lut = light_ops.LightLUT.from_structured(
+            make_light_lut(vox_div=(14, 26, 8), n_det_tpc=48))
+        noise = make_light_noise(light.n_op_channel)
+        op_channel = np.asarray(light.tpc_to_op_channel).ravel()
+
+        from larndsim_tpu.ops.quench import quench
+        from larndsim_tpu.ops.drift import drift
+        from larndsim_tpu.params import physics
+
+        key_mod = jax.random.PRNGKey(5)
+        evs, segs_list, incs, voxs = [2, 9], [], [], []
+        for ev in evs:
+            tr = make_test_tracks(det, n=3 + ev % 2)
+            tr['dEdx'] = 14.0
+            tr['dE'] = tr['dEdx'] * tr['dx']
+            segs = seg_mod.from_structured(tr, pad_to=16)
+            segs = drift(quench(segs, det, physics.BIRKS), det)
+            n_det, _, vox = light_ops.calculate_light_incidence(
+                segs, det, light, lut.vis, lut.t0,
+                n_channels=light.n_op_channel)
+            segs_list.append(segs)
+            incs.append(np.asarray(n_det))
+            voxs.append(np.asarray(vox))
+
+        solos = [simulate_light_batch(
+            segs, det_model, light, sim, inc, vox, lut, noise,
+            jax.random.fold_in(key_mod, ev), i_subbatch=0,
+            op_channel=op_channel)
+            for ev, segs, inc, vox in zip(evs, segs_list, incs, voxs)]
+
+        segs_g = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *segs_list)
+        groups = simulate_light_group(
+            segs_g, det_model, light, sim, np.stack(incs), np.stack(voxs),
+            lut, noise, key_mod, np.array(evs), op_channel)
+
+        for solo, grp in zip(solos, groups):
+            np.testing.assert_array_equal(solo.waveforms, grp.waveforms)
+            assert solo.truth_sparse is not None
+            assert grp.truth_sparse is not None
+            for k in solo.truth_sparse:
+                np.testing.assert_array_equal(
+                    solo.truth_sparse[k], grp.truth_sparse[k])
+            assert len(grp.truth_sparse['tick']) > 0
