@@ -38,9 +38,12 @@ def main():
     warm_in = os.path.join(tmp, 'warm.h5')
     bench_in = os.path.join(tmp, 'bench.h5')
 
-    # warmup must cover the same grouped shapes as the timed run
-    n_warm_ev = 4
-    n_bench_ev = 4
+    # warmup must cover the same shapes as the timed run INCLUDING the
+    # file-level stages (whole-file quench/drift and light incidence pad to
+    # bucket(total segments)); the timed run spans two event groups so the
+    # async light-truth decode of group 1 overlaps group 2's device work
+    n_warm_ev = 8
+    n_bench_ev = 8
     # ~1000 segments/spill: representative beam-spill occupancy (the
     # overheads amortize; tiny spills only measure dispatch latency)
     per_spill_kwargs = dict(tracks_per_event=24, segments_per_track=42,

@@ -61,11 +61,31 @@ def make_light_lut(vox_div=(14, 26, 8), n_det_tpc: int = 48,
     return arr
 
 
+_LUT_CACHE: dict = {}
+
+
 def load_light_lut(path: str | None, **synth_kwargs) -> np.ndarray:
+    """Load a light LUT npz, or build the synthetic stand-in.
+
+    Cached per (path, synth args): the synthetic LUT generation is ~9 s for
+    a 2x2-sized table and both it and file loads are deterministic, so the
+    module loop and repeated runs in one process reuse one array (which
+    also lets the device upload cache hit downstream).
+    """
     import os
-    if path and os.path.isfile(path):
-        return np.load(path)['arr']
-    return make_light_lut(**synth_kwargs)
+    key = (path if path and os.path.isfile(path) else None,
+           tuple(sorted(synth_kwargs.items())))
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    if key[0]:
+        arr = np.load(path)['arr']
+    else:
+        arr = make_light_lut(**synth_kwargs)
+    if len(_LUT_CACHE) > 4:
+        _LUT_CACHE.clear()
+    _LUT_CACHE[key] = arr
+    return arr
 
 
 def make_light_noise(n_channels: int, n_bins: int = 192,

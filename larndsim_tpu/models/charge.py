@@ -15,6 +15,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os
 from typing import Any
 
 import jax
@@ -287,28 +288,42 @@ def simulate_charge_batch(segs: Segments, det_model: DetectorModel,
             segs, px, py, pix_valid, response, det, k_cur,
             n_steps=n_steps, t_sig=t_sig, mc_smear=True)
 
-    # fractions are computed speculatively with a shallow ADC-slot scan;
-    # n_adc comes back with the final pull, and the rare deep-hit batch
-    # recomputes with the full depth
+    # The whole FEE pass is speculative in the ADC-slot depth: the FSM
+    # carries (U, max_adc) output arrays updated every scan step, so depth
+    # 4 is ~7x cheaper per tick than the full 30 and covers virtually every
+    # pixel (hits/pixel is almost always 0-2).  Any pixel saturating the
+    # shallow depth triggers one full-depth recompute (fire stops at
+    # iadc == max_adc, so a saturated pixel's later hits only exist in the
+    # deep pass).
+    a_spec = int(os.environ.get('LARNDSIM_ADC_SPEC', 4)); a_spec = min(a_spec, sim.max_adc_values)
     n_u = n_unique_cap  # sliced below after the single sync
     with trace.phase('charge/fee_stage'):
       out = _fee_stage(
           signals, pix_idx, slot, track_starts, thresholds, gains, det,
-          k_fee, n_unique_cap=n_unique_cap, max_adc=sim.max_adc_values,
-          max_tracks=sim.max_tracks_per_pixel, n_adc_scan=4)
+          k_fee, n_unique_cap=n_unique_cap, max_adc=a_spec,
+          max_tracks=sim.max_tracks_per_pixel, n_adc_scan=a_spec)
       fee_res, fractions, adc = out
 
     n_unique_i = int(n_unique)
     n_u = min(bucket(max(n_unique_i, 1), lo=32), n_unique_cap)
     n_adc_host = np.asarray(fee_res.n_adc[:n_u])
-    n_frac_slots = 4
-    if n_adc_host.size and n_adc_host.max() > 4:
-        n_frac_slots = sim.max_adc_values
-        fractions = fee.current_fractions(
-            signals, pix_idx, slot, track_starts, fee_res, det,
-            max_adc=sim.max_adc_values,
-            max_tracks=sim.max_tracks_per_pixel,
-            n_adc_scan=sim.max_adc_values)
+    n_slots = a_spec
+    if n_adc_host.size and n_adc_host.max() >= a_spec \
+            and a_spec < sim.max_adc_values:
+        n_slots = sim.max_adc_values
+        with trace.phase('charge/fee_stage_deep'):
+            fee_res, fractions, adc = _fee_stage(
+                signals, pix_idx, slot, track_starts, thresholds, gains,
+                det, k_fee, n_unique_cap=n_unique_cap,
+                max_adc=sim.max_adc_values,
+                max_tracks=sim.max_tracks_per_pixel,
+                n_adc_scan=sim.max_adc_values)
+        n_adc_host = np.asarray(fee_res.n_adc[:n_u])
+
+    def _pad_slots(a):
+        return np.pad(np.asarray(a[:n_u]),
+                      ((0, 0), (0, sim.max_adc_values - n_slots))
+                      + ((0, 0),) * (a.ndim - 2))
 
     # pull only the occupied unique-pixel rows off device (the fractions
     # tensor alone is ~12 MB at cap size; valid rows are compacted first)
@@ -316,14 +331,12 @@ def simulate_charge_batch(segs: Segments, det_model: DetectorModel,
      return ChargeChainResult(
         unique_pix=np.asarray(uniq[:n_u]),
         n_unique=n_unique_i,
-        adc=np.asarray(adc[:n_u]),
-        adc_ticks=np.asarray(fee_res.ticks[:n_u]),
-        integrals=np.asarray(fee_res.integrals[:n_u]),
+        adc=_pad_slots(adc),
+        adc_ticks=_pad_slots(fee_res.ticks),
+        integrals=_pad_slots(fee_res.integrals),
         n_adc=n_adc_host,
         # only the computed ADC slots transfer; pad the rest host-side
-        current_fractions=np.pad(
-            np.asarray(fractions[:n_u, :n_frac_slots]),
-            ((0, 0), (0, sim.max_adc_values - n_frac_slots), (0, 0))),
+        current_fractions=_pad_slots(fractions),
         track_pixel_map=np.asarray(track_map[:n_u]),
         overflow=bool(np.asarray(overflow).any()),
         segments=segs,

@@ -38,6 +38,8 @@ class LightLUT:
     (cli/simulate_pixels.py:768-787).
     """
 
+    _UPLOAD_CACHE: dict = {}
+
     def __init__(self, vis, t0, t0_avg, time_dist):
         self.vis = vis
         self.t0 = t0
@@ -50,6 +52,20 @@ class LightLUT:
 
     @classmethod
     def from_structured(cls, arr: np.ndarray) -> 'LightLUT':
+        # cache the device upload per source array (a 2x2-sized LUT is
+        # ~230 MB host-side; repeated runs/modules reuse one LightLUT)
+        key = (id(arr), arr.__array_interface__['data'][0], arr.shape)
+        hit = cls._UPLOAD_CACHE.get(key)
+        if hit is not None and hit[0] is arr:
+            return hit[1]
+        out = cls._from_structured_uncached(arr)
+        if len(cls._UPLOAD_CACHE) > 4:
+            cls._UPLOAD_CACHE.clear()
+        cls._UPLOAD_CACHE[key] = (arr, out)
+        return out
+
+    @classmethod
+    def _from_structured_uncached(cls, arr: np.ndarray) -> 'LightLUT':
         # clip zero-visibility voxels to the minimum positive visibility
         # (cli/simulate_pixels.py:780-782)
         vis = np.array(arr['vis'], np.float32)

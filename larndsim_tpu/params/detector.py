@@ -184,7 +184,7 @@ _DEFAULTS = dict(
 
 
 def load_detector(detprop_file: str, pixel_file: str | list[str],
-                  i_module: int = -1) -> DetectorModel:
+                  i_module: int = -1, geo_only: bool = False) -> DetectorModel:
     """Build a :class:`DetectorModel` from detector-properties + pixel-layout
     YAMLs (drop-in compatible with the reference files).
 
@@ -194,6 +194,10 @@ def load_detector(detprop_file: str, pixel_file: str | list[str],
         i_module: 1-based module id when per-module variation is active,
             -1 for a uniform detector (reference semantics,
             consts/detector.py:198-211).
+        geo_only: accepted for API parity with the reference's
+            geometry-only loading mode (consts/detector.py:198, :274);
+            non-geometry keys are always defaults-tolerant here, so the
+            flag only documents intent.
     """
     import jax.numpy as jnp
 

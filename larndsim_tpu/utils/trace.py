@@ -9,6 +9,7 @@ XLA/perfetto traces) and accumulates wall time per label; `start_trace` /
 from __future__ import annotations
 
 import contextlib
+import os
 import time
 from collections import defaultdict
 
@@ -17,12 +18,31 @@ import jax
 _TIMES: dict[str, float] = defaultdict(float)
 _COUNTS: dict[str, int] = defaultdict(int)
 
+#: LARNDSIM_SYNC_PHASES=1 drains the device at every phase boundary so the
+#: wall-clock table attributes compute to the phase that dispatched it
+#: (async dispatch otherwise charges earlier stages' work to whichever
+#: later phase first blocks).  Debug-only: syncing costs throughput.
+_SYNC = os.environ.get('LARNDSIM_SYNC_PHASES', '') not in ('', '0')
+_SYNC_FN = None
+
+
+def _drain_device():
+    # a trivial program enqueued now completes after everything already
+    # queued (single in-order execution stream per TPU core)
+    global _SYNC_FN
+    if _SYNC_FN is None:
+        import jax.numpy as jnp
+        _SYNC_FN = jax.jit(lambda: jnp.zeros(()))
+    _SYNC_FN().block_until_ready()
+
 
 @contextlib.contextmanager
 def phase(label: str):
     t0 = time.perf_counter()
     with jax.profiler.TraceAnnotation(label):
         yield
+    if _SYNC:
+        _drain_device()
     _TIMES[label] += time.perf_counter() - t0
     _COUNTS[label] += 1
 
