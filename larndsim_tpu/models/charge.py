@@ -15,7 +15,6 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
-import os
 from typing import Any
 
 import jax
@@ -30,6 +29,9 @@ from ..ops import accumulate, current, fee, pixelize
 from ..ops.drift import drift
 from ..ops.quench import quench
 from ..utils import trace
+
+
+_FRAC_DEEP_STICKY = [False]
 
 
 def bucket(n: int, lo: int = 16) -> int:
@@ -288,42 +290,43 @@ def simulate_charge_batch(segs: Segments, det_model: DetectorModel,
             segs, px, py, pix_valid, response, det, k_cur,
             n_steps=n_steps, t_sig=t_sig, mc_smear=True)
 
-    # The whole FEE pass is speculative in the ADC-slot depth: the FSM
-    # carries (U, max_adc) output arrays updated every scan step, so depth
-    # 4 is ~7x cheaper per tick than the full 30 and covers virtually every
-    # pixel (hits/pixel is almost always 0-2).  Any pixel saturating the
-    # shallow depth triggers one full-depth recompute (fire stops at
-    # iadc == max_adc, so a saturated pixel's later hits only exist in the
-    # deep pass).
-    a_spec = int(os.environ.get('LARNDSIM_ADC_SPEC', 4)); a_spec = min(a_spec, sim.max_adc_values)
+    # FEE: the FSM always runs at full ADC-slot depth (its cost is tiny);
+    # current_fractions is speculative in the slot-scan depth (4 covers
+    # sparse workloads) with a sticky fallback -- once a batch saturates,
+    # later batches in the process go straight to the full depth instead
+    # of paying shallow + deep every time (dense spills saturate always).
+    a_full = sim.max_adc_values
+    frac_scan = a_full if _FRAC_DEEP_STICKY[0] else min(4, a_full)
     n_u = n_unique_cap  # sliced below after the single sync
     with trace.phase('charge/fee_stage'):
       out = _fee_stage(
           signals, pix_idx, slot, track_starts, thresholds, gains, det,
-          k_fee, n_unique_cap=n_unique_cap, max_adc=a_spec,
-          max_tracks=sim.max_tracks_per_pixel, n_adc_scan=a_spec)
+          k_fee, n_unique_cap=n_unique_cap, max_adc=a_full,
+          max_tracks=sim.max_tracks_per_pixel, n_adc_scan=frac_scan)
       fee_res, fractions, adc = out
 
     n_unique_i = int(n_unique)
     n_u = min(bucket(max(n_unique_i, 1), lo=32), n_unique_cap)
     n_adc_host = np.asarray(fee_res.n_adc[:n_u])
-    n_slots = a_spec
-    if n_adc_host.size and n_adc_host.max() >= a_spec \
-            and a_spec < sim.max_adc_values:
-        n_slots = sim.max_adc_values
-        with trace.phase('charge/fee_stage_deep'):
-            fee_res, fractions, adc = _fee_stage(
-                signals, pix_idx, slot, track_starts, thresholds, gains,
-                det, k_fee, n_unique_cap=n_unique_cap,
-                max_adc=sim.max_adc_values,
-                max_tracks=sim.max_tracks_per_pixel,
-                n_adc_scan=sim.max_adc_values)
-        n_adc_host = np.asarray(fee_res.n_adc[:n_u])
+    max_hits = int(n_adc_host.max()) if n_adc_host.size else 0
+    n_slots = frac_scan
+    if max_hits > frac_scan:
+        _FRAC_DEEP_STICKY[0] = True
+        n_slots = a_full
+        with trace.phase('charge/fee_fractions_deep'):
+            fractions = fee.current_fractions(
+                signals, pix_idx, slot, track_starts, fee_res, det,
+                max_adc=a_full, max_tracks=sim.max_tracks_per_pixel,
+                n_adc_scan=a_full)
 
-    def _pad_slots(a):
-        return np.pad(np.asarray(a[:n_u]),
-                      ((0, 0), (0, sim.max_adc_values - n_slots))
-                      + ((0, 0),) * (a.ndim - 2))
+    # transfer only the ADC-slot columns that can hold hits (bucketed to
+    # bound recompiles of the slice), pad the rest host-side
+    n_pull = min(bucket(max(max_hits, 1), lo=4), a_full)
+
+    def _pad_slots(a, n_have):
+        n_c = min(n_pull, n_have)
+        return np.pad(np.asarray(a[:n_u, :n_c]),
+                      ((0, 0), (0, a_full - n_c)) + ((0, 0),) * (a.ndim - 2))
 
     # pull only the occupied unique-pixel rows off device (the fractions
     # tensor alone is ~12 MB at cap size; valid rows are compacted first)
@@ -331,12 +334,11 @@ def simulate_charge_batch(segs: Segments, det_model: DetectorModel,
      return ChargeChainResult(
         unique_pix=np.asarray(uniq[:n_u]),
         n_unique=n_unique_i,
-        adc=_pad_slots(adc),
-        adc_ticks=_pad_slots(fee_res.ticks),
-        integrals=_pad_slots(fee_res.integrals),
+        adc=_pad_slots(adc, a_full),
+        adc_ticks=_pad_slots(fee_res.ticks, a_full),
+        integrals=_pad_slots(fee_res.integrals, a_full),
         n_adc=n_adc_host,
-        # only the computed ADC slots transfer; pad the rest host-side
-        current_fractions=_pad_slots(fractions),
+        current_fractions=_pad_slots(fractions, n_slots),
         track_pixel_map=np.asarray(track_map[:n_u]),
         overflow=bool(np.asarray(overflow).any()),
         segments=segs,

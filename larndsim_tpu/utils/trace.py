@@ -28,12 +28,14 @@ _SYNC_FN = None
 
 def _drain_device():
     # a trivial program enqueued now completes after everything already
-    # queued (single in-order execution stream per TPU core)
+    # queued (single in-order execution stream per TPU core); pull its
+    # scalar result — block_until_ready is NOT reliable on remote
+    # (axon-tunneled) platforms, a host transfer is
     global _SYNC_FN
     if _SYNC_FN is None:
         import jax.numpy as jnp
         _SYNC_FN = jax.jit(lambda: jnp.zeros(()))
-    _SYNC_FN().block_until_ready()
+    float(_SYNC_FN())
 
 
 @contextlib.contextmanager
