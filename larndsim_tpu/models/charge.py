@@ -166,6 +166,30 @@ def _fee_stage(signals, pix_idx, slot, track_starts, thresholds, gains,
     return fee_res, fractions, adc
 
 
+@functools.partial(jax.jit, static_argnames=('h_cap', 'n_u', 'a_full'))
+def _compact_hits(n_adc, adc, ticks, integrals, fractions, *,
+                  h_cap: int, n_u: int, a_full: int):
+    """Compact the (pixel, adc-slot) hit entries for a slim host pull.
+
+    Most pixels latch 1-2 hits, so pulling dense (n_u, max_adc[, K])
+    result tensors moves ~10x more bytes than the hits they contain; the
+    host rebuilds the dense arrays from (u, a, values) triplets.
+    """
+    mask = jnp.arange(a_full)[None, :] < n_adc[:n_u, None]
+    idx = jnp.nonzero(mask.reshape(-1), size=h_cap,
+                      fill_value=n_u * a_full)[0]
+    valid = idx < n_u * a_full
+    u_h = jnp.where(valid, idx // a_full, 0).astype(jnp.int32)
+    a_h = jnp.where(valid, idx % a_full, 0).astype(jnp.int32)
+
+    def take(arr):
+        return jnp.where(valid, arr[u_h, a_h], 0)
+
+    frac_h = jnp.where(valid[:, None], fractions[u_h, a_h], 0.0)
+    return (jnp.where(valid, u_h, -1), a_h, take(adc), take(ticks),
+            take(integrals), frac_h)
+
+
 def simulate_charge_batch(segs: Segments, det_model: DetectorModel,
                           sim: SimParams, key: jax.Array, response,
                           *, pixel_thresholds=None, pixel_gains=None,
@@ -319,27 +343,34 @@ def simulate_charge_batch(segs: Segments, det_model: DetectorModel,
                 max_adc=a_full, max_tracks=sim.max_tracks_per_pixel,
                 n_adc_scan=a_full)
 
-    # transfer only the ADC-slot columns that can hold hits (bucketed to
-    # bound recompiles of the slice), pad the rest host-side
-    n_pull = min(bucket(max(max_hits, 1), lo=4), a_full)
-
-    def _pad_slots(a, n_have):
-        n_c = min(n_pull, n_have)
-        return np.pad(np.asarray(a[:n_u, :n_c]),
-                      ((0, 0), (0, a_full - n_c)) + ((0, 0),) * (a.ndim - 2))
-
-    # pull only the occupied unique-pixel rows off device (the fractions
-    # tensor alone is ~12 MB at cap size; valid rows are compacted first)
+    # pull only the hit entries off device (the dense fractions tensor
+    # alone is ~50 MB at cap size; the hits are ~2-4 MB) and rebuild the
+    # dense per-pixel result arrays host-side
     with trace.phase('charge/pull'):
-     return ChargeChainResult(
-        unique_pix=np.asarray(uniq[:n_u]),
-        n_unique=n_unique_i,
-        adc=_pad_slots(adc, a_full),
-        adc_ticks=_pad_slots(fee_res.ticks, a_full),
-        integrals=_pad_slots(fee_res.integrals, a_full),
-        n_adc=n_adc_host,
-        current_fractions=_pad_slots(fractions, n_slots),
-        track_pixel_map=np.asarray(track_map[:n_u]),
-        overflow=bool(np.asarray(overflow).any()),
-        segments=segs,
-    )
+        n_hits = int(n_adc_host.sum())
+        h_cap = bucket(max(n_hits, 1), lo=256)
+        u_h, a_h, adc_h, ticks_h, integ_h, frac_h = _compact_hits(
+            fee_res.n_adc, adc, fee_res.ticks, fee_res.integrals,
+            fractions, h_cap=h_cap, n_u=n_u, a_full=a_full)
+        u_h = np.asarray(u_h)
+        ok_h = u_h >= 0
+        u_np, a_np = u_h[ok_h], np.asarray(a_h)[ok_h]
+
+        def dense(vals, fill=0.0):
+            out = np.full((n_u, a_full) + vals.shape[1:], fill,
+                          np.asarray(vals).dtype)
+            out[u_np, a_np] = np.asarray(vals)[ok_h]
+            return out
+
+        return ChargeChainResult(
+            unique_pix=np.asarray(uniq[:n_u]),
+            n_unique=n_unique_i,
+            adc=dense(adc_h),
+            adc_ticks=dense(ticks_h),
+            integrals=dense(integ_h),
+            n_adc=n_adc_host,
+            current_fractions=dense(frac_h),
+            track_pixel_map=np.asarray(track_map[:n_u]),
+            overflow=bool(np.asarray(overflow).any()),
+            segments=segs,
+        )

@@ -153,6 +153,30 @@ def _smeared_truth_stage(segs, voxels, n_det, op_channel, time_dist, t0_avg,
     return truth_ids_dev, tw_dev
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=('n_ticks', 'conv_ticks', 'k_truth', 'digit_samples',
+                     'pad_front', 'pad_back'))
+def _group_smeared_truth(segs_g, vox_g, nd_g, op_channel, time_dist, t0_avg,
+                         light: LightParams, *, n_ticks: int,
+                         conv_ticks: int, k_truth: int, digit_samples: int,
+                         pad_front: int, pad_back: int):
+    """All G events' smeared-truth stages in one dispatch; lax.map keeps a
+    single event's dense intermediates live at a time."""
+    trig = jnp.asarray([pad_front])
+    start = jnp.float32(0.0)
+
+    def one(args):
+        segs, vox, nd = args
+        return _smeared_truth_stage(
+            segs, vox, nd, op_channel, time_dist, t0_avg, start, trig,
+            light, n_ticks=n_ticks, conv_ticks=conv_ticks, k_truth=k_truth,
+            digit_samples=digit_samples, pad_front=pad_front,
+            pad_back=pad_back)
+
+    return jax.lax.map(one, (segs_g, vox_g, nd_g))
+
+
 _KERNEL_CACHE: dict = {}
 _KERNEL_KEY_CACHE: dict = {}
 
@@ -514,21 +538,19 @@ def simulate_light_group(segs_g: Segments, det_model: DetectorModel,
         add_noise=noise_rows is not None,
         k_truth=sim.max_mc_truth_ids if do_truth else 0)
 
-    # LUT-smearing truth: per-event dense-series FFT stage on device, with
-    # the (pull + sparse decode) offloaded to the worker thread
+    # LUT-smearing truth: all G events' dense-series FFT stages in ONE
+    # dispatch (lax.map keeps one event's intermediates live at a time);
+    # the (pull + sparse decode) is offloaded to the worker thread
     smear_truth = sim.max_mc_truth_ids > 0 and light.enable_lut_smearing
     smear = []
     if smear_truth:
-        for g in range(G):
-            segs_1 = jax.tree_util.tree_map(lambda x: x[g], segs_g)
-            ids_dev, tw_dev = _smeared_truth_stage(
-                segs_1, jnp.asarray(vox_g)[g], jnp.asarray(inc_g)[g],
-                op_channel_dev, lut.time_dist, lut.t0_avg,
-                jnp.float32(0.0), jnp.asarray([pad_front]), light,
-                n_ticks=n_ticks, conv_ticks=conv_ticks,
-                k_truth=sim.max_mc_truth_ids, digit_samples=digit_samples,
-                pad_front=pad_front, pad_back=pad_back)
-            smear.append((ids_dev, tw_dev))
+        ids_all, tw_all = _group_smeared_truth(
+            segs_g, jnp.asarray(vox_g), jnp.asarray(inc_g),
+            op_channel_dev, lut.time_dist, lut.t0_avg, light,
+            n_ticks=n_ticks, conv_ticks=conv_ticks,
+            k_truth=sim.max_mc_truth_ids, digit_samples=digit_samples,
+            pad_front=pad_front, pad_back=pad_back)
+        smear = [(ids_all[g], tw_all[g]) for g in range(G)]
 
     wv = np.asarray(wv_g)                    # (G, 1, C, digit_samples)
     ids_h = amp_h = it_h = None
