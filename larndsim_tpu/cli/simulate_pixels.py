@@ -52,12 +52,13 @@ def gen_event_times(nevents: int, event_rate: float, t0: float = 0.0,
     return np.cumsum(rng.exponential(scale=event_rate, size=int(nevents))) + t0
 
 
-def _as_list(val, n_modules, cfg, id_name):
+def _as_list(val, n_modules, cfg, id_name, ids=None):
     """Resolve scalar-or-list config entries with *_ID indirection
     (cli/simulate_pixels.py:106-122)."""
     if val is None or not isinstance(val, list):
         return val
-    ids = cfg.get(id_name)
+    if ids is None:
+        ids = cfg.get(id_name)
     if ids is not None:
         if len(ids) != n_modules or max(ids) >= len(val):
             raise KeyError(f'Bad {id_name} indirection')
@@ -84,7 +85,9 @@ def run_simulation(input_filename: str,
                    bad_channels: str | None = None,
                    n_events: int | None = None,
                    pixel_thresholds_file=None,
+                   pixel_thresholds_id=None,
                    pixel_gains_file=None,
+                   pixel_gains_id=None,
                    rand_seed: int | None = None,
                    save_memory: str | None = None,
                    step_scale: float = 1.0,
@@ -125,10 +128,18 @@ def run_simulation(input_filename: str,
         warnings.warn('Single module with module variation: deactivating.')
         mod2mod_variation = False
     if mod2mod_variation:
-        pixel_layout = _as_list(pixel_layout, n_modules, cfg, 'PIXEL_LAYOUT_ID')
-        response_file = _as_list(response_file, n_modules, cfg, 'RESPONSE_ID')
+        pixel_layout = _as_list(pixel_layout, n_modules, cfg,
+                                'PIXEL_LAYOUT_ID', ids=pixel_layout_id)
+        response_file = _as_list(response_file, n_modules, cfg,
+                                 'RESPONSE_ID', ids=response_id)
         light_lut_filename = _as_list(light_lut_filename, n_modules, cfg,
-                                      'LIGHT_LUT_ID')
+                                      'LIGHT_LUT_ID', ids=light_lut_id)
+        pixel_thresholds_file = _as_list(
+            pixel_thresholds_file, n_modules, cfg, 'PIXEL_THRESHOLDS_ID',
+            ids=pixel_thresholds_id)
+        pixel_gains_file = _as_list(
+            pixel_gains_file, n_modules, cfg, 'PIXEL_GAINS_ID',
+            ids=pixel_gains_id)
     else:
         def _scalar(v):
             if isinstance(v, list):
