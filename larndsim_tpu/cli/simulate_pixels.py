@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import logging
 import os
+import threading
 import time
 import warnings
 from collections import defaultdict, deque
@@ -340,19 +341,26 @@ def run_simulation(input_filename: str,
         results_acc = defaultdict(list)
         i_trig = 0
         i_light_trig = 0  # global light-trigger counter for truth records
-        # single worker thread: light-truth device->host pulls + sparse
-        # decodes run FIFO off the dispatch thread; HDF5 writes stay here
+        # single worker thread: light-truth device->host pulls, sparse
+        # decodes AND HDF5 appends run FIFO off the dispatch thread (the
+        # truth dataset is ~300 MB/spill at production thresholds; writing
+        # it inline would serialize disk IO with device dispatch).  h5_lock
+        # serializes worker appends against main-thread flush_results
+        # writes to the same file.
         truth_executor = ThreadPoolExecutor(max_workers=1) \
             if light.light_simulated else None
         pending_truth: deque = deque()
+        h5_lock = threading.Lock()
+
+        def write_truth(ievd_t, trig_t, fut):
+            truth = export.truth_sparse_to_records(fut.result(), ievd_t,
+                                                   trig_t)
+            with h5_lock:
+                export.export_light_truth_to_hdf5(output_filename, truth)
 
         def drain_truth(block=False):
-            while pending_truth and (block or pending_truth[0][2].done()):
-                ievd_t, trig_t, fut = pending_truth.popleft()
-                sparse = fut.result()
-                truth = export.truth_sparse_to_records(sparse, ievd_t,
-                                                       trig_t)
-                export.export_light_truth_to_hdf5(output_filename, truth)
+            while pending_truth and (block or pending_truth[0].done()):
+                pending_truth.popleft().result()  # surface worker errors
         i_batch = 0
         event_id_buffer = -1
         sync_start = (event_times[0] // (det.clock_reset_period
@@ -407,7 +415,7 @@ def run_simulation(input_filename: str,
                     light_trig_modules = np.ones(len(uniq_events))
                     light_trigger_times = np.zeros_like(uniq_event_times)
                     light_trigger_event_ids = uniq_events
-                with trace.phase('export/packets'):
+                with trace.phase('export/packets'), h5_lock:
                     export.export_to_hdf5(
                         res['event_id'], res['adc_tot'],
                         res['adc_tot_ticks'],
@@ -420,12 +428,13 @@ def run_simulation(input_filename: str,
                         bad_channels=bad_channels, i_mod=i_mod)
             if light.light_simulated and len(res.get('light_event_id', [])):
                 if light.light_trig_mode == 0:
-                    export.export_light_trig_to_hdf5(
-                        res['light_event_id'], res['light_start_time'],
-                        res['light_trigger_idx'],
-                        res['light_op_channel_idx'], output_filename,
-                        uniq_event_times, det_model, light)
-                with trace.phase('export/light_wvfm'):
+                    with h5_lock:
+                        export.export_light_trig_to_hdf5(
+                            res['light_event_id'], res['light_start_time'],
+                            res['light_trigger_idx'],
+                            res['light_op_channel_idx'], output_filename,
+                            uniq_event_times, det_model, light)
+                with trace.phase('export/light_wvfm'), h5_lock:
                     export.export_light_wvfm_to_hdf5(
                         res['light_event_id'], res['light_waveforms'],
                         output_filename, sim, light, i_mod=i_mod)
@@ -528,11 +537,15 @@ def run_simulation(input_filename: str,
                     if lres.truth_sparse is not None:
                         truth = export.truth_sparse_to_records(
                             lres.truth_sparse, int(ievd_l), i_light_trig)
-                        export.export_light_truth_to_hdf5(
-                            output_filename, truth)
+                        with h5_lock:
+                            export.export_light_truth_to_hdf5(
+                                output_filename, truth)
                     elif lres.truth_future is not None:
-                        pending_truth.append(
-                            (int(ievd_l), i_light_trig, lres.truth_future))
+                        # chain decode+write on the same single worker (FIFO
+                        # keeps record order identical to inline writes)
+                        pending_truth.append(truth_executor.submit(
+                            write_truth, int(ievd_l), i_light_trig,
+                            lres.truth_future))
                     i_light_trig += ntrig
 
                 # events eligible for the one-dispatch grouped beam path:

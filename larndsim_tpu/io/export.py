@@ -492,7 +492,13 @@ def export_light_truth_to_hdf5(filename, truth_data: np.ndarray):
     if truth_data.shape[0] == 0:
         return
     with h5py.File(filename, 'a') as f:
-        _append_dataset(f, 'light_wvfm_mc_assn', truth_data)
+        if 'light_wvfm_mc_assn' not in f:
+            # production volume is ~10M rows/spill: h5py's auto-chunks are
+            # KB-sized, which makes the append IO chunk-op bound
+            f.create_dataset('light_wvfm_mc_assn', data=truth_data,
+                             maxshape=(None,), chunks=(1 << 18,))
+        else:
+            _append_dataset(f, 'light_wvfm_mc_assn', truth_data)
 
 
 def export_light_wvfm_to_hdf5(event_id, waveforms, filename,

@@ -129,52 +129,33 @@ def _smeared_truth_stage(segs, voxels, n_det, op_channel, time_dist, t0_avg,
                          start_time, padded_trigger_idx,
                          light: LightParams, *, n_ticks: int,
                          conv_ticks: int, k_truth: int, digit_samples: int,
-                         pad_front: int, pad_back: int):
-    """LUT-smearing MC truth: per-contributor dense series through the
-    scintillation*SiPM convolution and the digitizer interpolation
-    (light_sim.py:170-183, :322-336 truth slots, linear chain)."""
-    scint_k = jnp.pad(light_ops.scintillation_kernel(light, conv_ticks),
-                      (0, conv_ticks))
-    combined_dev = light_ops.causal_convolve(
-        scint_k[None, :], light_ops.sipm_kernel(light, conv_ticks))[0]
+                         pad_front: int, pad_back: int, transfer=None):
+    """LUT-smearing MC truth: per-contributor series -> digitized samples.
+
+    The chain is linear (light_sim.py:170-183, :322-336), so instead of
+    FFT-convolving C*K dense rows and interpolating, the whole
+    convolve+pad+digitize pipeline is one matmul against a precomputed
+    transfer table (ops/light.truth_transfer_table) — MXU work instead of
+    VPU FFTs over ~19k rows."""
+    if transfer is None:
+        scint_k = jnp.pad(light_ops.scintillation_kernel(light, conv_ticks),
+                          (0, conv_ticks))
+        combined_dev = light_ops.causal_convolve(
+            scint_k[None, :], light_ops.sipm_kernel(light, conv_ticks))[0]
+        transfer = light_ops.truth_transfer_table(
+            combined_dev, padded_trigger_idx - pad_front, light,
+            n_ticks=n_ticks, digit_samples=digit_samples,
+            pad_front=pad_front, n_padded=n_ticks + pad_front + pad_back)
     truth_ids_dev, truth_series = light_ops.light_truth_series(
         segs, voxels, n_det, op_channel, time_dist, t0_avg,
         start_time, light, n_ticks=n_ticks,
         k_truth=k_truth, lut_smearing=True)
     C, K = truth_series.shape[0], truth_series.shape[1]
-    flat = truth_series.reshape(C * K, n_ticks)
-    flat = light_ops.causal_convolve(flat, combined_dev, row_chunk=1024)
-    flat = jnp.pad(flat, ((0, 0), (pad_front, pad_back)))
-    tw = light_ops.digitize_signal(flat, padded_trigger_idx, light,
-                                   digit_samples=digit_samples,
-                                   quantize=False)
-    tw_dev = tw.reshape(tw.shape[0], C, K, digit_samples) \
-        .transpose(0, 1, 3, 2)
+    ntrig = padded_trigger_idx.shape[0]
+    tw = jnp.dot(truth_series.reshape(C * K, n_ticks), transfer,
+                 precision=jax.lax.Precision.HIGHEST)
+    tw_dev = tw.reshape(C, K, ntrig, digit_samples).transpose(2, 0, 3, 1)
     return truth_ids_dev, tw_dev
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=('n_ticks', 'conv_ticks', 'k_truth', 'digit_samples',
-                     'pad_front', 'pad_back'))
-def _group_smeared_truth(segs_g, vox_g, nd_g, op_channel, time_dist, t0_avg,
-                         light: LightParams, *, n_ticks: int,
-                         conv_ticks: int, k_truth: int, digit_samples: int,
-                         pad_front: int, pad_back: int):
-    """All G events' smeared-truth stages in one dispatch; lax.map keeps a
-    single event's dense intermediates live at a time."""
-    trig = jnp.asarray([pad_front])
-    start = jnp.float32(0.0)
-
-    def one(args):
-        segs, vox, nd = args
-        return _smeared_truth_stage(
-            segs, vox, nd, op_channel, time_dist, t0_avg, start, trig,
-            light, n_ticks=n_ticks, conv_ticks=conv_ticks, k_truth=k_truth,
-            digit_samples=digit_samples, pad_front=pad_front,
-            pad_back=pad_back)
-
-    return jax.lax.map(one, (segs_g, vox_g, nd_g))
 
 
 _KERNEL_CACHE: dict = {}
@@ -208,6 +189,143 @@ def _combined_kernel_host(light: LightParams, conv_ticks: int) -> np.ndarray:
         _KERNEL_CACHE.clear()
     _KERNEL_CACHE[key] = combined
     return combined
+
+
+@functools.partial(jax.jit, static_argnames=('k_truth',))
+def _group_truth_select(segs_g, vox_g, nd_g, *, k_truth: int):
+    """Top-K truth contributor metadata for G stacked events."""
+    return jax.vmap(
+        lambda s, v, n: light_ops.light_truth_select(s, v, n,
+                                                     k_truth=k_truth)
+    )(segs_g, vox_g, nd_g)
+
+
+_DIGIT_KEY_CACHE: dict = {}
+_TRANSFER_CACHE: dict = {}
+
+
+def _digit_scalars(light: LightParams) -> tuple:
+    """(tick, f, pre) host floats, memoized per params identity (float()
+    pulls are device round trips on remote TPU hosts)."""
+    ent = _DIGIT_KEY_CACHE.get(id(light))
+    if ent is not None and ent[0] is light:
+        return ent[1]
+    tick = float(light.light_tick_size)
+    f = float(light.light_digit_sample_spacing) / tick
+    pre = int(np.ceil(float(light.light_trig_window[0]) / tick))
+    out = (tick, f, pre)
+    _DIGIT_KEY_CACHE[id(light)] = (light, out)
+    return out
+
+
+def _transfer_table_host(light: LightParams, conv_ticks: int, n_ticks: int,
+                         digit_samples: int, pad_front: int,
+                         n_padded: int) -> np.ndarray:
+    """Host copy of ops/light.truth_transfer_table for trigger_off == 0
+    (beam trigger), cached per config.  (n_ticks, digit_samples) f32."""
+    tick, f, pre = _digit_scalars(light)
+    key = (conv_ticks, n_ticks, digit_samples, pad_front, n_padded,
+           tick, f, pre, light.sipm_response_model)
+    hit = _TRANSFER_CACHE.get(key)
+    if hit is not None:
+        return hit
+    kernel = _combined_kernel_host(light, conv_ticks).astype(np.float32)
+    y = (np.float32(-pre)
+         + np.arange(digit_samples, dtype=np.float32) * np.float32(f))
+    i0 = np.floor(y).astype(np.int32)
+    frac = y - i0.astype(np.float32)
+    LK = kernel.shape[0]
+    j = np.arange(n_ticks, dtype=np.int32)[:, None]
+
+    def kval(idx):
+        return np.where((idx >= 0) & (idx < LK),
+                        kernel[np.clip(idx, 0, LK - 1)], np.float32(0))
+
+    in0 = (i0 >= 0) & (i0 < n_ticks)
+    in1 = (i0 + 1 >= 0) & (i0 + 1 < n_ticks)
+    edge = (i0 + pad_front) <= n_padded - 2
+    v0 = np.where(in0[None, :], kval(i0[None, :] - j), np.float32(0))
+    v1 = np.where(in1[None, :], kval(i0[None, :] + 1 - j), np.float32(0))
+    T = np.where(edge[None, :], v0 + (v1 - v0) * frac[None, :],
+                 np.float32(0)).astype(np.float32)
+    if len(_TRANSFER_CACHE) > 8:
+        _TRANSFER_CACHE.clear()
+    _TRANSFER_CACHE[key] = T
+    return T
+
+
+def _host_smeared_truth_sparse(ids_dev, contrib_dev, t0_dev, vox_dev,
+                               lut_td_host: np.ndarray, op_channel,
+                               light: LightParams, threshold: float,
+                               conv_ticks: int, n_ticks: int,
+                               digit_samples: int, pad_front: int,
+                               pad_back: int, start_time: float) -> dict:
+    """Smeared-truth records recomputed on the host worker thread.
+
+    Only (C, K)-sized contributor metadata crosses the device->host link
+    (~0.5 MB/event vs ~40 MB of packed dense-truth values); the host
+    rebuilds each contributor's profile series from its own LUT copy and
+    multiplies through the same linear transfer table the device path uses
+    (exact chain: light_sim.py:170-183, :322-336, :480-543).
+    """
+    ids = np.asarray(ids_dev)
+    contrib = np.asarray(contrib_dev).astype(np.float32)
+    t0_sel = np.asarray(t0_dev).astype(np.float32)
+    vox = np.asarray(vox_dev)
+    C, K = ids.shape
+    nprof = lut_td_host.shape[-1]
+    tick, _, _ = _digit_scalars(light)
+    tick32 = np.float32(tick)
+
+    op_channel = np.asarray(op_channel)
+    lut_idx = op_channel % lut_td_host.shape[3]
+    prof = lut_td_host[vox[..., 0], vox[..., 1], vox[..., 2],
+                       lut_idx[:, None]]                        # (C,K,nprof)
+    # per-bin tick placement, replicated bit-for-bit from
+    # ops/light.light_truth_series (f32 arithmetic, ceil-1 rule)
+    j = np.arange(nprof, dtype=np.float32) * np.float32(1e-3)
+    t_arr = t0_sel[..., None] + j
+    tick_f = (t_arr - np.float32(start_time)) / tick32
+    itick = np.ceil(tick_f).astype(np.int32) - 1
+    ok = ((tick_f > itick) & (itick >= 0) & (itick < n_ticks)
+          & (contrib[..., None] > 0))
+    photons = np.where(ok, contrib[..., None] / tick32 * prof,
+                       np.float32(0))
+
+    act = photons.any(axis=-1).reshape(C * K)
+    rows = np.nonzero(act)[0]
+    if rows.size == 0:
+        return dict(
+            trig=np.empty(0, np.int32), op_channel=np.empty(0, np.int32),
+            tick=np.empty(0, np.int32), segment_id=np.empty(0, np.int64),
+            pe_current=np.empty(0, np.float64))
+
+    T = _transfer_table_host(light, conv_ticks, n_ticks, digit_samples,
+                             pad_front, n_ticks + pad_front + pad_back)
+    ph = photons.reshape(C * K, nprof)[rows]
+    it = np.clip(itick.reshape(C * K, nprof)[rows], 0, n_ticks - 1)
+    res = np.empty((rows.size, digit_samples), np.float32)
+    B = 512
+    for i in range(0, rows.size, B):
+        sl = slice(i, min(i + B, rows.size))
+        # (b, 1, nprof) @ (b, nprof, S) -> (b, 1, S): batched BLAS
+        res[sl] = np.matmul(ph[sl][:, None, :], T[it[sl]])[:, 0, :]
+
+    keep = np.abs(res) > threshold
+    b_idx, s_idx = np.nonzero(keep)
+    c_idx = (rows // K)[b_idx]
+    k_idx = (rows % K)[b_idx]
+    # reference record order: (channel, tick, contributor) major
+    order = np.lexsort((k_idx, s_idx, c_idx))
+    b_idx, s_idx = b_idx[order], s_idx[order]
+    c_idx, k_idx = c_idx[order], k_idx[order]
+    return dict(
+        trig=np.zeros(len(b_idx), np.int32),
+        op_channel=op_channel[c_idx].astype(np.int32),
+        tick=s_idx.astype(np.int32),
+        segment_id=ids[c_idx, k_idx].astype(np.int64),
+        pe_current=res[b_idx, s_idx].astype(np.float64),
+    )
 
 
 def _tight_bucket(n: int, lo: int = 16384) -> int:
@@ -391,7 +509,7 @@ def simulate_light_batch(segs: Segments, det_model: DetectorModel,
     beam_single = (light.light_trig_mode == 1
                    and trigger_idx.shape[0] == 1 and trigger_idx[0] == 0)
 
-    truth_ids_dev = tw_dev = amp = itick = None
+    truth_ids_dev = tw_dev = amp = itick = smear_args = None
     if beam_single:
         # fused single-dispatch path: pad + noise + digitize + truth points
         wvfms, truth_ids_dev, amp, itick = _beam_digitize_stage(
@@ -403,16 +521,18 @@ def simulate_light_batch(segs: Segments, det_model: DetectorModel,
             k_truth=sim.max_mc_truth_ids if do_truth else 0,
             conv_ticks=conv_ticks)
         if sim.max_mc_truth_ids > 0 and not do_truth:
-            # LUT-smearing truth for the beam trigger at tick 0
-            truth_ids_dev, tw_dev = _smeared_truth_stage(
+            # LUT-smearing truth for the beam trigger at tick 0: device
+            # selects top-K contributors, host worker recomputes the
+            # linear chain (no dense truth tensor on or off the device)
+            ids_dev, con_dev, t0_dev, vox_dev = light_ops.light_truth_select(
                 segs, jnp.asarray(voxels), jnp.asarray(n_photons_det),
-                op_channel_dev, lut.time_dist, lut.t0_avg,
-                jnp.float32(start_time),
-                jnp.asarray([pad_front]), light,
-                n_ticks=n_ticks, conv_ticks=conv_ticks,
-                k_truth=sim.max_mc_truth_ids,
-                digit_samples=digit_samples, pad_front=pad_front,
-                pad_back=pad_back)
+                k_truth=sim.max_mc_truth_ids)
+            truth_ids_dev = ids_dev
+            smear_args = (ids_dev, con_dev, t0_dev, vox_dev,
+                          lut.time_dist_host, op_channel, light,
+                          sim.mc_truth_threshold, conv_ticks, n_ticks,
+                          digit_samples, pad_front, pad_back,
+                          float(start_time))
     else:
         signal = jnp.pad(response, ((0, 0), (pad_front, pad_back)))
         padded_trigger_idx = jnp.asarray(trigger_idx + pad_front)
@@ -447,11 +567,18 @@ def simulate_light_batch(segs: Segments, det_model: DetectorModel,
             truth_ids_dev, amp, itick, kernel, trigger_idx, light,
             digit_samples, op_channel, sim.mc_truth_threshold)
     truth_future = None
-    if truth_sparse is None and tw_dev is not None:
+    if truth_sparse is None and smear_args is not None:
+        # host recompute from tiny contributor metadata, off the
+        # orchestration thread (the device work is already enqueued so the
+        # main thread can keep dispatching the next batch)
         if truth_executor is not None:
-            # device->host pull + sparse decode off the orchestration
-            # thread; the device work is already enqueued so the main
-            # thread can keep dispatching the next batch
+            truth_future = truth_executor.submit(
+                _host_smeared_truth_sparse, *smear_args)
+        else:
+            truth_sparse = _host_smeared_truth_sparse(*smear_args)
+    elif truth_sparse is None and tw_dev is not None:
+        # general multi-trigger path: dense truth pulled packed + decoded
+        if truth_executor is not None:
             truth_future = truth_executor.submit(
                 _pull_dense_truth_sparse, truth_ids_dev, tw_dev,
                 op_channel, sim.mc_truth_threshold)
@@ -538,19 +665,19 @@ def simulate_light_group(segs_g: Segments, det_model: DetectorModel,
         add_noise=noise_rows is not None,
         k_truth=sim.max_mc_truth_ids if do_truth else 0)
 
-    # LUT-smearing truth: all G events' dense-series FFT stages in ONE
-    # dispatch (lax.map keeps one event's intermediates live at a time);
-    # the (pull + sparse decode) is offloaded to the worker thread
+    # LUT-smearing truth: the device only selects the top-K contributors
+    # per channel (tiny (G, C, K) metadata); the dense linear chain is
+    # recomputed on the host worker from its own LUT + transfer table
+    # (_host_smeared_truth_sparse) — no dense truth tensor is ever built
+    # on, or pulled from, the device
     smear_truth = sim.max_mc_truth_ids > 0 and light.enable_lut_smearing
     smear = []
     if smear_truth:
-        ids_all, tw_all = _group_smeared_truth(
+        ids_all, con_all, t0_all, vox_all = _group_truth_select(
             segs_g, jnp.asarray(vox_g), jnp.asarray(inc_g),
-            op_channel_dev, lut.time_dist, lut.t0_avg, light,
-            n_ticks=n_ticks, conv_ticks=conv_ticks,
-            k_truth=sim.max_mc_truth_ids, digit_samples=digit_samples,
-            pad_front=pad_front, pad_back=pad_back)
-        smear = [(ids_all[g], tw_all[g]) for g in range(G)]
+            k_truth=sim.max_mc_truth_ids)
+        smear = [(ids_all[g], con_all[g], t0_all[g], vox_all[g])
+                 for g in range(G)]
 
     wv = np.asarray(wv_g)                    # (G, 1, C, digit_samples)
     ids_h = amp_h = it_h = None
@@ -570,14 +697,15 @@ def simulate_light_group(segs_g: Segments, det_model: DetectorModel,
                 ids_h[g], amp_h[g], it_h[g], kernel, trigger_idx, light,
                 digit_samples, op_channel, sim.mc_truth_threshold)
         elif smear_truth:
-            ids_dev, tw_dev = smear[g]
+            ids_dev, con_dev, t0_dev, vox_dev = smear[g]
+            args = (ids_dev, con_dev, t0_dev, vox_dev, lut.time_dist_host,
+                    op_channel, light, sim.mc_truth_threshold, conv_ticks,
+                    n_ticks, digit_samples, pad_front, pad_back, 0.0)
             if truth_executor is not None:
                 truth_future = truth_executor.submit(
-                    _pull_dense_truth_sparse, ids_dev, tw_dev,
-                    op_channel, sim.mc_truth_threshold)
+                    _host_smeared_truth_sparse, *args)
             else:
-                truth_sparse = _pull_dense_truth_sparse(
-                    ids_dev, tw_dev, op_channel, sim.mc_truth_threshold)
+                truth_sparse = _host_smeared_truth_sparse(*args)
         out.append(LightBatchResult(
             trigger_idx=trigger_idx.copy(),
             trigger_type=np.ones(1, int),

@@ -40,11 +40,19 @@ class LightLUT:
 
     _UPLOAD_CACHE: dict = {}
 
-    def __init__(self, vis, t0, t0_avg, time_dist):
+    def __init__(self, vis, t0, t0_avg, time_dist,
+                 time_dist_host=None, t0_avg_host=None):
         self.vis = vis
         self.t0 = t0
         self.t0_avg = t0_avg
         self.time_dist = time_dist
+        # host copies back the worker-thread truth recompute (the smeared
+        # truth chain runs on host from tiny per-contributor metadata
+        # instead of pulling dense truth tensors off the device)
+        self.time_dist_host = (time_dist_host if time_dist_host is not None
+                               else np.asarray(time_dist))
+        self.t0_avg_host = (t0_avg_host if t0_avg_host is not None
+                            else np.asarray(t0_avg))
 
     @property
     def vox_div(self):
@@ -80,7 +88,8 @@ class LightLUT:
         tdist = np.array(arr['time_dist'], np.float32) if 'time_dist' in names \
             else np.ones(vis.shape + (1,), np.float32)
         return cls(jnp.asarray(vis), jnp.asarray(t0), jnp.asarray(t0_avg),
-                   jnp.asarray(tdist))
+                   jnp.asarray(tdist), time_dist_host=tdist,
+                   t0_avg_host=t0_avg)
 
     @classmethod
     def load(cls, path: str) -> 'LightLUT':
@@ -293,6 +302,35 @@ def light_truth_series(segs: Segments, voxels, n_photons_det, op_channel,
 
 
 @functools.partial(jax.jit, static_argnames=('k_truth',))
+def light_truth_select(segs: Segments, voxels, n_photons_det, *,
+                       k_truth: int):
+    """Top-K truth contributor metadata per channel (device side of the
+    host smeared-truth recompute).
+
+    Same selection as light_truth_series (argsort by detected photons);
+    only (C, K)-sized arrays ever leave the device — the host rebuilds the
+    profile series from its own LUT copy and pushes it through the linear
+    transfer table (models/light._host_smeared_truth).
+
+    Returns:
+        ids (C,K) int32, contrib (C,K) f32 photons, t0_sel (C,K) f32,
+        vox_sel (C,K,3) int32.
+    """
+    S, C = n_photons_det.shape
+    k_truth = min(k_truth, S)
+    order = jnp.argsort(-n_photons_det, axis=0)[:k_truth]       # (K, C)
+    contrib = jnp.take_along_axis(n_photons_det, order, axis=0)  # (K, C)
+    has = contrib > 0
+    ids = jnp.where(has, segs.segment_id[order], -1)            # (K, C)
+    t0_sel = segs.t0[order]                                      # (K, C)
+    vox_sel = voxels[order]                                      # (K, C, 3)
+    return (ids.T.astype(jnp.int32),
+            jnp.where(has, contrib, 0.0).T.astype(jnp.float32),
+            t0_sel.T.astype(jnp.float32),
+            vox_sel.transpose(1, 0, 2).astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=('k_truth',))
 def light_truth_points(segs: Segments, voxels, n_photons_det, op_channel,
                        lut_t0_avg, start_time, light: LightParams, *,
                        k_truth: int):
@@ -420,6 +458,61 @@ def calc_scintillation_effect(light_sample_inc, light: LightParams, *,
     """LAr scintillation time smearing (light_sim.py:148-168)."""
     return causal_convolve(light_sample_inc,
                            scintillation_kernel(light, conv_ticks))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('n_ticks', 'digit_samples', 'pad_front',
+                                    'n_padded'))
+def truth_transfer_table(kernel, trigger_off, light: LightParams, *,
+                         n_ticks: int, digit_samples: int, pad_front: int,
+                         n_padded: int):
+    """Transfer table T collapsing the linear truth chain into one matmul.
+
+    The smeared-truth chain — causal convolution with the combined
+    scintillation*SiPM kernel, front/back zero padding, and the digitizer's
+    linear interpolation with its boundary rules (light_sim.py:170-183,
+    :322-336, :480-543) — is linear in the photon tick series, so
+
+        series (R, n_ticks) @ T (n_ticks, ntrig*digit_samples)
+
+    equals digitize_signal(pad(causal_convolve(series, kernel)),
+    padded_trigger_idx, quantize=False) flattened over (trigger, sample).
+    One MXU matmul replaces an FFT convolution over every
+    (channel, contributor) row.
+
+    Args:
+        kernel: combined causal kernel (LK,), zero outside [0, LK).
+        trigger_off: (ntrig,) trigger ticks in FLAT (unpadded) coordinates,
+            i.e. padded_trigger_idx - pad_front.
+        n_padded: padded signal length n_ticks + pad_front + pad_back (for
+            the reference's end-of-signal sample rule, light_sim.interp
+            :241-271).
+    """
+    f = light.light_digit_sample_spacing / light.light_tick_size
+    pre = int(np.ceil(light.light_trig_window[0] / light.light_tick_size))
+    # sample positions in flat coordinates, flattened over (trigger, sample)
+    y = (trigger_off[:, None].astype(jnp.float32) - pre
+         + jnp.arange(digit_samples, dtype=jnp.float32)[None, :]
+         * jnp.float32(f)).reshape(-1)                         # (Q,)
+    i0 = jnp.floor(y).astype(jnp.int32)
+    frac = (y - i0).astype(kernel.dtype)
+    LK = kernel.shape[0]
+    j = jnp.arange(n_ticks, dtype=jnp.int32)
+
+    def kval(idx):
+        return jnp.where((idx >= 0) & (idx < LK),
+                         kernel[jnp.clip(idx, 0, LK - 1)], 0.0)
+
+    # the convolved signal exists on flat ticks [0, n_ticks); the padded
+    # signal is zero elsewhere, so out-of-range interpolation ends read 0
+    in0 = (i0 >= 0) & (i0 < n_ticks)
+    in1 = (i0 + 1 >= 0) & (i0 + 1 < n_ticks)
+    # reference edge rule: the sample is zeroed when floor(position) passes
+    # the end of the PADDED signal (digitize_signal / light_sim.interp)
+    edge = (i0 + pad_front) <= n_padded - 2
+    v0 = jnp.where(in0[None, :], kval(i0[None, :] - j[:, None]), 0.0)
+    v1 = jnp.where(in1[None, :], kval(i0[None, :] + 1 - j[:, None]), 0.0)
+    return jnp.where(edge[None, :], v0 + (v1 - v0) * frac[None, :], 0.0)
 
 
 @jax.jit

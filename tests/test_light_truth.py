@@ -94,6 +94,90 @@ class TestLightTruth:
         np.testing.assert_allclose(direct / scale, fft_path / scale,
                                    atol=2e-5)
 
+    def test_transfer_table_matches_fft_path(self, setup):
+        """series @ truth_transfer_table == conv -> pad -> digitize,
+        for smeared (profile) series and a non-trivial trigger set."""
+        det_model, light, sim, lut = setup
+        segs = drifted_segments(det_model.params, n=4)
+        op_channel = jnp.arange(light.n_op_channel)
+        n_det, t0_det, vox = light_ops.calculate_light_incidence(
+            segs, det_model.params, light, lut.vis, lut.t0,
+            n_channels=light.n_op_channel)
+        n_ticks, conv_ticks, samples = 4096, 2048, 128
+        scint_k = jnp.pad(
+            light_ops.scintillation_kernel(light, conv_ticks),
+            (0, conv_ticks))
+        combined = light_ops.causal_convolve(
+            scint_k[None, :], light_ops.sipm_kernel(light, conv_ticks))[0]
+
+        ids, series = light_ops.light_truth_series(
+            segs, vox, n_det, op_channel, lut.time_dist, lut.t0_avg,
+            jnp.float32(0.0), light, n_ticks=n_ticks, k_truth=4,
+            lut_smearing=True)
+        C, K = ids.shape
+        flat = series.reshape(C * K, n_ticks)
+
+        pad_front, pad_back = 37, 512
+        trigger_idx = jnp.asarray([0, 129]) + pad_front  # padded coords
+
+        conv = light_ops.causal_convolve(flat, combined)
+        padded = jnp.pad(conv, ((0, 0), (pad_front, pad_back)))
+        fft_path = np.asarray(light_ops.digitize_signal(
+            padded, trigger_idx, light, digit_samples=samples,
+            quantize=False))                             # (ntrig, C*K, S)
+
+        T = light_ops.truth_transfer_table(
+            combined, trigger_idx - pad_front, light,
+            n_ticks=n_ticks, digit_samples=samples, pad_front=pad_front,
+            n_padded=n_ticks + pad_front + pad_back)
+        mm = np.asarray(jnp.dot(flat, T,
+                                precision=jax.lax.Precision.HIGHEST))
+        mm = mm.reshape(C * K, 2, samples).transpose(1, 0, 2)
+
+        scale = np.abs(fft_path).max() + 1e-30
+        np.testing.assert_allclose(mm / scale, fft_path / scale, atol=2e-5)
+
+    def test_host_smeared_truth_matches_device_path(self, setup):
+        """Host metadata recompute == device dense series -> transfer
+        matmul -> packed pull, record for record."""
+        from larndsim_tpu.models import light as light_model
+        det_model, light, sim, lut = setup
+        segs = drifted_segments(det_model.params, n=5)
+        op_channel = np.arange(light.n_op_channel)
+        n_det, t0_det, vox = light_ops.calculate_light_incidence(
+            segs, det_model.params, light, lut.vis, lut.t0,
+            n_channels=light.n_op_channel)
+        n_ticks, conv_ticks, samples = 4096, 2048, 128
+        pad_front, pad_back = 64, 512
+        threshold = 1e-3
+        k = 4
+
+        ids, con, t0s, voxs = light_ops.light_truth_select(
+            segs, jnp.asarray(vox), n_det, k_truth=k)
+        host = light_model._host_smeared_truth_sparse(
+            ids, con, t0s, voxs, lut.time_dist_host, op_channel, light,
+            threshold, conv_ticks, n_ticks, samples, pad_front, pad_back,
+            0.0)
+
+        ids2, tw = light_model._smeared_truth_stage(
+            segs, jnp.asarray(vox), n_det, jnp.asarray(op_channel),
+            lut.time_dist, lut.t0_avg, jnp.float32(0.0),
+            jnp.asarray([pad_front]), light, n_ticks=n_ticks,
+            conv_ticks=conv_ticks, k_truth=k, digit_samples=samples,
+            pad_front=pad_front, pad_back=pad_back)
+        dev = light_model._pull_dense_truth_sparse(
+            ids2, tw, op_channel, threshold)
+
+        assert len(host['tick']) > 0
+        # identical keep-sets (values are far from the tiny threshold)
+        h_key = np.stack([host['op_channel'], host['tick'],
+                          host['segment_id']])
+        d_key = np.stack([dev['op_channel'], dev['tick'],
+                          dev['segment_id']])
+        np.testing.assert_array_equal(h_key, d_key)
+        np.testing.assert_allclose(host['pe_current'], dev['pe_current'],
+                                   rtol=1e-4, atol=1e-6)
+
     def test_batch_produces_truth(self, setup):
         det_model, light, sim, lut = setup
         segs = drifted_segments(det_model.params, n=6)
