@@ -191,6 +191,16 @@ def _combined_kernel_host(light: LightParams, conv_ticks: int) -> np.ndarray:
     return combined
 
 
+def _stage_host_copy(arr):
+    """Kick off a non-blocking device->host copy; np.asarray later finds
+    the data (mostly) resident instead of paying the pull synchronously."""
+    try:
+        arr.copy_to_host_async()
+    except (AttributeError, RuntimeError):
+        pass
+    return arr
+
+
 @functools.partial(jax.jit, static_argnames=('k_truth',))
 def _group_truth_select(segs_g, vox_g, nd_g, *, k_truth: int):
     """Top-K truth contributor metadata for G stacked events."""
@@ -590,7 +600,7 @@ def simulate_light_batch(segs: Segments, det_model: DetectorModel,
         trigger_idx=trigger_idx,
         trigger_type=trig_type,
         op_channel_idx=trig_op,
-        waveforms=np.asarray(wvfms),
+        waveforms=_stage_host_copy(wvfms),  # device array; pulled at flush
         start_time=start_time,
         n_ticks=n_ticks,
         truth_ids=(np.asarray(truth_ids_dev)
@@ -679,7 +689,11 @@ def simulate_light_group(segs_g: Segments, det_model: DetectorModel,
         smear = [(ids_all[g], con_all[g], t0_all[g], vox_all[g])
                  for g in range(G)]
 
-    wv = np.asarray(wv_g)                    # (G, 1, C, digit_samples)
+    # keep waveforms as device slices: the dispatch thread must not block
+    # on the light pipeline here; flush_results pulls them (np.asarray)
+    # at write time, with the device->host copies already streaming in the
+    # background via copy_to_host_async
+    wv = [_stage_host_copy(wv_g[g]) for g in range(G)]
     ids_h = amp_h = it_h = None
     if do_truth:
         ids_h = np.asarray(tid_g)            # (G, C, K)
