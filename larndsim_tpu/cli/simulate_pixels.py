@@ -480,7 +480,8 @@ def run_simulation(input_filename: str,
                     segs, det_model, sim, key_batch, response_dev,
                     pixel_thresholds=thresholds_lut, pixel_gains=gains_lut,
                     already_drifted=True, step_scale=step_scale,
-                    event_slot=slot_p if len(group) > 1 else None)
+                    event_slot=slot_p if len(group) > 1 else None,
+                    host_segs=selected)
             if res.overflow:
                 warnings.warn(
                     'More segments per pixel than MAX_TRACKS_PER_PIXEL '

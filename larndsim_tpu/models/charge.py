@@ -197,7 +197,9 @@ def simulate_charge_batch(segs: Segments, det_model: DetectorModel,
                           already_drifted: bool = False,
                           step_scale: float = 1.0,
                           backend: str = 'auto',
-                          event_slot=None) -> ChargeChainResult:
+                          event_slot=None,
+                          host_segs: np.ndarray | None = None
+                          ) -> ChargeChainResult:
     """Run the full charge chain on one (padded) segment batch.
 
     Args:
@@ -225,16 +227,33 @@ def simulate_charge_batch(segs: Segments, det_model: DetectorModel,
         segs = drift(segs, det)
 
     # --- host-side shape selection ---
-    # one stacked device->host pull for every field the host logic needs
-    # (per-field np.asarray costs a round trip each on remote TPU hosts)
     _host_fields = ('x_start', 'y_start', 'x_end', 'y_end', 'z_start',
                     'z_end', 'pixel_plane', 'tran_diff', 'long_diff', 'dx',
                     't_start', 't_end', 't0_start', 'valid')
-    stacked = np.asarray(jnp.stack(
-        [jnp.asarray(getattr(segs, k), jnp.float32) for k in _host_fields]))
-    host = {k: stacked[i] for i, k in enumerate(_host_fields)}
-    valid = host['valid'] != 0
-    host['valid'] = valid
+    if host_segs is not None and already_drifted:
+        # the orchestrator already holds the drifted fields host-side
+        # (whole-file quench/drift is written back before batching) — no
+        # device round trip at all
+        pad_n = segs.size
+        n_real = min(len(host_segs), pad_n)
+        host = {}
+        for k in _host_fields[:-1]:
+            col = np.zeros(pad_n, np.float32)
+            col[:n_real] = host_segs[k][:n_real]
+            host[k] = col
+        valid = np.zeros(pad_n, bool)
+        valid[:n_real] = True
+        host['valid'] = valid
+    else:
+        # one stacked device->host pull for every field the host logic
+        # needs (per-field np.asarray costs a round trip each on remote
+        # TPU hosts)
+        stacked = np.asarray(jnp.stack(
+            [jnp.asarray(getattr(segs, k), jnp.float32)
+             for k in _host_fields]))
+        host = {k: stacked[i] for i, k in enumerate(_host_fields)}
+        valid = host['valid'] != 0
+        host['valid'] = valid
     host['pixel_plane'] = host['pixel_plane'].astype(np.int32)
     seg_np = {k: v[valid] for k, v in host.items()}
     if valid.sum() == 0:
