@@ -69,6 +69,27 @@ def _as_list(val, n_modules, cfg, id_name, ids=None):
     return val
 
 
+def enable_jax_compilation_cache():
+    """Persist compiled executables across processes.
+
+    The simulation compiles one executable per shape bucket; on remote-
+    compile TPU setups a single compile can cost tens of seconds, so a
+    disk cache makes repeated runs (and shape buckets first seen mid-run)
+    effectively free.  Set LARNDSIM_JAX_CACHE_DIR=off to disable.
+    """
+    path = os.environ.get('LARNDSIM_JAX_CACHE_DIR',
+                          os.path.expanduser('~/.cache/larndsim_tpu/jax'))
+    if not path or path.lower() == 'off':
+        return
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update('jax_compilation_cache_dir', path)
+        jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+    except Exception as exc:  # cache is best-effort
+        warnings.warn(f'could not enable jax compilation cache: {exc}')
+
+
 def run_simulation(input_filename: str,
                    output_filename: str,
                    config: str = '2x2',
@@ -104,6 +125,8 @@ def run_simulation(input_filename: str,
         raise FileNotFoundError(input_filename)
     if os.path.exists(output_filename):
         raise FileExistsError(output_filename)
+
+    enable_jax_compilation_cache()
 
     cfg = get_config(config)
     pixel_layout = pixel_layout or cfg['PIXEL_LAYOUT']

@@ -21,3 +21,9 @@ jax.config.update('jax_platforms', 'cpu')
 
 REFERENCE_ASSETS = '/root/reference/larndsim'
 os.environ.setdefault('LARNDSIM_ASSETS', REFERENCE_ASSETS)
+
+# persist CPU compiles across test runs (cache keys include platform, so
+# sharing the directory with TPU runs is safe)
+from larndsim_tpu.cli.simulate_pixels import enable_jax_compilation_cache  # noqa: E402
+
+enable_jax_compilation_cache()
