@@ -269,14 +269,23 @@ def _host_smeared_truth_sparse(ids_dev, contrib_dev, t0_dev, vox_dev,
                                light: LightParams, threshold: float,
                                conv_ticks: int, n_ticks: int,
                                digit_samples: int, pad_front: int,
-                               pad_back: int, start_time: float) -> dict:
+                               pad_back: int, start_time: float,
+                               _force_slow: bool = False) -> dict:
     """Smeared-truth records recomputed on the host worker thread.
 
     Only (C, K)-sized contributor metadata crosses the device->host link
     (~0.5 MB/event vs ~40 MB of packed dense-truth values); the host
-    rebuilds each contributor's profile series from its own LUT copy and
-    multiplies through the same linear transfer table the device path uses
-    (exact chain: light_sim.py:170-183, :322-336, :480-543).
+    rebuilds each contributor's result from its own LUT copy through the
+    same linear chain the device path uses (exact chain:
+    light_sim.py:170-183, :322-336, :480-543).
+
+    Fast path: each contributor's profile occupies ``nprof`` *consecutive*
+    ticks, so instead of gathering ``nprof`` transfer-table rows per
+    contributor (rows*nprof*S*4 bytes of memory traffic — this dominated
+    the spill budget), rows are bucketed by window start and each bucket
+    does one dense GEMM of its scattered profiles against a contiguous
+    *view* of the table.  Same terms, same zero padding — only the
+    summation grouping changes (f32 BLAS order was unspecified already).
     """
     ids = np.asarray(ids_dev)
     contrib = np.asarray(contrib_dev).astype(np.float32)
@@ -310,31 +319,63 @@ def _host_smeared_truth_sparse(ids_dev, contrib_dev, t0_dev, vox_dev,
             tick=np.empty(0, np.int32), segment_id=np.empty(0, np.int64),
             pe_current=np.empty(0, np.float64))
 
+    it_all = itick.reshape(C * K, nprof)[rows]
+
     T = _transfer_table_host(light, conv_ticks, n_ticks, digit_samples,
                              pad_front, n_ticks + pad_front + pad_back)
-    ph = photons.reshape(C * K, nprof)[rows]
-    it = np.clip(itick.reshape(C * K, nprof)[rows], 0, n_ticks - 1)
-    res = np.empty((rows.size, digit_samples), np.float32)
-    B = 512
-    for i in range(0, rows.size, B):
-        sl = slice(i, min(i + B, rows.size))
-        # (b, 1, nprof) @ (b, nprof, S) -> (b, 1, S): batched BLAS
-        res[sl] = np.matmul(ph[sl][:, None, :], T[it[sl]])[:, 0, :]
 
-    keep = np.abs(res) > threshold
-    b_idx, s_idx = np.nonzero(keep)
-    c_idx = (rows // K)[b_idx]
-    k_idx = (rows % K)[b_idx]
-    # reference record order: (channel, tick, contributor) major
-    order = np.lexsort((k_idx, s_idx, c_idx))
-    b_idx, s_idx = b_idx[order], s_idx[order]
-    c_idx, k_idx = c_idx[order], k_idx[order]
+    def _row_matmul(ph, it):
+        out = np.empty((ph.shape[0], digit_samples), np.float32)
+        B = 512
+        for i in range(0, ph.shape[0], B):
+            sl = slice(i, min(i + B, ph.shape[0]))
+            # (b, 1, nprof) @ (b, nprof, S) -> (b, 1, S): batched BLAS
+            out[sl] = np.matmul(ph[sl][:, None, :],
+                                T[np.clip(it[sl], 0, n_ticks - 1)])[:, 0, :]
+        return out
+
+    if _force_slow:
+        res = _row_matmul(photons.reshape(C * K, nprof)[rows], it_all)
+    else:
+        ph_all = photons.reshape(C * K, nprof)[rows]
+        it_c = np.clip(it_all, 0, n_ticks - 1)
+        row_lo = it_c.min(axis=1)                       # per-row span is
+        row_hi = it_c.max(axis=1)                       # <= nprof + 1 ticks
+        win = max(2 * nprof, 1024)
+        order = np.argsort(row_lo, kind='stable')
+        res = np.empty((rows.size, digit_samples), np.float32)
+        i = 0
+        while i < rows.size:
+            t_lo = int(row_lo[order[i]])
+            jend = int(np.searchsorted(row_lo[order], t_lo + win - nprof - 1,
+                                       side='right'))
+            blk = order[i:jend]
+            t_hi = min(int(row_hi[blk].max()) + 1, n_ticks)
+            width = t_hi - t_lo
+            ph_blk = np.zeros((len(blk), width), np.float32)
+            # scatter-add (duplicate clipped ticks sum, matching the
+            # device path's .at[].add scatter)
+            np.add.at(ph_blk,
+                      (np.repeat(np.arange(len(blk)), nprof),
+                       (it_c[blk] - t_lo).reshape(-1)),
+                      ph_all[blk].reshape(-1))
+            res[blk] = ph_blk @ T[t_lo:t_hi]
+            i = jend
+
+    # record order is (channel, tick, contributor) major: scattering the
+    # per-row results into a dense (C, S, K) tensor makes np.nonzero
+    # produce exactly that order — no 7M-entry lexsort, no post-sort
+    # gathers (those two dominated the per-event truth budget)
+    dense = np.zeros((C, digit_samples, K), np.float32)
+    dense[rows // K, :, rows % K] = res
+    keep = np.abs(dense) > threshold
+    c_idx, s_idx, k_idx = np.nonzero(keep)
     return dict(
-        trig=np.zeros(len(b_idx), np.int32),
+        trig=np.zeros(len(c_idx), np.int32),
         op_channel=op_channel[c_idx].astype(np.int32),
         tick=s_idx.astype(np.int32),
         segment_id=ids[c_idx, k_idx].astype(np.int64),
-        pe_current=res[b_idx, s_idx].astype(np.float64),
+        pe_current=dense[keep].astype(np.float64),
     )
 
 

@@ -178,6 +178,31 @@ class TestLightTruth:
         np.testing.assert_allclose(host['pe_current'], dev['pe_current'],
                                    rtol=1e-4, atol=1e-6)
 
+    def test_host_truth_fast_path_matches_slow(self, setup):
+        """Per-voxel convolution fast path == per-row transfer-table matmul
+        (same inputs, same records)."""
+        from larndsim_tpu.models import light as light_model
+        det_model, light, sim, lut = setup
+        segs = drifted_segments(det_model.params, n=6)
+        op_channel = np.arange(light.n_op_channel)
+        n_det, t0_det, vox = light_ops.calculate_light_incidence(
+            segs, det_model.params, light, lut.vis, lut.t0,
+            n_channels=light.n_op_channel)
+        n_ticks, conv_ticks, samples = 4096, 2048, 128
+        args = ()
+        ids, con, t0s, voxs = light_ops.light_truth_select(
+            segs, jnp.asarray(vox), n_det, k_truth=4)
+        common = (ids, con, t0s, voxs, lut.time_dist_host, op_channel,
+                  light, 1e-3, conv_ticks, n_ticks, samples, 64, 512, 0.0)
+        fast = light_model._host_smeared_truth_sparse(*common)
+        slow = light_model._host_smeared_truth_sparse(*common,
+                                                      _force_slow=True)
+        assert len(fast['tick']) > 0
+        for k in ('trig', 'op_channel', 'tick', 'segment_id'):
+            np.testing.assert_array_equal(fast[k], slow[k])
+        np.testing.assert_allclose(fast['pe_current'], slow['pe_current'],
+                                   rtol=1e-4, atol=1e-6)
+
     def test_batch_produces_truth(self, setup):
         det_model, light, sim, lut = setup
         segs = drifted_segments(det_model.params, n=6)
