@@ -579,6 +579,8 @@ def simulate_light_batch(segs: Segments, det_model: DetectorModel,
                 segs, jnp.asarray(voxels), jnp.asarray(n_photons_det),
                 k_truth=sim.max_mc_truth_ids)
             truth_ids_dev = ids_dev
+            for a in (ids_dev, con_dev, t0_dev, vox_dev):
+                _stage_host_copy(a)  # worker pull must not queue behind
             smear_args = (ids_dev, con_dev, t0_dev, vox_dev,
                           lut.time_dist_host, op_channel, light,
                           sim.mc_truth_threshold, conv_ticks, n_ticks,
@@ -727,7 +729,10 @@ def simulate_light_group(segs_g: Segments, det_model: DetectorModel,
         ids_all, con_all, t0_all, vox_all = _group_truth_select(
             segs_g, jnp.asarray(vox_g), jnp.asarray(inc_g),
             k_truth=sim.max_mc_truth_ids)
-        smear = [(ids_all[g], con_all[g], t0_all[g], vox_all[g])
+        # async host copies NOW: the worker's np.asarray would otherwise
+        # queue its pull behind the next group's device work
+        smear = [tuple(_stage_host_copy(a[g])
+                       for a in (ids_all, con_all, t0_all, vox_all))
                  for g in range(G)]
 
     # keep waveforms as device slices: the dispatch thread must not block
