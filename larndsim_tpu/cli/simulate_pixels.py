@@ -401,7 +401,7 @@ def run_simulation(input_filename: str,
             if light_only and not results_acc.get('light_event_id'):
                 results_acc = defaultdict(list)
                 return
-            if not light_only and not results_acc.get('event_id'):
+            if not light_only and not results_acc.get('event_pix'):
                 if results_acc.get('light_event_id'):
                     light_only = True
                 else:
@@ -411,7 +411,7 @@ def run_simulation(input_filename: str,
                 res = {k: np.concatenate(
                            [np.asarray(x) for x in v], axis=0)
                        for k, v in results_acc.items() if len(v)}
-            uniq_events = (np.unique(res['event_id'])
+            uniq_events = (np.unique(res['event_pix'])
                            if not light_only
                            else np.unique(res['light_event_id']))
             uniq_event_times = event_times[uniq_events
@@ -440,9 +440,9 @@ def run_simulation(input_filename: str,
                     light_trigger_event_ids = uniq_events
                 with trace.phase('export/packets'), h5_lock:
                     export.export_to_hdf5(
-                        res['event_id'], res['adc_tot'],
-                        res['adc_tot_ticks'],
-                        res['unique_pix'], res['current_fractions'],
+                        res['event_pix'], res['hit_row'], res['hit_adc'],
+                        res['hit_ticks'], res['hit_frac'],
+                        res['unique_pix'],
                         res['track_pixel_map'], res['traj_pixel_map'],
                         output_filename, uniq_event_times, det_model, light,
                         sim, light_trigger_times=light_trigger_times,
@@ -530,16 +530,20 @@ def run_simulation(input_filename: str,
             tmap_trj = np.where(tmap >= 0,
                                 traj_ids_batch[np.clip(tmap, 0, None)], -1)
 
-            results_acc['event_id'].append(
-                np.broadcast_to(event_u[:, None],
-                                res.adc.shape).copy()[valid_u])
-            results_acc['adc_tot'].append(res.adc[valid_u])
-            results_acc['adc_tot_ticks'].append(res.adc_ticks[valid_u])
+            # compact accumulation: per-pixel rows + per-hit columns (the
+            # dense (U, max_adc[, K]) tensors are never materialized)
+            row_offset = sum(len(x) for x in results_acc['unique_pix'])
+            new_row = np.cumsum(valid_u) - 1
+            keep_h = valid_u[res.hit_row]
+            results_acc['event_pix'].append(event_u[valid_u])
             results_acc['unique_pix'].append(pid_u[valid_u])
-            results_acc['current_fractions'].append(
-                res.current_fractions[valid_u])
             results_acc['track_pixel_map'].append(tmap_seg[valid_u])
             results_acc['traj_pixel_map'].append(tmap_trj[valid_u])
+            results_acc['hit_row'].append(
+                new_row[res.hit_row[keep_h]] + row_offset)
+            results_acc['hit_adc'].append(res.hit_adc[keep_h])
+            results_acc['hit_ticks'].append(res.hit_ticks[keep_h])
+            results_acc['hit_frac'].append(res.hit_fractions[keep_h])
 
             if light.light_simulated:
                 def accumulate_light(ievd_l, lres):
@@ -691,7 +695,7 @@ def run_simulation(input_filename: str,
                 if len(group) >= group_cap:
                     process_group()
 
-            if len(results_acc['event_id']) >= sim.write_batch_size:
+            if len(results_acc['event_pix']) >= sim.write_batch_size:
                 with trace.phase('export'):
                     flush_results()
             memlog.take_snapshot()

@@ -171,8 +171,8 @@ def _append_dataset(f: h5py.File, name: str, data: np.ndarray):
 # charge export
 # --------------------------------------------------------------------------
 
-def export_to_hdf5(event_id_list, adc_list, adc_ticks_list, unique_pix,
-                   current_fractions, track_ids, traj_ids, filename,
+def export_to_hdf5(event_pix, hit_row, hit_adc, hit_ticks, hit_fractions,
+                   unique_pix, track_ids, traj_ids, filename,
                    event_start_times, det_model: DetectorModel,
                    light: LightParams, sim: SimParams,
                    light_trigger_times=None, light_trigger_event_id=None,
@@ -180,9 +180,13 @@ def export_to_hdf5(event_id_list, adc_list, adc_ticks_list, unique_pix,
                    i_mod: int = -1):
     """Write the LArPix packet stream + mc_packets_assn for one write batch.
 
-    Argument semantics match fee.export_to_hdf5 (fee.py:84-359); all inputs
-    are host numpy arrays.  `track_ids`/`traj_ids` carry *global* segment /
-    trajectory ids per (pixel, track-slot).
+    Semantics match fee.export_to_hdf5 (fee.py:84-359) with hits in
+    *compact* form: ``event_pix``/``unique_pix``/``track_ids``/``traj_ids``
+    are per pixel row; ``hit_row``/``hit_adc``/``hit_ticks``/
+    ``hit_fractions`` are per latched hit, in (pixel-row, adc-slot)
+    row-major order — the order the reference's dense np.nonzero flatten
+    produced.  `track_ids`/`traj_ids` carry *global* segment / trajectory
+    ids per (pixel, track-slot).
     """
     det = det_model.params
     clock = det.clock_cycle
@@ -190,11 +194,12 @@ def export_to_hdf5(event_id_list, adc_list, adc_ticks_list, unique_pix,
     store = sim.association_count_to_store
     K = track_ids.shape[1]
 
-    event_id_list = np.asarray(event_id_list)
-    adc_list = np.asarray(adc_list)
-    adc_ticks_list = np.asarray(adc_ticks_list)
+    event_pix = np.asarray(event_pix)
+    hit_row = np.asarray(hit_row)
+    hit_adc = np.asarray(hit_adc)
+    hit_ticks = np.asarray(hit_ticks)
+    hit_fractions = np.asarray(hit_fractions)
     unique_pix = np.asarray(unique_pix)
-    current_fractions = np.asarray(current_fractions)
     track_ids = np.asarray(track_ids)
     traj_ids = np.asarray(traj_ids)
 
@@ -209,7 +214,7 @@ def export_to_hdf5(event_id_list, adc_list, adc_ticks_list, unique_pix,
             bad_channels_list = yaml.safe_load(bcf)
 
     # --- per-pixel event times ---
-    unique_events, unique_events_inv = np.unique(event_id_list[..., 0],
+    unique_events, unique_events_inv = np.unique(event_pix,
                                                  return_inverse=True)
     event_t0_ticks = (event_start_times[unique_events_inv]
                       / clock).astype(np.int64)
@@ -221,10 +226,11 @@ def export_to_hdf5(event_id_list, adc_list, adc_ticks_list, unique_pix,
     light_trigger_modules = (np.empty(0) if light_trigger_modules is None
                              else np.asarray(light_trigger_modules))
 
-    # --- flatten valid hits in (pixel, iadc) order ---
+    # --- filter hits above the digitized zero (order is already
+    # (pixel-row, adc-slot) row-major) ---
     dig0 = _digitize_zero(det)
-    hit_mask = adc_list > dig0                                 # (N, max_adc)
-    pix_row, iadc = np.nonzero(hit_mask)
+    above = hit_adc > dig0
+    pix_row = hit_row[above]
     n_hits = pix_row.size
 
     if n_hits == 0:
@@ -233,9 +239,9 @@ def export_to_hdf5(event_id_list, adc_list, adc_ticks_list, unique_pix,
     pix_ids = unique_pix[pix_row]
     io_group, io_channel, chip, channel, ok = pixel_readout_coords(
         pix_ids, det_model)
-    event = event_id_list[pix_row, iadc]
+    event = event_pix[pix_row]
     ev_t0 = event_t0_ticks[pix_row]
-    t_us = adc_ticks_list[pix_row, iadc]
+    t_us = hit_ticks[above]
     time_tick = np.floor(t_us / clock + ev_t0).astype(np.int64) % reset_period
     ev_t0_mod = ev_t0 % reset_period
 
@@ -317,12 +323,13 @@ def export_to_hdf5(event_id_list, adc_list, adc_ticks_list, unique_pix,
 
     # --- data packets (vectorized) ---
     sel = np.nonzero(ok)[0]
+    adc_above = hit_adc[above]
     data_pkts = lp.make_data_packets(
         io_group[sel], io_channel[sel], chip[sel], channel[sel],
-        time_tick[sel], adc_list[pix_row[sel], iadc[sel]])
+        time_tick[sel], adc_above[sel])
 
     # --- data-packet associations ---
-    fr = current_fractions[pix_row[sel], iadc[sel]]           # (n, K)
+    fr = hit_fractions[above][sel]                            # (n, K)
     tid = track_ids[pix_row[sel]]                             # (n, K)
     trj = traj_ids[pix_row[sel]]
     order = np.flip(np.argsort(fr, axis=1), axis=1)

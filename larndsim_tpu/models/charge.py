@@ -41,16 +41,49 @@ def bucket(n: int, lo: int = 16) -> int:
 
 @dataclasses.dataclass
 class ChargeChainResult:
+    """Charge-chain output: per-pixel rows + *compact* hit lists.
+
+    Hits are stored as parallel arrays in (pixel-row, adc-slot) row-major
+    order; the dense (U, max_adc[, K]) views the reference materializes
+    (fee.py:1087-1117) are built lazily — the production export path never
+    touches them (the dense fractions tensor alone is ~100 MB/group of
+    mostly zeros on the host).
+    """
     unique_pix: np.ndarray        # (U,) pixel ids (-1 padded)
     n_unique: int
-    adc: np.ndarray               # (U, max_adc) digitized ADC counts
-    adc_ticks: np.ndarray         # (U, max_adc) [us]
-    integrals: np.ndarray         # (U, max_adc) [e-]
     n_adc: np.ndarray             # (U,)
-    current_fractions: np.ndarray # (U, max_adc, max_tracks)
     track_pixel_map: np.ndarray   # (U, max_tracks) batch-local segment index
     overflow: bool
     segments: Segments            # quenched + drifted segments
+    max_adc_slots: int
+    hit_row: np.ndarray           # (H,) pixel-row index of each hit
+    hit_slot: np.ndarray          # (H,) adc slot of each hit
+    hit_adc: np.ndarray           # (H,) digitized ADC counts
+    hit_ticks: np.ndarray         # (H,) [us]
+    hit_integrals: np.ndarray     # (H,) [e-]
+    hit_fractions: np.ndarray     # (H, max_tracks)
+
+    def _dense(self, vals, fill=0.0):
+        out = np.full((len(self.unique_pix), self.max_adc_slots)
+                      + vals.shape[1:], fill, np.asarray(vals).dtype)
+        out[self.hit_row, self.hit_slot] = vals
+        return out
+
+    @property
+    def adc(self) -> np.ndarray:              # (U, max_adc)
+        return self._dense(self.hit_adc)
+
+    @property
+    def adc_ticks(self) -> np.ndarray:        # (U, max_adc)
+        return self._dense(self.hit_ticks)
+
+    @property
+    def integrals(self) -> np.ndarray:        # (U, max_adc)
+        return self._dense(self.hit_integrals)
+
+    @property
+    def current_fractions(self) -> np.ndarray:  # (U, max_adc, max_tracks)
+        return self._dense(self.hit_fractions)
 
 
 @jax.jit
@@ -348,9 +381,12 @@ def simulate_charge_batch(segs: Segments, det_model: DetectorModel,
           max_tracks=sim.max_tracks_per_pixel, n_adc_scan=frac_scan)
       fee_res, fractions, adc = out
 
-    n_unique_i = int(n_unique)
-    n_u = min(bucket(max(n_unique_i, 1), lo=32), n_unique_cap)
-    n_adc_host = np.asarray(fee_res.n_adc[:n_u])
+    with trace.phase('charge/fee_sync'):
+        # drains the device queue: everything up to the FEE FSM completes
+        # before these scalars land (honest attribution needs this phase)
+        n_unique_i = int(n_unique)
+        n_u = min(bucket(max(n_unique_i, 1), lo=32), n_unique_cap)
+        n_adc_host = np.asarray(fee_res.n_adc[:n_u])
     max_hits = int(n_adc_host.max()) if n_adc_host.size else 0
     n_slots = frac_scan
     if max_hits > frac_scan:
@@ -375,21 +411,18 @@ def simulate_charge_batch(segs: Segments, det_model: DetectorModel,
         ok_h = u_h >= 0
         u_np, a_np = u_h[ok_h], np.asarray(a_h)[ok_h]
 
-        def dense(vals, fill=0.0):
-            out = np.full((n_u, a_full) + vals.shape[1:], fill,
-                          np.asarray(vals).dtype)
-            out[u_np, a_np] = np.asarray(vals)[ok_h]
-            return out
-
         return ChargeChainResult(
             unique_pix=np.asarray(uniq[:n_u]),
             n_unique=n_unique_i,
-            adc=dense(adc_h),
-            adc_ticks=dense(ticks_h),
-            integrals=dense(integ_h),
             n_adc=n_adc_host,
-            current_fractions=dense(frac_h),
             track_pixel_map=np.asarray(track_map[:n_u]),
             overflow=bool(np.asarray(overflow).any()),
             segments=segs,
+            max_adc_slots=a_full,
+            hit_row=u_np,
+            hit_slot=a_np,
+            hit_adc=np.asarray(adc_h)[ok_h],
+            hit_ticks=np.asarray(ticks_h)[ok_h],
+            hit_integrals=np.asarray(integ_h)[ok_h],
+            hit_fractions=np.asarray(frac_h)[ok_h],
         )
