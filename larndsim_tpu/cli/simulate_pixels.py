@@ -376,8 +376,14 @@ def run_simulation(input_filename: str,
         h5_lock = threading.Lock()
 
         def write_truth(ievd_t, trig_t, fut):
-            truth = export.truth_sparse_to_records(fut.result(), ievd_t,
-                                                   trig_t)
+            truth = fut.result()
+            if isinstance(truth, np.ndarray):
+                # worker assembled TRUTH_DTYPE records; stamp the ids
+                truth['event_id'] = ievd_t
+                truth['trigger_id'] += trig_t
+            else:
+                truth = export.truth_sparse_to_records(truth, ievd_t,
+                                                       trig_t)
             with h5_lock:
                 export.export_light_truth_to_hdf5(output_filename, truth)
 

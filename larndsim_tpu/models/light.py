@@ -270,7 +270,8 @@ def _host_smeared_truth_sparse(ids_dev, contrib_dev, t0_dev, vox_dev,
                                conv_ticks: int, n_ticks: int,
                                digit_samples: int, pad_front: int,
                                pad_back: int, start_time: float,
-                               _force_slow: bool = False) -> dict:
+                               _force_slow: bool = False,
+                               as_records: bool = False):
     """Smeared-truth records recomputed on the host worker thread.
 
     Only (C, K)-sized contributor metadata crosses the device->host link
@@ -314,6 +315,9 @@ def _host_smeared_truth_sparse(ids_dev, contrib_dev, t0_dev, vox_dev,
     act = photons.any(axis=-1).reshape(C * K)
     rows = np.nonzero(act)[0]
     if rows.size == 0:
+        if as_records:
+            from ..io.export import TRUTH_DTYPE
+            return np.empty(0, TRUTH_DTYPE)
         return dict(
             trig=np.empty(0, np.int32), op_channel=np.empty(0, np.int32),
             tick=np.empty(0, np.int32), segment_id=np.empty(0, np.int64),
@@ -370,6 +374,19 @@ def _host_smeared_truth_sparse(ids_dev, contrib_dev, t0_dev, vox_dev,
     dense[rows // K, :, rows % K] = res
     keep = np.abs(dense) > threshold
     c_idx, s_idx, k_idx = np.nonzero(keep)
+    if as_records:
+        # fill the light_wvfm_mc_assn records directly (one interleaved
+        # pass instead of plain columns + a second structured-fill pass);
+        # the caller stamps trigger_id/event_id
+        from ..io.export import TRUTH_DTYPE
+        out = np.empty(len(c_idx), TRUTH_DTYPE)
+        out['trigger_id'] = 0
+        out['op_channel_id'] = op_channel[c_idx]
+        out['tick'] = s_idx
+        out['event_id'] = 0
+        out['segment_id'] = ids[c_idx, k_idx]
+        out['pe_current'] = dense[keep]
+        return out
     return dict(
         trig=np.zeros(len(c_idx), np.int32),
         op_channel=op_channel[c_idx].astype(np.int32),
@@ -626,7 +643,7 @@ def simulate_light_batch(segs: Segments, det_model: DetectorModel,
         # main thread can keep dispatching the next batch)
         if truth_executor is not None:
             truth_future = truth_executor.submit(
-                _host_smeared_truth_sparse, *smear_args)
+                _host_smeared_truth_sparse, *smear_args, as_records=True)
         else:
             truth_sparse = _host_smeared_truth_sparse(*smear_args)
     elif truth_sparse is None and tw_dev is not None:
@@ -763,7 +780,7 @@ def simulate_light_group(segs_g: Segments, det_model: DetectorModel,
                     n_ticks, digit_samples, pad_front, pad_back, 0.0)
             if truth_executor is not None:
                 truth_future = truth_executor.submit(
-                    _host_smeared_truth_sparse, *args)
+                    _host_smeared_truth_sparse, *args, as_records=True)
             else:
                 truth_sparse = _host_smeared_truth_sparse(*args)
         out.append(LightBatchResult(

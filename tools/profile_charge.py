@@ -1,12 +1,11 @@
 """Stage-by-stage wall timing of the charge chain on the live device.
 
-Usage: LARNDSIM_ASSETS=/root/reference/larndsim python tools/profile_charge.py
+Usage: LARNDSIM_ASSETS=/root/reference/larndsim python - < tools/profile_charge.py
 (Do not run while a benchmark is in flight - results share the TPU.)
 
-Times each jitted stage with block_until_ready so the async-dispatch
-attribution seen in the orchestrator phase breakdown (where a later pull
-absorbs earlier compute) is resolved to the stage that actually burns
-device time.
+Drives simulate_charge_batch exactly as the orchestrator does (drifted
+host-side segments, event grouping, spill-normalized t0) with
+LARNDSIM_SYNC_PHASES=1 so the phase table attributes device time honestly.
 """
 import os
 import time
@@ -14,23 +13,21 @@ import time
 import numpy as np
 
 os.environ.setdefault('LARNDSIM_ASSETS', '/root/reference/larndsim')
+os.environ['LARNDSIM_SYNC_PHASES'] = '1'
 
 
 def main():
     import jax
-    import jax.numpy as jnp
     import h5py
 
     from larndsim_tpu.params import load_detector, load_sim, physics
     from larndsim_tpu.assets.make_input import write_input
     from larndsim_tpu.assets.response import make_response
     from larndsim_tpu.models import charge as mc
-    from larndsim_tpu.ops import pixelize
-    from larndsim_tpu.ops.current_pallas import current_pallas, \
-        host_shift_band
     from larndsim_tpu.ops.quench import quench
     from larndsim_tpu.ops.drift import drift
     from larndsim_tpu import segments as seg_mod
+    from larndsim_tpu.utils import trace
 
     ref = os.environ['LARNDSIM_ASSETS']
     dm = load_detector(f'{ref}/detector_properties/2x2_no_modvar.yaml',
@@ -43,44 +40,47 @@ def main():
                              bin_size=float(det.response_bin_size),
                              sampling=float(det.response_sampling),
                              pixel_pitch=float(det.pixel_pitch))
+    import jax.numpy as jnp
+    response = jnp.asarray(response)
 
-    # grouped-shape workload: 4 events x ~930 segments
+    # grouped-shape workload: 4 events x ~930 segments, spill t0 reset to
+    # the in-spill window exactly as the orchestrator does (cli:574-582)
     path = '/tmp/profile_charge_in.h5'
     write_input(path, dm.tpc_borders, n_events=4, tracks_per_event=24,
                 segments_per_track=42, dEdx=8.0, segment_length=0.4, seed=2)
     with h5py.File(path) as f:
         tr = np.array(f['segments'])
-    slot = np.zeros(4096, np.int32)
-    ev = tr['event_id'] - tr['event_id'].min()
+    ev = (tr['event_id'] - tr['event_id'].min()).astype(np.int64)
+    for fld in ('t0', 't0_start', 't0_end'):
+        if fld in tr.dtype.names:
+            tr[fld] = tr[fld] - ev * sim.spill_period
+    pad_n = 4096
+    slot = np.zeros(pad_n, np.int32)
     slot[:len(tr)] = ev
-    segs = seg_mod.from_structured(tr, pad_to=4096)
+    segs = seg_mod.from_structured(tr, pad_to=pad_n)
 
     key = jax.random.PRNGKey(3)
+    segs = drift(quench(segs, det, physics.BIRKS), det)
+    # host copy of the drifted fields (the orchestrator holds these)
+    names = ('x_start', 'y_start', 'x_end', 'y_end', 'z_start', 'z_end',
+             'pixel_plane', 'tran_diff', 'long_diff', 'dx', 't_start',
+             't_end', 't0_start')
+    cols = {n: np.asarray(getattr(segs, n))[:len(tr)] for n in names}
+    host_segs = np.core.records.fromarrays(
+        [cols[n] for n in names], names=','.join(names))
 
-    def timed(label, fn, *a, **k):
-        out = None
-        for i in range(3):
-            t = time.time()
-            out = fn(*a, **k)
-            jax.block_until_ready(out)
-            el = time.time() - t
-        print(f'{label:28s} {el*1e3:9.1f} ms   (warm, 3rd rep)')
-        return out
+    def run():
+        return mc.simulate_charge_batch(
+            segs, dm, sim, key, response, already_drifted=True,
+            event_slot=slot, host_segs=host_segs)
 
-    segs = timed('quench+drift', lambda s: drift(quench(s, det,
-                                                        physics.BIRKS), det),
-                 segs)
-
-    res = mc.simulate_charge_batch(segs, dm, sim, key, response,
-                                   already_drifted=True,
-                                   event_slot=slot)
-    print('full batch warm...')
+    res = run()
+    print(f'warm done: n_unique={res.n_unique} hits={len(res.hit_adc)}')
+    trace.reset()
     t = time.time()
-    res = mc.simulate_charge_batch(segs, dm, sim, key, response,
-                                   already_drifted=True,
-                                   event_slot=slot)
-    print(f'{"simulate_charge_batch":28s} {(time.time()-t)*1e3:9.1f} ms '
-          f'(n_unique={res.n_unique})')
+    res = run()
+    print(f'{"simulate_charge_batch":28s} {(time.time()-t)*1e3:9.1f} ms')
+    print(trace.report())
 
 
 if __name__ == '__main__':
