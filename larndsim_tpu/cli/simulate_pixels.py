@@ -504,53 +504,11 @@ def run_simulation(input_filename: str,
             key_batch = jax.random.fold_in(
                 jax.random.fold_in(key_mod, int(group[0][0])), group_seq)
 
-            with trace.phase('charge_batch'):
-                res = simulate_charge_batch(
-                    segs, det_model, sim, key_batch, response_dev,
-                    pixel_thresholds=thresholds_lut, pixel_gains=gains_lut,
-                    already_drifted=True, step_scale=step_scale,
-                    event_slot=slot_p if len(group) > 1 else None,
-                    host_segs=selected)
-            if res.overflow:
-                warnings.warn(
-                    'More segments per pixel than MAX_TRACKS_PER_PIXEL '
-                    f'({sim.max_tracks_per_pixel}); backtracking may be '
-                    'incomplete')
-            uniq = res.unique_pix
-            valid_u = uniq >= 0
-            if len(group) > 1:
-                ev_slot_u = np.where(valid_u, uniq // n_pix_total, 0)
-                pid_u = np.where(valid_u, uniq % n_pix_total, -1)
-            else:
-                ev_slot_u = np.zeros(len(uniq), np.int64)
-                pid_u = uniq
-            group_events = np.array([ev for ev, _ in group])
-            event_u = group_events[np.clip(ev_slot_u, 0, len(group) - 1)]
-
-            # remap batch-local track indices to global ids (cli:1112-1115)
-            tmap = res.track_pixel_map
-            seg_ids_batch = segment_ids[cat]
-            traj_ids_batch = traj_ids[cat]
-            tmap_seg = np.where(tmap >= 0,
-                                seg_ids_batch[np.clip(tmap, 0, None)], -1)
-            tmap_trj = np.where(tmap >= 0,
-                                traj_ids_batch[np.clip(tmap, 0, None)], -1)
-
-            # compact accumulation: per-pixel rows + per-hit columns (the
-            # dense (U, max_adc[, K]) tensors are never materialized)
-            row_offset = sum(len(x) for x in results_acc['unique_pix'])
-            new_row = np.cumsum(valid_u) - 1
-            keep_h = valid_u[res.hit_row]
-            results_acc['event_pix'].append(event_u[valid_u])
-            results_acc['unique_pix'].append(pid_u[valid_u])
-            results_acc['track_pixel_map'].append(tmap_seg[valid_u])
-            results_acc['traj_pixel_map'].append(tmap_trj[valid_u])
-            results_acc['hit_row'].append(
-                new_row[res.hit_row[keep_h]] + row_offset)
-            results_acc['hit_adc'].append(res.hit_adc[keep_h])
-            results_acc['hit_ticks'].append(res.hit_ticks[keep_h])
-            results_acc['hit_frac'].append(res.hit_fractions[keep_h])
-
+            # light first: its dispatch + truth-worker feed are
+            # independent of the charge chain given drifted segments,
+            # and the single-core truth worker needs the head start
+            # (the charge syncs below otherwise delay it by the whole
+            # group's device time)
             if light.light_simulated:
                 def accumulate_light(ievd_l, lres):
                     nonlocal i_light_trig
@@ -638,6 +596,53 @@ def run_simulation(input_filename: str,
                             op_channel=op_channel_sim, t0_det=t0_batch,
                             truth_executor=truth_executor)
                     accumulate_light(ievd_l, lres)
+            with trace.phase('charge_batch'):
+                res = simulate_charge_batch(
+                    segs, det_model, sim, key_batch, response_dev,
+                    pixel_thresholds=thresholds_lut, pixel_gains=gains_lut,
+                    already_drifted=True, step_scale=step_scale,
+                    event_slot=slot_p if len(group) > 1 else None,
+                    host_segs=selected)
+            if res.overflow:
+                warnings.warn(
+                    'More segments per pixel than MAX_TRACKS_PER_PIXEL '
+                    f'({sim.max_tracks_per_pixel}); backtracking may be '
+                    'incomplete')
+            uniq = res.unique_pix
+            valid_u = uniq >= 0
+            if len(group) > 1:
+                ev_slot_u = np.where(valid_u, uniq // n_pix_total, 0)
+                pid_u = np.where(valid_u, uniq % n_pix_total, -1)
+            else:
+                ev_slot_u = np.zeros(len(uniq), np.int64)
+                pid_u = uniq
+            group_events = np.array([ev for ev, _ in group])
+            event_u = group_events[np.clip(ev_slot_u, 0, len(group) - 1)]
+
+            # remap batch-local track indices to global ids (cli:1112-1115)
+            tmap = res.track_pixel_map
+            seg_ids_batch = segment_ids[cat]
+            traj_ids_batch = traj_ids[cat]
+            tmap_seg = np.where(tmap >= 0,
+                                seg_ids_batch[np.clip(tmap, 0, None)], -1)
+            tmap_trj = np.where(tmap >= 0,
+                                traj_ids_batch[np.clip(tmap, 0, None)], -1)
+
+            # compact accumulation: per-pixel rows + per-hit columns (the
+            # dense (U, max_adc[, K]) tensors are never materialized)
+            row_offset = sum(len(x) for x in results_acc['unique_pix'])
+            new_row = np.cumsum(valid_u) - 1
+            keep_h = valid_u[res.hit_row]
+            results_acc['event_pix'].append(event_u[valid_u])
+            results_acc['unique_pix'].append(pid_u[valid_u])
+            results_acc['track_pixel_map'].append(tmap_seg[valid_u])
+            results_acc['traj_pixel_map'].append(tmap_trj[valid_u])
+            results_acc['hit_row'].append(
+                new_row[res.hit_row[keep_h]] + row_offset)
+            results_acc['hit_adc'].append(res.hit_adc[keep_h])
+            results_acc['hit_ticks'].append(res.hit_ticks[keep_h])
+            results_acc['hit_frac'].append(res.hit_fractions[keep_h])
+
             group.clear()
 
         for ievd, batch_mask in batcher:

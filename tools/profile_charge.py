@@ -48,12 +48,11 @@ def main():
     path = '/tmp/profile_charge_in.h5'
     write_input(path, dm.tpc_borders, n_events=4, tracks_per_event=24,
                 segments_per_track=42, dEdx=8.0, segment_length=0.4, seed=2)
-    with h5py.File(path) as f:
-        tr = np.array(f['segments'])
+    from larndsim_tpu.io.edep import load_edep
+    tr = load_edep(path, is_spill_sim=sim.is_spill_sim,
+                   spill_period=sim.spill_period,
+                   max_events_per_file=sim.max_events_per_file).tracks
     ev = (tr['event_id'] - tr['event_id'].min()).astype(np.int64)
-    for fld in ('t0', 't0_start', 't0_end'):
-        if fld in tr.dtype.names:
-            tr[fld] = tr[fld] - ev * sim.spill_period
     pad_n = 4096
     slot = np.zeros(pad_n, np.int32)
     slot[:len(tr)] = ev
@@ -66,7 +65,7 @@ def main():
              'pixel_plane', 'tran_diff', 'long_diff', 'dx', 't_start',
              't_end', 't0_start')
     cols = {n: np.asarray(getattr(segs, n))[:len(tr)] for n in names}
-    host_segs = np.core.records.fromarrays(
+    host_segs = np.rec.fromarrays(
         [cols[n] for n in names], names=','.join(names))
 
     def run():
