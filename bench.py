@@ -61,7 +61,8 @@ def main():
         light_lut_filename='__missing__.npz',
         light_det_noise_filename='__missing__.npy',
         rand_seed=7,
-        event_group_size=4,  # on-chip event data parallelism
+        # on-chip event data parallelism (env override for experiments)
+        event_group_size=int(os.environ.get('LARNDSIM_BENCH_GROUP', '4')),
     )
 
     # warmup: trigger all jit compiles

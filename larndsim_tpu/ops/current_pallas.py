@@ -50,6 +50,11 @@ def _round_up(x: int, m: int) -> int:
 #: every distance check fails
 FAR = jnp.float32(1e9)
 
+#: VMEM budget for the response slab (v5e VMEM is 16 MiB; the output
+#: block takes ~1 MiB at default block sizes — a 12.9 MiB slab with
+#: t_blk=1024 runs in practice)
+SLAB_BUDGET_BYTES = 14 * 2 ** 20
+
 
 @functools.partial(jax.jit,
                    static_argnames=('n_steps', 'mc_smear', 'ratio', 'cap'))
@@ -334,7 +339,8 @@ def host_shift_band(segs_np: dict, det: DetectorParams,
 
 def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
                    det: DetectorParams, key, *, n_steps: int, t_sig: int,
-                   mc_smear: bool = True, s_blk: int = 8, t_blk: int = 512,
+                   mc_smear: bool = True, s_blk: int = 8,
+                   t_blk: int | None = None,
                    step_blk: int = 128, interpret: bool = False,
                    shift_band: tuple[int, int] | None = None
                    ) -> jnp.ndarray:
@@ -354,7 +360,6 @@ def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
 
     S = segs.size
     P = pix_x.shape[1]
-    t_sig_p = _round_up(t_sig, t_blk)
     s_pad = _round_up(S, s_blk)
     n_steps_p = _round_up(n_steps, step_blk)
     if s_pad != S:
@@ -399,16 +404,26 @@ def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
     span = _round_up(max(K0 - shift_lo, 1), 256)
     shift = jnp.clip(shift, K0 - span, K0)
 
+    n_rows = _round_up(resp_np.shape[0] * resp_np.shape[1] * ratio + 1, 8)
+    if t_blk is None:
+        # bigger tick blocks amortize the per-(segment, pixel, step) scalar
+        # work across fewer grid passes (~8% at bench shapes); take the
+        # largest block whose slab still fits the VMEM budget
+        t_blk = 1024
+        if n_rows * _round_up(t_blk + span + 1 + 256, 128) * 4 \
+                > SLAB_BUDGET_BYTES:
+            t_blk = 512
+
+    t_sig_p = _round_up(t_sig, t_blk)
     # +256: aligned-window read (t_blk + 128 wide) starting at the
     # 128-aligned floor of the largest offset must stay in bounds
     slab_w = _round_up(t_blk + span + 1 + 256, 128)
-    n_rows = _round_up(resp_np.shape[0] * resp_np.shape[1] * ratio + 1, 8)
 
     # VMEM guard: the slab must fit on chip.  The shift band scales with
     # the *per-segment* drift extent (sub-cm for real edep-sim segments,
     # so ~100 ticks); pathological inputs fall back to the XLA backend.
     slab_bytes = n_rows * slab_w * 4
-    if slab_bytes > 12 * 2 ** 20 and not interpret:
+    if slab_bytes > SLAB_BUDGET_BYTES and not interpret:
         import warnings
         from . import current as current_xla
         warnings.warn(
