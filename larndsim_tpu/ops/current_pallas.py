@@ -176,6 +176,7 @@ def _current_kernel(xs_ref, ys_ref, shift_ref, phase_ref, px_ref, py_ref,
     max_x = bin_size * nx_r
     max_y = bin_size * ny_r
     inv_bin = 1.0 / bin_size  # scalar-core divides are slow
+    zero_row = nx_r * ny_r * ratio  # trailing all-zero response row
 
     w_win = t_blk + 128
 
@@ -192,30 +193,31 @@ def _current_kernel(xs_ref, ys_ref, shift_ref, phase_ref, px_ref, py_ref,
             pyv = py_ref[s, p]
 
             def step_body(istep, acc):
-                x_dist = jnp.abs(pxv - xs_ref[s, istep])
-                y_dist = jnp.abs(pyv - ys_ref[s, istep])
+                # branchless: out-of-LUT-range points read the appended
+                # all-zero response row — the straight-line body pipelines
+                # better on the scalar core than a lax.cond skip
+                x_dist = jnp.minimum(jnp.abs(pxv - xs_ref[s, istep]),
+                                     max_x + bin_size)
+                y_dist = jnp.minimum(jnp.abs(pyv - ys_ref[s, istep]),
+                                     max_y + bin_size)
                 i_idx = jnp.round(x_dist * inv_bin - 0.5).astype(jnp.int32)
                 j_idx = jnp.round(y_dist * inv_bin - 0.5).astype(jnp.int32)
                 ok = ((x_dist <= max_x) & (y_dist <= max_y)
                       & (i_idx >= 0) & (i_idx < nx_r)
                       & (j_idx >= 0) & (j_idx < ny_r))
-
-                def hit(acc):
-                    row = (i_idx * ny_r + j_idx) * ratio \
-                        + phase_ref[s, istep]
-                    off = k0 - shift_ref[s, istep]
-                    # lane offsets of dynamic VMEM slices must be
-                    # 128-aligned: read an aligned window and rotate the
-                    # remainder in-register
-                    off_base = (off // 128) * 128
-                    rem = off - off_base
-                    window = slab[pl.ds(row, 1),
-                                  pl.ds(pl.multiple_of(off_base, 128),
-                                        w_win)]
-                    rolled = pltpu.roll(window, w_win - rem, axis=1)
-                    return acc + rolled[:, :t_blk]
-
-                return jax.lax.cond(ok, hit, lambda a: a, acc)
+                i_c = jnp.clip(i_idx, 0, nx_r - 1)
+                j_c = jnp.clip(j_idx, 0, ny_r - 1)
+                row = jnp.where(ok, (i_c * ny_r + j_c) * ratio
+                                + phase_ref[s, istep], zero_row)
+                off = k0 - shift_ref[s, istep]
+                # lane offsets of dynamic VMEM slices must be 128-aligned:
+                # read an aligned window and rotate the remainder
+                off_base = (off // 128) * 128
+                rem = off - off_base
+                window = slab[pl.ds(row, 1),
+                              pl.ds(pl.multiple_of(off_base, 128), w_win)]
+                rolled = pltpu.roll(window, w_win - rem, axis=1)
+                return acc + rolled[:, :t_blk]
 
             acc = jax.lax.fori_loop(
                 0, ns, step_body, jnp.zeros((1, t_blk), jnp.float32))
