@@ -403,18 +403,21 @@ def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
     # remote-TPU tunnel cost tens of seconds).  K0 granularity stays
     # moderate: its slack adds directly to the slab span.
     K0 = _round_up(shift_hi, 128)
-    span = _round_up(max(K0 - shift_lo, 1), 256)
+    span = _round_up(max(K0 - shift_lo, 1), 128)
     shift = jnp.clip(shift, K0 - span, K0)
 
     n_rows = _round_up(resp_np.shape[0] * resp_np.shape[1] * ratio + 1, 8)
     if t_blk is None:
         # bigger tick blocks amortize the per-(segment, pixel, step) scalar
         # work across fewer grid passes (~8% at bench shapes); take the
-        # largest block whose slab still fits the VMEM budget
-        t_blk = 1024
-        if n_rows * _round_up(t_blk + span + 1 + 256, 128) * 4 \
-                > SLAB_BUDGET_BYTES:
-            t_blk = 512
+        # largest block whose slab still fits the VMEM budget (256 is
+        # ~1.9x slower than 512 but still far faster than the XLA
+        # fallback — needed e.g. for ndlar's 50 ns response sampling,
+        # whose phase split doubles the slab rows)
+        for t_blk in (1024, 512, 256):
+            if n_rows * _round_up(t_blk + span + 1 + 256, 128) * 4 \
+                    <= SLAB_BUDGET_BYTES:
+                break
 
     t_sig_p = _round_up(t_sig, t_blk)
     # +256: aligned-window read (t_blk + 128 wide) starting at the
@@ -432,11 +435,22 @@ def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
             f'current_pallas: response slab {slab_bytes / 2**20:.1f} MiB '
             'exceeds VMEM budget (very long segment drift span); falling '
             'back to the XLA backend')
-        segs_S = jax.tree.map(lambda a: a[:S], segs)
-        return current_xla.current(
-            segs_S, pix_x[:S], pix_y[:S], pix_valid[:S],
-            jnp.asarray(resp_np), det, key, n_steps=n_steps, t_sig=t_sig,
-            mc_smear=mc_smear)
+        # chunk over segments: the XLA op's per-step (S, P, T) gather
+        # intermediates OOM-crash the TPU worker at full batch size.
+        # NOTE the RNG stream: the XLA op draws (3, S_chunk, n_steps)
+        # normals per chunk, so per-chunk draws with the same key would
+        # diverge from the one-shot stream; fold the chunk index in.
+        resp_dev = jnp.asarray(resp_np)
+        chunk = 512
+        outs = []
+        for i0 in range(0, S, chunk):
+            sl = slice(i0, min(i0 + chunk, S))
+            segs_c = jax.tree.map(lambda a: a[sl], segs)
+            outs.append(current_xla.current(
+                segs_c, pix_x[sl], pix_y[sl], pix_valid[sl], resp_dev,
+                det, jax.random.fold_in(key, i0 // chunk),
+                n_steps=n_steps, t_sig=t_sig, mc_smear=mc_smear))
+        return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
 
     total_cols = _round_up((t_sig_p - t_blk) + slab_w, 128)
     padded_dev = _padded_response(response, ratio, K0, total_cols)
