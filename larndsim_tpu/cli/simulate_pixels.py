@@ -713,8 +713,10 @@ def run_simulation(input_filename: str,
 
         process_group()
         with trace.phase('export'):
-            drain_truth(block=True)
+            # flush first: the packet/waveform writes overlap the truth
+            # worker's remaining queue (h5_lock interleaves the appends)
             flush_results()
+            drain_truth(block=True)
         if truth_executor is not None:
             truth_executor.shutdown(wait=True)
         memlog.archive(f'loop_mod{i_mod}')

