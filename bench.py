@@ -17,6 +17,8 @@ import time
 
 NOMINAL_BASELINE_SEC_PER_SPILL = 10.0
 
+_TMP_DIRS: list = []
+
 
 def main():
     os.environ.setdefault('LARNDSIM_ASSETS', '/root/reference/larndsim')
@@ -35,6 +37,7 @@ def main():
 
     import tempfile
     tmp = tempfile.mkdtemp(prefix='larndsim_bench_')
+    _TMP_DIRS.append(tmp)
     warm_in = os.path.join(tmp, 'warm.h5')
     bench_in = os.path.join(tmp, 'bench.h5')
 
@@ -93,9 +96,12 @@ def main():
         },
     }
     print(json.dumps(result))
-    import shutil
-    shutil.rmtree(tmp, ignore_errors=True)  # ~10 GB of outputs per run
 
 
 if __name__ == '__main__':
-    main()
+    try:
+        main()
+    finally:
+        import shutil
+        for d in _TMP_DIRS:           # ~10 GB of outputs per run, even
+            shutil.rmtree(d, ignore_errors=True)  # on failure/interrupt

@@ -457,12 +457,17 @@ def run_simulation(input_filename: str,
                         bad_channels=bad_channels, i_mod=i_mod)
             if light.light_simulated and len(res.get('light_event_id', [])):
                 if light.light_trig_mode == 0:
+                    # times aligned to the LIGHT rows' unique events (a
+                    # mixed flush can hold light rows for events with no
+                    # charge rows, e.g. empty batches)
+                    uniq_l = np.unique(res['light_event_id'])
+                    times_l = event_times[uniq_l % sim.max_events_per_file]
                     with h5_lock:
                         export.export_light_trig_to_hdf5(
                             res['light_event_id'], res['light_start_time'],
                             res['light_trigger_idx'],
                             res['light_op_channel_idx'], output_filename,
-                            uniq_event_times, det_model, light)
+                            times_l, det_model, light)
                 with trace.phase('export/light_wvfm'), h5_lock:
                     export.export_light_wvfm_to_hdf5(
                         res['light_event_id'], res['light_waveforms'],
@@ -686,7 +691,12 @@ def run_simulation(input_filename: str,
                         op_channel_sim[None, :])
                     results_acc['light_waveforms'].append(
                         np.zeros((1, nch, digit_samples)))
-                    flush_results(light_only=True)
+                    # full flush: the preceding process_group() may have
+                    # accumulated charge hits for buffered events —
+                    # light_only=True would silently drop them
+                    # (flush_results degrades to light-only by itself
+                    # when no charge rows are pending)
+                    flush_results()
                 continue
 
             batch_idx_global = np.nonzero(batch_mask)[0]

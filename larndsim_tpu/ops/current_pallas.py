@@ -428,8 +428,9 @@ def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
         # fallback — needed e.g. for ndlar's 50 ns response sampling,
         # whose phase split doubles the slab rows)
         for t_blk in (1024, 512, 256):
+            out_blk = s_blk * P * t_blk * 4  # output VMEM block
             if n_rows * _round_up(t_blk + span + 1 + 256, 128) * 4 \
-                    <= SLAB_BUDGET_BYTES:
+                    + out_blk <= SLAB_BUDGET_BYTES + 2 * 2 ** 20:
                 break
 
     t_sig_p = _round_up(t_sig, t_blk)
@@ -441,7 +442,8 @@ def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
     # the *per-segment* drift extent (sub-cm for real edep-sim segments,
     # so ~100 ticks); pathological inputs fall back to the XLA backend.
     slab_bytes = n_rows * slab_w * 4
-    if slab_bytes > SLAB_BUDGET_BYTES and not interpret:
+    vmem_bytes = slab_bytes + s_blk * P * t_blk * 4
+    if vmem_bytes > SLAB_BUDGET_BYTES + 2 * 2 ** 20 and not interpret:
         import warnings
         from . import current as current_xla
         warnings.warn(
@@ -459,10 +461,12 @@ def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
         for i0 in range(0, S, chunk):
             sl = slice(i0, min(i0 + chunk, S))
             segs_c = jax.tree.map(lambda a: a[sl], segs)
+            # chunk 0 keeps the unchunked stream (same-seed outputs are
+            # unchanged for batches that fit one chunk)
+            k_c = key if i0 == 0 else jax.random.fold_in(key, i0 // chunk)
             outs.append(current_xla.current(
                 segs_c, pix_x[sl], pix_y[sl], pix_valid[sl], resp_dev,
-                det, jax.random.fold_in(key, i0 // chunk),
-                n_steps=n_steps, t_sig=t_sig, mc_smear=mc_smear))
+                det, k_c, n_steps=n_steps, t_sig=t_sig, mc_smear=mc_smear))
         return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
 
     total_cols = _round_up((t_sig_p - t_blk) + slab_w, 128)
