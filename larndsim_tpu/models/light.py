@@ -366,27 +366,41 @@ def _host_smeared_truth_sparse(ids_dev, contrib_dev, t0_dev, vox_dev,
             res[blk] = ph_blk @ T[t_lo:t_hi]
             i = jend
 
-    # record order is (channel, tick, contributor) major: scattering the
-    # per-row results into a dense (C, S, K) tensor makes np.nonzero
-    # produce exactly that order — no 7M-entry lexsort, no post-sort
-    # gathers (those two dominated the per-event truth budget)
+    # record order is (channel, tick, contributor) major — no lexsort:
+    # either a dense (C, S, K) scatter + nonzero (dict path), or, for the
+    # production records path, per-channel transposes whose working set
+    # stays cache-resident (the strided full-tensor scatter was the
+    # worker's hottest pass)
+    if as_records:
+        from ..io.export import TRUTH_DTYPE
+        rows_k = (rows % K).astype(np.int32)
+        c_starts = np.searchsorted(rows // K, np.arange(C + 1))
+        parts = []
+        for c in range(C):
+            i0, i1 = int(c_starts[c]), int(c_starts[c + 1])
+            if i0 == i1:
+                continue
+            sub_t = np.ascontiguousarray(res[i0:i1].T)     # (S, kc)
+            keep_c = np.abs(sub_t) > threshold
+            s_i, k_i = np.nonzero(keep_c)
+            if not len(s_i):
+                continue
+            rec = np.empty(len(s_i), TRUTH_DTYPE)
+            rec['trigger_id'] = 0
+            rec['op_channel_id'] = op_channel[c]
+            rec['tick'] = s_i
+            rec['event_id'] = 0
+            rec['segment_id'] = ids[c, rows_k[i0:i1][k_i]]
+            rec['pe_current'] = sub_t[keep_c]
+            parts.append(rec)
+        if not parts:
+            return np.empty(0, TRUTH_DTYPE)
+        return np.concatenate(parts)
+
     dense = np.zeros((C, digit_samples, K), np.float32)
     dense[rows // K, :, rows % K] = res
     keep = np.abs(dense) > threshold
     c_idx, s_idx, k_idx = np.nonzero(keep)
-    if as_records:
-        # fill the light_wvfm_mc_assn records directly (one interleaved
-        # pass instead of plain columns + a second structured-fill pass);
-        # the caller stamps trigger_id/event_id
-        from ..io.export import TRUTH_DTYPE
-        out = np.empty(len(c_idx), TRUTH_DTYPE)
-        out['trigger_id'] = 0
-        out['op_channel_id'] = op_channel[c_idx]
-        out['tick'] = s_idx
-        out['event_id'] = 0
-        out['segment_id'] = ids[c_idx, k_idx]
-        out['pe_current'] = dense[keep]
-        return out
     return dict(
         trig=np.zeros(len(c_idx), np.int32),
         op_channel=op_channel[c_idx].astype(np.int32),

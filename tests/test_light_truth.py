@@ -203,6 +203,29 @@ class TestLightTruth:
         np.testing.assert_allclose(fast['pe_current'], slow['pe_current'],
                                    rtol=1e-4, atol=1e-6)
 
+    def test_host_truth_records_match_dict_path(self, setup):
+        """as_records per-channel assembly == dict path + records helper."""
+        from larndsim_tpu.models import light as light_model
+        det_model, light, sim, lut = setup
+        segs = drifted_segments(det_model.params, n=6)
+        op_channel = np.arange(light.n_op_channel)
+        n_det, t0_det, vox = light_ops.calculate_light_incidence(
+            segs, det_model.params, light, lut.vis, lut.t0,
+            n_channels=light.n_op_channel)
+        ids, con, t0s, voxs = light_ops.light_truth_select(
+            segs, jnp.asarray(vox), n_det, k_truth=4)
+        common = (ids, con, t0s, voxs, lut.time_dist_host, op_channel,
+                  light, 1e-3, 2048, 4096, 128, 64, 512, 0.0)
+        rec = light_model._host_smeared_truth_sparse(*common,
+                                                     as_records=True)
+        rec['event_id'] = 3
+        rec['trigger_id'] += 7
+        ref = export.truth_sparse_to_records(
+            light_model._host_smeared_truth_sparse(*common), 3, 7)
+        assert rec.shape == ref.shape and rec.shape[0] > 0
+        for name in rec.dtype.names:
+            np.testing.assert_array_equal(rec[name], ref[name], err_msg=name)
+
     def test_batch_produces_truth(self, setup):
         det_model, light, sim, lut = setup
         segs = drifted_segments(det_model.params, n=6)
