@@ -38,7 +38,7 @@ from ..assets.response import load_response
 from ..assets.light_lut import load_light_lut, make_light_noise
 from ..models.charge import bucket, simulate_charge_batch
 from ..models.light import simulate_light_batch, simulate_light_group
-from ..utils import MemoryLogger, PixelLUT, TPCBatcher
+from ..utils import MemoryLogger, PixelLUT
 from ..utils.batching_native import FastTPCBatcher
 from ..utils import trace
 
@@ -663,15 +663,17 @@ def run_simulation(input_filename: str,
                     sync_times = np.arange(sync_start,
                                            this_event_time + 1, period_us)
                     if len(sync_times):
-                        export.export_sync_to_hdf5(
-                            output_filename,
-                            np.full(sync_times.shape, period_us),
-                            det_model, sim, i_mod)
+                        with h5_lock:
+                            export.export_sync_to_hdf5(
+                                output_filename,
+                                np.full(sync_times.shape, period_us),
+                                det_model, sim, i_mod)
                         sync_start = sync_times[-1] + period_us
                 if i_mod == trig_module or i_mod == -1:
-                    export.export_timestamp_trigger_to_hdf5(
-                        output_filename, [this_event_time], det_model,
-                        light, sim, i_mod)
+                    with h5_lock:
+                        export.export_timestamp_trigger_to_hdf5(
+                            output_filename, [this_event_time], det_model,
+                            light, sim, i_mod)
 
             if len(track_subset) == 0:
                 process_group()

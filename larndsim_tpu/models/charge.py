@@ -31,7 +31,22 @@ from ..ops.quench import quench
 from ..utils import trace
 
 
-_FRAC_DEEP_STICKY = [False]
+#: per-config speculation hint: id(sim) -> (sim, go_deep).  Keyed on the
+#: SimParams identity (with the object pinned so ids can't alias) so two
+#: interleaved simulations with different occupancy don't cross-contaminate
+#: each other's fraction-scan depth.
+_FRAC_DEEP_STICKY: dict = {}
+
+
+def _frac_deep(sim) -> bool:
+    ent = _FRAC_DEEP_STICKY.get(id(sim))
+    return ent is not None and ent[0] is sim and ent[1]
+
+
+def _set_frac_deep(sim) -> None:
+    if len(_FRAC_DEEP_STICKY) > 8:
+        _FRAC_DEEP_STICKY.clear()
+    _FRAC_DEEP_STICKY[id(sim)] = (sim, True)
 
 
 def bucket(n: int, lo: int = 16) -> int:
@@ -311,11 +326,12 @@ def simulate_charge_batch(segs: Segments, det_model: DetectorModel,
     # (detsim.py:516-517).
     t_sig = bucket(int(np.ceil((t_end_r - t_start_r).max() / dt)), lo=64)
 
-    # Sample-count cap: the current op clamps each segment's dynamic nstep
-    # to this and divides the charge by the clamped value, so any cap
-    # conserves charge; step_scale > 1 trades sampling density for speed.
-    n_steps = bucket(int(np.ceil(np.max(host['dx'][valid])
-                                 / (sim.min_step_size * step_scale)))
+    # Step size and sample-count cap: nstep = round(length/min_step) like
+    # the reference (detsim.py:320 with sim.MIN_STEP_SIZE); step_scale > 1
+    # coarsens the step grid directly (fewer, wider midpoint steps), which
+    # conserves charge exactly.  The cap only guards pathological lengths.
+    min_step = float(sim.min_step_size) * float(step_scale)
+    n_steps = bucket(int(np.ceil(np.max(host['dx'][valid]) / min_step))
                      * sim.mc_sample_multiplier, lo=8)
 
     # measure the unique-pixel count to size the unique axis
@@ -360,11 +376,12 @@ def simulate_charge_batch(segs: Segments, det_model: DetectorModel,
             signals = current_pallas(
                 segs, px, py, pix_valid, response, det, k_cur,
                 n_steps=n_steps, t_sig=t_sig, mc_smear=True,
-                shift_band=band)
+                shift_band=band, min_step=min_step)
     else:
         signals = current.current(
             segs, px, py, pix_valid, response, det, k_cur,
-            n_steps=n_steps, t_sig=t_sig, mc_smear=True)
+            n_steps=n_steps, t_sig=t_sig, mc_smear=True,
+            min_step=min_step)
 
     # FEE: the FSM always runs at full ADC-slot depth (its cost is tiny);
     # current_fractions is speculative in the slot-scan depth (4 covers
@@ -372,7 +389,7 @@ def simulate_charge_batch(segs: Segments, det_model: DetectorModel,
     # later batches in the process go straight to the full depth instead
     # of paying shallow + deep every time (dense spills saturate always).
     a_full = sim.max_adc_values
-    frac_scan = a_full if _FRAC_DEEP_STICKY[0] else min(4, a_full)
+    frac_scan = a_full if _frac_deep(sim) else min(4, a_full)
     n_u = n_unique_cap  # sliced below after the single sync
     with trace.phase('charge/fee_stage'):
       out = _fee_stage(
@@ -390,7 +407,7 @@ def simulate_charge_batch(segs: Segments, det_model: DetectorModel,
     max_hits = int(n_adc_host.max()) if n_adc_host.size else 0
     n_slots = frac_scan
     if max_hits > frac_scan:
-        _FRAC_DEEP_STICKY[0] = True
+        _set_frac_deep(sim)
         n_slots = a_full
         with trace.phase('charge/fee_fractions_deep'):
             fractions = fee.current_fractions(

@@ -224,6 +224,8 @@ def _digit_scalars(light: LightParams) -> tuple:
     f = float(light.light_digit_sample_spacing) / tick
     pre = int(np.ceil(float(light.light_trig_window[0]) / tick))
     out = (tick, f, pre)
+    if len(_DIGIT_KEY_CACHE) > 8:
+        _DIGIT_KEY_CACHE.clear()
     _DIGIT_KEY_CACHE[id(light)] = (light, out)
     return out
 

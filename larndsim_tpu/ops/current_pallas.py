@@ -57,10 +57,11 @@ SLAB_BUDGET_BYTES = 14 * 2 ** 20
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('n_steps', 'mc_smear', 'ratio', 'cap'))
+                   static_argnames=('n_steps', 'mc_smear', 'ratio', 'cap',
+                                    'min_step'))
 def prepare_points(segs: Segments, det: DetectorParams, key, *,
                    n_steps: int, mc_smear: bool, ratio: int,
-                   cap: int | None = None):
+                   cap: int | None = None, min_step: float = 0.001):
     """Precompute per-(segment, step) sample points.
 
     Returns:
@@ -84,7 +85,7 @@ def prepare_points(segs: Segments, det: DetectorParams, key, *,
     safe_len = jnp.where(length > 0, length, 1.0)
     direction = seg_vec / safe_len[:, None]
 
-    nstep = jnp.maximum(jnp.round(length / 0.001), 1.0)
+    nstep = jnp.maximum(jnp.round(length / min_step), 1.0)
     nstep = jnp.minimum(nstep, cap if cap is not None else n_steps)
     nstep = nstep.astype(jnp.int32)
     step_len = length / nstep
@@ -254,7 +255,12 @@ def _padded_response(response, ratio: int, K0: int, total_cols: int):
            ratio, K0, total_cols)
     hit = _RESP_CACHE.get(key)
     if hit is not None:
-        return hit
+        # entries pin their source array (hit[0]) so its address can't be
+        # reused by a different LUT while the entry is live; the identity
+        # check guards the base-array case (asarray may return a view)
+        src, dev = hit
+        if src is resp_np or np.shares_memory(src, resp_np):
+            return dev
     resp_phase = phase_split_response(resp_np, ratio)
     rows_pad = _round_up(resp_phase.shape[0], 8)
     if rows_pad != resp_phase.shape[0]:
@@ -270,7 +276,7 @@ def _padded_response(response, ratio: int, K0: int, total_cols: int):
     dev = jnp.asarray(padded)
     if len(_RESP_CACHE) > 8:
         _RESP_CACHE.clear()
-    _RESP_CACHE[key] = dev
+    _RESP_CACHE[key] = (resp_np, dev)
     return dev
 
 
@@ -357,8 +363,8 @@ def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
                    mc_smear: bool = True, s_blk: int = 8,
                    t_blk: int | None = None,
                    step_blk: int = 128, interpret: bool = False,
-                   shift_band: tuple[int, int] | None = None
-                   ) -> jnp.ndarray:
+                   shift_band: tuple[int, int] | None = None,
+                   min_step: float = 0.001) -> jnp.ndarray:
     """Induced current per (segment, pixel, tick) — Pallas TPU backend.
 
     Same contract as ops.current.current; `response` is the raw
@@ -388,7 +394,7 @@ def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
 
     xs, ys, shift, phase, charge, nstep, tick_lo, tick_hi = prepare_points(
         segs, det, key, n_steps=n_steps_p, mc_smear=mc_smear, ratio=ratio,
-        cap=n_steps)
+        cap=n_steps, min_step=min_step)
     # fold pixel validity into the centers: FAR fails every distance check
     pxc = jnp.where(pix_valid, pix_x, FAR).astype(jnp.float32)
     pyc = jnp.where(pix_valid, pix_y, FAR).astype(jnp.float32)
@@ -466,7 +472,8 @@ def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
             k_c = key if i0 == 0 else jax.random.fold_in(key, i0 // chunk)
             outs.append(current_xla.current(
                 segs_c, pix_x[sl], pix_y[sl], pix_valid[sl], resp_dev,
-                det, k_c, n_steps=n_steps, t_sig=t_sig, mc_smear=mc_smear))
+                det, k_c, n_steps=n_steps, t_sig=t_sig, mc_smear=mc_smear,
+                min_step=min_step))
         return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
 
     total_cols = _round_up((t_sig_p - t_blk) + slab_w, 128)

@@ -1,5 +1,4 @@
 from .pixel_lut import PixelLUT
-from .batching import TPCBatcher
 from .memlog import MemoryLogger
 
-__all__ = ['PixelLUT', 'TPCBatcher', 'MemoryLogger']
+__all__ = ['PixelLUT', 'MemoryLogger']

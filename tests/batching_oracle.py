@@ -10,7 +10,7 @@ from math import ceil
 
 import numpy as np
 
-from ..ops.drift import select_active_volume
+from larndsim_tpu.ops.drift import select_active_volume
 
 
 class TPCBatcher:

@@ -5,6 +5,10 @@ validate physics and sharding semantics on CPU (the reference takes the same
 approach with NUMBA_ENABLE_CUDASIM, .github/workflows/test.yml).
 """
 import os
+import sys
+
+# test-only helper modules (reference-semantics oracles) live beside the tests
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 os.environ.setdefault('JAX_PLATFORMS', 'cpu')
 flags = os.environ.get('XLA_FLAGS', '')

@@ -4,7 +4,7 @@ import numpy as np
 import pytest
 
 from larndsim_tpu.params import load_detector
-from larndsim_tpu.utils.batching import TPCBatcher
+from batching_oracle import TPCBatcher
 from larndsim_tpu.utils.batching_native import FastTPCBatcher, assign_groups
 from larndsim_tpu.native import load_library
 from larndsim_tpu import segments as seg_mod
