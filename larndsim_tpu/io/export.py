@@ -242,7 +242,18 @@ def export_to_hdf5(event_pix, hit_row, hit_adc, hit_ticks, hit_fractions,
     event = event_pix[pix_row]
     ev_t0 = event_t0_ticks[pix_row]
     t_us = hit_ticks[above]
-    time_tick = np.floor(t_us / clock + ev_t0).astype(np.int64) % reset_period
+    # Clock rollover (fee.py:163-183): per hit, the reference subtracts
+    # CLOCK_RESET_PERIOD from `event_start_time_list[itick:]` until the
+    # hit tick fits; with event times nondecreasing along the stream the
+    # resulting data/sync/trigger timestamps equal a plain modulo, and the
+    # only *observable* state is the cumulative rollover count (which
+    # drives the tick-group timestamp payload below).  tt_raw // period
+    # is the per-hit rollover demand; its running max is the reference's
+    # sequential counter, vectorized.
+    tt_raw = np.floor(t_us / clock + ev_t0).astype(np.int64)
+    rollovers = np.maximum.accumulate(
+        np.maximum(tt_raw // reset_period, 0))
+    time_tick = tt_raw % reset_period
     ev_t0_mod = ev_t0 % reset_period
 
     if not ok.all():
@@ -261,10 +272,17 @@ def export_to_hdf5(event_pix, hit_row, hit_adc, hit_ticks, hit_fractions,
         ok &= ~bad
 
     # --- service-packet schedule (per hit, in stream order) ---
-    # event boundary: first hit of each event (in hit order)
+    # event boundary: first hit of each event above the digitized zero —
+    # NOT gated on channel mapping: the reference emits the event's
+    # timestamp/sync/trigger packets before the chip lookup can `continue`
+    # (fee.py:186-225 precede the KeyError/bad-channel drops :229-254)
     new_event = np.concatenate([[True], event[1:] != event[:-1]])
-    # timestamp-group boundary: time_tick change (fee.py:262-268)
-    new_tick = np.concatenate([[True], time_tick[1:] != time_tick[:-1]])
+    # timestamp-group boundary: time_tick change *among surviving hits*
+    # (last_time_tick only updates after the drop checks, fee.py:262)
+    surv = np.nonzero(ok)[0]
+    tick_surv = time_tick[surv]
+    new_tick_surv = np.concatenate([[True],
+                                    tick_surv[1:] != tick_surv[:-1]])
 
     assn_dtype = _assn_dtype(store)
 
@@ -289,7 +307,7 @@ def export_to_hdf5(event_pix, hit_row, hit_adc, hit_ticks, hit_fractions,
                          np.stack([hits, np.full(len(pkts), prio)], axis=1))
 
     if light.light_trig_mode != 1:
-        for h in np.nonzero(new_event & ok)[0]:
+        for h in np.nonzero(new_event)[0]:
             ev = event[h]
             pk = []
             for g in io_groups_all:
@@ -313,11 +331,23 @@ def export_to_hdf5(event_pix, hit_row, hit_adc, hit_ticks, hit_fractions,
             pkts = np.concatenate(pk)
             add(pkts, service_assn(len(pkts)), int(h), 0)
 
-    # per-timestamp-group timestamp packet (constant payload, fee.py:267)
-    ts_payload = np.floor(event_t0_ticks[0] * clock * units.mus / units.s)
-    tick_hits = np.nonzero(new_tick & ok)[0]
+    # per-timestamp-group timestamp packet (fee.py:267): payload tracks
+    # `event_start_time_list[0]` — the raw t0 of pixel row 0, decremented
+    # by one reset period per rollover triggered while processing row 0's
+    # hits (adjustments at later rows touch only slices [itick:], so [0]
+    # freezes once the stream moves past row 0).
+    tick_hits = surv[new_tick_surv]
     if len(tick_hits):
-        tp = lp.make_timestamp_packets(np.full(len(tick_hits), ts_payload))
+        if pix_row[0] == 0:
+            row0_hits = np.nonzero(pix_row == 0)[0]
+            last_row0 = row0_hits[-1]
+            adj = rollovers[np.minimum(tick_hits, last_row0)]
+        else:
+            adj = np.zeros(len(tick_hits), np.int64)
+        ts_payload = np.floor(
+            (event_t0_ticks[0] - adj * reset_period).astype(np.float64)
+            * clock * units.mus / units.s)
+        tp = lp.make_timestamp_packets(ts_payload)
         tp['io_group'] = io_group[tick_hits]
         add(tp, service_assn(len(tick_hits)), tick_hits, 1)
 

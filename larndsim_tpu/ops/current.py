@@ -99,11 +99,12 @@ def window_clamp_shift(segs: Segments, det: DetectorParams) -> jnp.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=('n_steps', 't_sig', 'mc_smear'))
+    jax.jit, static_argnames=('n_steps', 't_sig', 'mc_smear', 'min_step'))
 def current(segs: Segments, pix_x: jnp.ndarray, pix_y: jnp.ndarray,
             pix_valid: jnp.ndarray, response: jnp.ndarray,
             det: DetectorParams, key: jax.Array, *,
-            n_steps: int, t_sig: int, mc_smear: bool = True) -> jnp.ndarray:
+            n_steps: int, t_sig: int, mc_smear: bool = True,
+            min_step: float = 0.001) -> jnp.ndarray:
     """Induced current per (segment, pixel, tick).
 
     Args:
@@ -120,6 +121,9 @@ def current(segs: Segments, pix_x: jnp.ndarray, pix_y: jnp.ndarray,
         mc_smear: apply gaussian diffusion smearing (production path);
             False gives the deterministic midpoint sampler used for
             charge-conservation validation.
+        min_step: MC step size in cm (sim.MIN_STEP_SIZE,
+            consts/sim.py:27; configurable via simprop
+            'min_step_size').  nstep = round(length/min_step).
 
     Returns:
         (S, P, t_sig) float32 induced current.
@@ -144,7 +148,7 @@ def current(segs: Segments, pix_x: jnp.ndarray, pix_y: jnp.ndarray,
     direction = seg_vec / safe_len[:, None]
 
     # Dynamic per-segment sample count, masked against the static cap.
-    nstep = jnp.maximum(jnp.round(length / 0.001), 1.0)  # MIN_STEP_SIZE
+    nstep = jnp.maximum(jnp.round(length / min_step), 1.0)
     nstep = jnp.minimum(nstep, n_steps).astype(jnp.int32)
     step_len = length / nstep
 
