@@ -113,13 +113,22 @@ def run_simulation(input_filename: str,
                    rand_seed: int | None = None,
                    save_memory: str | None = None,
                    step_scale: float = 1.0,
-                   event_group_size: int = 1):
+                   event_group_size: int = 1,
+                   n_devices: int = 1):
     """Simulate a pixelated LArTPC (same flag surface as the reference CLI).
 
     Extra knobs: ``step_scale`` coarsens the MC charge-sampling density
     (1.0 = reference MIN_STEP_SIZE density); ``event_group_size`` processes
     G independent events per device invocation (charge chain grouped via
-    per-event pixel-key offsets -- the on-chip data-parallel axis).
+    per-event pixel-key offsets -- the on-chip data-parallel axis);
+    ``n_devices`` distributes event groups round-robin over that many
+    chips (module params/LUTs replicated per chip, one dispatch thread per
+    chip, results gathered host-side in submission order).  Because every
+    group runs the same code with the same shapes and the same
+    (module, event, group) RNG key regardless of placement, the output
+    file is byte-identical for any n_devices — the multi-chip axis maps
+    the reference's only parallelism seams (module loop
+    cli/simulate_pixels.py:678 + event batching, SURVEY §2.6 P8/P9).
     """
     if not os.path.exists(input_filename):
         raise FileNotFoundError(input_filename)
@@ -375,6 +384,37 @@ def run_simulation(input_filename: str,
         pending_truth: deque = deque()
         h5_lock = threading.Lock()
 
+        # ---- multi-chip contexts ----
+        # one committed copy of the module's device-resident inputs per
+        # chip; a group dispatched with ctx d's params executes on chip d
+        # (computation follows committed inputs)
+        n_dev = max(int(n_devices), 1)
+        avail = jax.devices()
+        if n_dev > len(avail):
+            warnings.warn(f'n_devices={n_dev} > available {len(avail)}; '
+                          'clamping')
+            n_dev = len(avail)
+        if n_dev > 1:
+            dev_ctx = []
+            for d in avail[:n_dev]:
+                det_d = jax.device_put(det, d)
+                ctx = dict(
+                    det_model=dataclasses.replace(det_model, params=det_d),
+                    light=jax.device_put(light, d),
+                    response=jax.device_put(response_dev, d),
+                    lut=lut.to_device(d) if lut is not None else None,
+                )
+                dev_ctx.append(ctx)
+        else:
+            dev_ctx = [dict(det_model=det_model, light=light,
+                            response=response_dev, lut=lut)]
+        compute_pool = ThreadPoolExecutor(max_workers=n_dev) \
+            if n_dev > 1 else None
+        #: ordered stream of pending work: ('job', payload-or-Future) for
+        #: group compute, ('call', fn) for ordered file writes / flushes —
+        #: drained FIFO so the output stream is identical for any n_dev
+        actions: deque = deque()
+
         def write_truth(ievd_t, trig_t, fut):
             truth = fut.result()
             if isinstance(truth, np.ndarray):
@@ -492,70 +532,69 @@ def run_simulation(input_filename: str,
         light_done_events: set = set()
         group_seq = 0  # distinct RNG stream per processed group
 
-        def process_group():
-            nonlocal i_light_trig, group_seq
-            if not group:
+        def accumulate_light(ievd_l, lres):
+            nonlocal i_light_trig
+            drain_truth()
+            ntrig = lres.trigger_idx.shape[0]
+            if not ntrig:
                 return
-            group_seq += 1
-            sels = [sel for _, sel in group]
+            results_acc['light_event_id'].append(
+                np.full(ntrig, ievd_l))
+            results_acc['light_start_time'].append(
+                np.full(ntrig, lres.start_time))
+            results_acc['light_trigger_idx'].append(
+                lres.trigger_idx)
+            results_acc['trigger_type'].append(lres.trigger_type)
+            results_acc['light_op_channel_idx'].append(
+                lres.op_channel_idx)
+            results_acc['light_waveforms'].append(lres.waveforms)
+            if lres.truth_sparse is not None:
+                truth = export.truth_sparse_to_records(
+                    lres.truth_sparse, int(ievd_l), i_light_trig)
+                with h5_lock:
+                    export.export_light_truth_to_hdf5(
+                        output_filename, truth)
+            elif lres.truth_future is not None:
+                # chain decode+write on the same single worker (FIFO
+                # keeps record order identical to inline writes)
+                pending_truth.append(truth_executor.submit(
+                    write_truth, int(ievd_l), i_light_trig,
+                    lres.truth_future))
+            i_light_trig += ntrig
+
+        def compute_group(group_local, gseq, light_plan, ctx):
+            """Device compute + read-only host prep for one event group.
+
+            Runs on a per-chip dispatch thread when n_devices > 1 (the
+            chip is selected by ctx's committed params); touches no shared
+            mutable state — accumulation happens on the main thread in
+            submission order, so results and the output stream are
+            independent of placement and thread timing.
+            """
+            det_model_c = ctx['det_model']
+            light_c = ctx['light']
+            response_c = ctx['response']
+            lut_c = ctx['lut']
+            sels = [sel for _, sel in group_local]
             lens = [len(s) for s in sels]
             cat = np.concatenate(sels)
             selected = tracks_mod[cat]
-            slot = np.repeat(np.arange(len(group)), lens)
+            slot = np.repeat(np.arange(len(group_local)), lens)
             pad_n = bucket(len(cat), lo=32)
             segs = from_structured(selected, pad_to=pad_n)
             slot_p = np.zeros(pad_n, np.int32)
             slot_p[:len(cat)] = slot
             key_batch = jax.random.fold_in(
-                jax.random.fold_in(key_mod, int(group[0][0])), group_seq)
+                jax.random.fold_in(key_mod, int(group_local[0][0])), gseq)
 
             # light first: its dispatch + truth-worker feed are
             # independent of the charge chain given drifted segments,
             # and the single-core truth worker needs the head start
             # (the charge syncs below otherwise delay it by the whole
             # group's device time)
-            if light.light_simulated:
-                def accumulate_light(ievd_l, lres):
-                    nonlocal i_light_trig
-                    drain_truth()
-                    ntrig = lres.trigger_idx.shape[0]
-                    if not ntrig:
-                        return
-                    results_acc['light_event_id'].append(
-                        np.full(ntrig, ievd_l))
-                    results_acc['light_start_time'].append(
-                        np.full(ntrig, lres.start_time))
-                    results_acc['light_trigger_idx'].append(
-                        lres.trigger_idx)
-                    results_acc['trigger_type'].append(lres.trigger_type)
-                    results_acc['light_op_channel_idx'].append(
-                        lres.op_channel_idx)
-                    results_acc['light_waveforms'].append(lres.waveforms)
-                    if lres.truth_sparse is not None:
-                        truth = export.truth_sparse_to_records(
-                            lres.truth_sparse, int(ievd_l), i_light_trig)
-                        with h5_lock:
-                            export.export_light_truth_to_hdf5(
-                                output_filename, truth)
-                    elif lres.truth_future is not None:
-                        # chain decode+write on the same single worker (FIFO
-                        # keeps record order identical to inline writes)
-                        pending_truth.append(truth_executor.submit(
-                            write_truth, int(ievd_l), i_light_trig,
-                            lres.truth_future))
-                    i_light_trig += ntrig
-
-                # events eligible for the one-dispatch grouped beam path:
-                # first light pass (i_sub == 0) in beam trigger mode
-                groupable = light.light_trig_mode == 1
-                g_idx = [i for i, (ev, _) in enumerate(group)
-                         if groupable and ev not in light_done_events]
-                if len(g_idx) > 1:
-                    grouped = [group[i] for i in g_idx]
-                    solo = [g for i, g in enumerate(group)
-                            if i not in g_idx]
-                else:
-                    grouped, solo = [], group
+            light_payloads = []
+            if light_plan is not None:
+                grouped, solo_plan = light_plan
                 if len(grouped) > 1:
                     pad_l = bucket(max(len(sel) for _, sel in grouped),
                                    lo=32)
@@ -572,15 +611,14 @@ def run_simulation(input_filename: str,
                     ev_ids = np.array([int(ev) for ev, _ in grouped])
                     with trace.phase('light_batch'):
                         lres_list = simulate_light_group(
-                            segs_g, det_model, light, sim, inc_g, vox_g,
-                            lut, light_noise, key_mod, ev_ids,
+                            segs_g, det_model_c, light_c, sim, inc_g, vox_g,
+                            lut_c, light_noise, key_mod, ev_ids,
                             op_channel_sim,
                             truth_executor=truth_executor)
                     for (ievd_l, _), lres in zip(grouped, lres_list):
-                        light_done_events.add(ievd_l)
-                        accumulate_light(ievd_l, lres)
+                        light_payloads.append((int(ievd_l), lres))
 
-                for ievd_l, sel in solo:
+                for ievd_l, sel, i_sub in solo_plan:
                     pad_l = bucket(len(sel), lo=32)
                     segs_l = from_structured(tracks_mod[sel], pad_to=pad_l)
                     inc_batch = np.zeros((pad_l, light_inc.shape[1]),
@@ -591,22 +629,21 @@ def run_simulation(input_filename: str,
                     vox_batch = np.zeros((pad_l, 3), np.int32)
                     vox_batch[:len(sel)] = np.asarray(track_light_voxel)[sel]
                     key_l = jax.random.fold_in(key_mod, int(ievd_l))
-                    i_sub = 0 if ievd_l not in light_done_events else 1
-                    light_done_events.add(ievd_l)
                     with trace.phase('light_batch'):
                         lres = simulate_light_batch(
-                            segs_l, det_model, light, sim,
-                            inc_batch, vox_batch, lut, light_noise,
+                            segs_l, det_model_c, light_c, sim,
+                            inc_batch, vox_batch, lut_c, light_noise,
                             key_l, i_subbatch=i_sub,
                             op_channel=op_channel_sim, t0_det=t0_batch,
                             truth_executor=truth_executor)
-                    accumulate_light(ievd_l, lres)
+                    light_payloads.append((int(ievd_l), lres))
+
             with trace.phase('charge_batch'):
                 res = simulate_charge_batch(
-                    segs, det_model, sim, key_batch, response_dev,
+                    segs, det_model_c, sim, key_batch, response_c,
                     pixel_thresholds=thresholds_lut, pixel_gains=gains_lut,
                     already_drifted=True, step_scale=step_scale,
-                    event_slot=slot_p if len(group) > 1 else None,
+                    event_slot=slot_p if len(group_local) > 1 else None,
                     host_segs=selected)
             if res.overflow:
                 warnings.warn(
@@ -615,14 +652,15 @@ def run_simulation(input_filename: str,
                     'incomplete')
             uniq = res.unique_pix
             valid_u = uniq >= 0
-            if len(group) > 1:
+            if len(group_local) > 1:
                 ev_slot_u = np.where(valid_u, uniq // n_pix_total, 0)
                 pid_u = np.where(valid_u, uniq % n_pix_total, -1)
             else:
                 ev_slot_u = np.zeros(len(uniq), np.int64)
                 pid_u = uniq
-            group_events = np.array([ev for ev, _ in group])
-            event_u = group_events[np.clip(ev_slot_u, 0, len(group) - 1)]
+            group_events = np.array([ev for ev, _ in group_local])
+            event_u = group_events[np.clip(ev_slot_u, 0,
+                                           len(group_local) - 1)]
 
             # remap batch-local track indices to global ids (cli:1112-1115)
             tmap = res.track_pixel_map
@@ -632,23 +670,93 @@ def run_simulation(input_filename: str,
                                 seg_ids_batch[np.clip(tmap, 0, None)], -1)
             tmap_trj = np.where(tmap >= 0,
                                 traj_ids_batch[np.clip(tmap, 0, None)], -1)
+            return dict(light=light_payloads, res=res, valid_u=valid_u,
+                        event_u=event_u, pid_u=pid_u, tmap_seg=tmap_seg,
+                        tmap_trj=tmap_trj)
 
+        def accumulate_group(p):
+            for ievd_l, lres in p['light']:
+                accumulate_light(ievd_l, lres)
+            res = p['res']
+            valid_u = p['valid_u']
             # compact accumulation: per-pixel rows + per-hit columns (the
             # dense (U, max_adc[, K]) tensors are never materialized)
             row_offset = sum(len(x) for x in results_acc['unique_pix'])
             new_row = np.cumsum(valid_u) - 1
             keep_h = valid_u[res.hit_row]
-            results_acc['event_pix'].append(event_u[valid_u])
-            results_acc['unique_pix'].append(pid_u[valid_u])
-            results_acc['track_pixel_map'].append(tmap_seg[valid_u])
-            results_acc['traj_pixel_map'].append(tmap_trj[valid_u])
+            results_acc['event_pix'].append(p['event_u'][valid_u])
+            results_acc['unique_pix'].append(p['pid_u'][valid_u])
+            results_acc['track_pixel_map'].append(p['tmap_seg'][valid_u])
+            results_acc['traj_pixel_map'].append(p['tmap_trj'][valid_u])
             results_acc['hit_row'].append(
                 new_row[res.hit_row[keep_h]] + row_offset)
             results_acc['hit_adc'].append(res.hit_adc[keep_h])
             results_acc['hit_ticks'].append(res.hit_ticks[keep_h])
             results_acc['hit_frac'].append(res.hit_fractions[keep_h])
 
+        def maybe_flush():
+            if len(results_acc['event_pix']) >= sim.write_batch_size:
+                with trace.phase('export'):
+                    flush_results()
+
+        def drain_actions(block=False):
+            """Execute pending work in submission order: group payloads
+            (waiting on their dispatch thread if needed) and ordered file
+            writes.  FIFO drain makes the output stream identical for any
+            n_devices."""
+            while actions:
+                kind, item = actions[0]
+                if kind == 'call':
+                    actions.popleft()
+                    item()
+                    continue
+                if compute_pool is not None and not block \
+                        and not item.done():
+                    break
+                actions.popleft()
+                payload = item.result() if compute_pool is not None else item
+                accumulate_group(payload)
+                maybe_flush()
+
+        def process_group():
+            """Submit the buffered event group (inline when n_devices=1)."""
+            nonlocal group_seq
+            if not group:
+                return
+            group_seq += 1
+            # light scheduling decisions are order-dependent (grouped beam
+            # path eligibility + sub-batch index per event), so they are
+            # made at submission time on the main thread
+            light_plan = None
+            if light.light_simulated:
+                groupable = light.light_trig_mode == 1
+                g_idx = [i for i, (ev, _) in enumerate(group)
+                         if groupable and ev not in light_done_events]
+                if len(g_idx) > 1:
+                    grouped = [group[i] for i in g_idx]
+                    solo = [g for i, g in enumerate(group)
+                            if i not in g_idx]
+                else:
+                    grouped, solo = [], list(group)
+                solo_plan = []
+                for ievd_l, sel in solo:
+                    i_sub = 0 if ievd_l not in light_done_events else 1
+                    light_done_events.add(ievd_l)
+                    solo_plan.append((ievd_l, sel, i_sub))
+                for ievd_l, _ in grouped:
+                    light_done_events.add(ievd_l)
+                light_plan = (grouped, solo_plan)
+            group_local = list(group)
             group.clear()
+            gseq = group_seq
+            if compute_pool is None:
+                actions.append(('job', compute_group(
+                    group_local, gseq, light_plan, dev_ctx[0])))
+            else:
+                ctx = dev_ctx[(gseq - 1) % n_dev]
+                actions.append(('job', compute_pool.submit(
+                    compute_group, group_local, gseq, light_plan, ctx)))
+            drain_actions()
 
         for ievd, batch_mask in batcher:
             i_batch += 1
@@ -658,47 +766,61 @@ def run_simulation(input_filename: str,
                                           % sim.max_events_per_file]
             if is_new_event:
                 event_id_buffer = ievd
+                # the file writes are enqueued so they land in the packet
+                # stream at the same position relative to pending group
+                # flushes for any n_devices
                 if this_event_time - sync_start >= 0:
                     period_us = det.clock_reset_period * det.clock_cycle
                     sync_times = np.arange(sync_start,
                                            this_event_time + 1, period_us)
                     if len(sync_times):
-                        with h5_lock:
-                            export.export_sync_to_hdf5(
-                                output_filename,
-                                np.full(sync_times.shape, period_us),
-                                det_model, sim, i_mod)
+                        def write_sync(payload=np.full(sync_times.shape,
+                                                       period_us)):
+                            with h5_lock:
+                                export.export_sync_to_hdf5(
+                                    output_filename, payload,
+                                    det_model, sim, i_mod)
+                        actions.append(('call', write_sync))
                         sync_start = sync_times[-1] + period_us
                 if i_mod == trig_module or i_mod == -1:
-                    with h5_lock:
-                        export.export_timestamp_trigger_to_hdf5(
-                            output_filename, [this_event_time], det_model,
-                            light, sim, i_mod)
+                    def write_trig(t_ev=this_event_time):
+                        with h5_lock:
+                            export.export_timestamp_trigger_to_hdf5(
+                                output_filename, [t_ev], det_model,
+                                light, sim, i_mod)
+                    actions.append(('call', write_trig))
 
             if len(track_subset) == 0:
                 process_group()
-                # keep light triggers aligned with empty events
-                if light.light_simulated and light.light_trig_mode in (0, 1):
-                    digit_samples = ceil(
-                        (light.light_trig_window[1]
-                         + light.light_trig_window[0])
-                        / light.light_digit_sample_spacing)
-                    nch = len(op_channel_sim)
-                    results_acc['light_event_id'].append(np.full(1, ievd))
-                    results_acc['light_start_time'].append(np.zeros(1))
-                    results_acc['light_trigger_idx'].append(np.zeros(1, int))
-                    results_acc['trigger_type'].append(
-                        np.full(1, light.light_trig_mode))
-                    results_acc['light_op_channel_idx'].append(
-                        op_channel_sim[None, :])
-                    results_acc['light_waveforms'].append(
-                        np.zeros((1, nch, digit_samples)))
-                    # full flush: the preceding process_group() may have
-                    # accumulated charge hits for buffered events —
-                    # light_only=True would silently drop them
-                    # (flush_results degrades to light-only by itself
-                    # when no charge rows are pending)
-                    flush_results()
+
+                def empty_event_flush(ievd_e=ievd):
+                    # keep light triggers aligned with empty events
+                    if light.light_simulated and \
+                            light.light_trig_mode in (0, 1):
+                        digit_samples = ceil(
+                            (light.light_trig_window[1]
+                             + light.light_trig_window[0])
+                            / light.light_digit_sample_spacing)
+                        nch = len(op_channel_sim)
+                        results_acc['light_event_id'].append(
+                            np.full(1, ievd_e))
+                        results_acc['light_start_time'].append(np.zeros(1))
+                        results_acc['light_trigger_idx'].append(
+                            np.zeros(1, int))
+                        results_acc['trigger_type'].append(
+                            np.full(1, light.light_trig_mode))
+                        results_acc['light_op_channel_idx'].append(
+                            op_channel_sim[None, :])
+                        results_acc['light_waveforms'].append(
+                            np.zeros((1, nch, digit_samples)))
+                        # full flush: preceding groups may have accumulated
+                        # charge hits for buffered events — light_only=True
+                        # would silently drop them (flush_results degrades
+                        # to light-only by itself when no charge rows are
+                        # pending)
+                        flush_results()
+                actions.append(('call', empty_event_flush))
+                drain_actions()
                 continue
 
             batch_idx_global = np.nonzero(batch_mask)[0]
@@ -718,12 +840,13 @@ def run_simulation(input_filename: str,
                 if len(group) >= group_cap:
                     process_group()
 
-            if len(results_acc['event_pix']) >= sim.write_batch_size:
-                with trace.phase('export'):
-                    flush_results()
+            drain_actions()
             memlog.take_snapshot()
 
         process_group()
+        drain_actions(block=True)
+        if compute_pool is not None:
+            compute_pool.shutdown(wait=True)
         with trace.phase('export'):
             # flush first: the packet/waveform writes overlap the truth
             # worker's remaining queue (h5_lock interleaves the appends)

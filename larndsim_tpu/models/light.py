@@ -626,8 +626,10 @@ def simulate_light_batch(segs: Segments, det_model: DetectorModel,
             noise = light_ops.gen_light_detector_noise(
                 signal.shape, noise_rows, k_noise, light)
             signal = signal + noise
-        wvfms = light_ops.digitize_signal(signal, padded_trigger_idx, light,
-                                          digit_samples=digit_samples)
+        wvfms = light_ops.digitize_signal(
+            signal, padded_trigger_idx, light,
+            digit_samples=digit_samples,
+            ref_exact=sim.ref_exact_light_digitize)
         if do_truth:
             truth_ids_dev, amp, itick = light_ops.light_truth_points(
                 segs, jnp.asarray(voxels), jnp.asarray(n_photons_det),

@@ -95,6 +95,15 @@ class LightLUT:
     def load(cls, path: str) -> 'LightLUT':
         return cls.from_structured(np.load(path)['arr'])
 
+    def to_device(self, device) -> 'LightLUT':
+        """Copy of this LUT with its device arrays committed to `device`
+        (multi-chip CLI path); host copies are shared."""
+        put = lambda x: jax.device_put(x, device)
+        return LightLUT(put(self.vis), put(self.t0), put(self.t0_avg),
+                        put(self.time_dist),
+                        time_dist_host=self.time_dist_host,
+                        t0_avg_host=self.t0_avg_host)
+
 
 # --------------------------------------------------------------------------
 # Visibility lookup (lightLUT.py)
@@ -595,13 +604,59 @@ def group_above_threshold(signal, group_threshold, *, per_trig: int,
     return s_ds < group_threshold[:, None]
 
 
+@functools.partial(jax.jit, static_argnames=('digit_ticks', 'max_trig'))
+def dead_time_trigger_scan(above: jnp.ndarray, *, digit_ticks: int,
+                           max_trig: int):
+    """Device reformulation of the sequential dead-time trigger walk
+    (light_sim.py:430-443): a blocked `lax.scan` over tick blocks.
+
+    With block <= digit_ticks, at most one trigger can fire per block, so
+    each scan step reduces a whole block with one masked argmax and the
+    sequential carry is a single "next allowed tick" scalar per row —
+    T/block iterations instead of the reference's per-tick walk.
+
+    Args:
+        above: (M, T) bool, per-module above-threshold flags.
+        digit_ticks: dead time after each trigger, in light ticks.
+        max_trig: output slots (T // digit_ticks + 1 is an exact bound).
+
+    Returns:
+        idx: (M, max_trig) int32 trigger ticks, -1 padded, ascending.
+        counts: (M,) int32 triggers per row.
+    """
+    M, T = above.shape
+    block = max(min(256, digit_ticks), 1)
+    nb = -(-T // block)
+    a = jnp.pad(above, ((0, 0), (0, nb * block - T)))
+    a = a.reshape(M, nb, block).transpose(1, 0, 2)       # (nb, M, block)
+    bases = jnp.arange(nb, dtype=jnp.int32) * block
+    offs = jnp.arange(block, dtype=jnp.int32)
+
+    def body(next_allowed, xs):
+        blk, base = xs                                    # (M, block), ()
+        ok = blk & (base + offs[None, :] >= next_allowed[:, None])
+        has = ok.any(axis=1)
+        t_trig = base + jnp.argmax(ok, axis=1).astype(jnp.int32)
+        na2 = jnp.where(has, t_trig + digit_ticks, next_allowed)
+        return na2, jnp.where(has, t_trig, -1)
+
+    _, trig = jax.lax.scan(body, jnp.zeros(M, jnp.int32), (a, bases))
+    trig = trig.T                                         # (M, nb)
+    order = jnp.argsort(trig < 0, axis=1, stable=True)    # valid first
+    idx = jnp.take_along_axis(trig, order[:, :max_trig], axis=1)
+    return idx, (trig >= 0).sum(axis=1).astype(jnp.int32)
+
+
 def get_triggers(signal, group_threshold: np.ndarray,
                  op_channel_idx: np.ndarray, i_subbatch: int,
                  light: LightParams, module_to_tpcs, tpc_to_module,
-                 tpc_to_op_channel: np.ndarray):
-    """Trigger scan (light_sim.get_triggers, :380-477).  The threshold
-    reduction runs on device; the dead-time while-loop is inherently
-    sequential and tiny, so it runs on the host booleans.
+                 tpc_to_op_channel: np.ndarray, device_scan: bool = True):
+    """Trigger scan (light_sim.get_triggers, :380-477).
+
+    The threshold reduction and (by default) the dead-time walk run on
+    device — the host pull shrinks from the (n_grp, nticks) boolean to a
+    few trigger indices per module.  ``device_scan=False`` keeps the
+    original host walk as the parity oracle.
 
     Returns (trigger_idx, trigger_op_channel_idx, trigger_type) numpy arrays.
     """
@@ -609,11 +664,9 @@ def get_triggers(signal, group_threshold: np.ndarray,
     n_grp = shape[0] // light.op_channel_per_trig
     sample_factor = round(light.light_digit_sample_spacing
                           / light.light_tick_size)
-    grp_above = np.asarray(group_above_threshold(
+    grp_above_dev = group_above_threshold(
         jnp.asarray(signal), jnp.asarray(group_threshold, jnp.float32),
-        per_trig=light.op_channel_per_trig, sample_factor=sample_factor))
-    # expand back to per-channel rows for the module masks below
-    above = np.repeat(grp_above, light.op_channel_per_trig, axis=0)
+        per_trig=light.op_channel_per_trig, sample_factor=sample_factor)
 
     digit_ticks = int(np.ceil((light.light_trig_window[1]
                                + light.light_trig_window[0])
@@ -624,23 +677,45 @@ def get_triggers(signal, group_threshold: np.ndarray,
         op_to_tpc = np.asarray(light.op_channel_to_tpc)
         tpc_ids = np.unique(op_to_tpc[op_channel_idx])
         mod_ids = np.unique([tpc_to_module[t] for t in tpc_ids])
+        gmasks, ops_per_mod = [], []
         for mod_id in mod_ids:
             tpcs = module_to_tpcs[mod_id]
             op_channels = np.asarray(tpc_to_op_channel)[tpcs].ravel()
             mask = np.isin(op_channel_idx, op_channels)
-            module_above = np.any(above[mask], axis=0)
-            last_trigger = 0
-            while module_above.any():
-                next_idx = int(np.nonzero(module_above)[0].min()
-                               + (last_trigger if last_trigger != 0 else 0))
-                trigger_idx.append(next_idx)
-                trig_type.append(0)
-                trig_op.append(op_channels)
-                module_above = module_above[next_idx - (last_trigger if
-                                                        last_trigger != 0
-                                                        else 0)
-                                            + digit_ticks:]
-                last_trigger = next_idx + digit_ticks
+            gmasks.append(mask.reshape(n_grp,
+                                       light.op_channel_per_trig).any(axis=1))
+            ops_per_mod.append(op_channels)
+        if device_scan:
+            module_above = jnp.asarray(np.stack(gmasks))[:, :, None] \
+                & grp_above_dev[None, :, :]
+            module_above = module_above.any(axis=1)       # (n_mod, T)
+            T = int(module_above.shape[1])
+            max_trig = T // max(digit_ticks, 1) + 1
+            idx, counts = dead_time_trigger_scan(
+                module_above, digit_ticks=digit_ticks, max_trig=max_trig)
+            idx_np = np.asarray(idx)
+            counts_np = np.asarray(counts)
+            for m in range(len(mod_ids)):
+                for k in range(int(counts_np[m])):
+                    trigger_idx.append(int(idx_np[m, k]))
+                    trig_type.append(0)
+                    trig_op.append(ops_per_mod[m])
+        else:
+            grp_above = np.asarray(grp_above_dev)
+            for gmask, op_channels in zip(gmasks, ops_per_mod):
+                module_above = np.any(grp_above[gmask], axis=0)
+                last_trigger = 0
+                while module_above.any():
+                    next_idx = int(np.nonzero(module_above)[0].min()
+                                   + (last_trigger if last_trigger != 0
+                                      else 0))
+                    trigger_idx.append(next_idx)
+                    trig_type.append(0)
+                    trig_op.append(op_channels)
+                    module_above = module_above[
+                        next_idx - (last_trigger if last_trigger != 0
+                                    else 0) + digit_ticks:]
+                    last_trigger = next_idx + digit_ticks
     elif light.light_trig_mode == 1 and i_subbatch == 0:
         # beam mode: one forced trigger per event (light_sim.py:444-451)
         trigger_idx.append(0)
@@ -654,9 +729,12 @@ def get_triggers(signal, group_threshold: np.ndarray,
             np.empty((0,), int))
 
 
-@functools.partial(jax.jit, static_argnames=('digit_samples', 'quantize'))
+@functools.partial(jax.jit,
+                   static_argnames=('digit_samples', 'quantize',
+                                    'ref_exact'))
 def digitize_signal(signal, padded_trigger_idx, light: LightParams, *,
-                    digit_samples: int, quantize: bool = True):
+                    digit_samples: int, quantize: bool = True,
+                    ref_exact: bool = False):
     """Interpolate to the ADC sample grid (light_sim.digitize_signal,
     :480-543) and truncate to the digitizer bit depth.
 
@@ -664,14 +742,26 @@ def digitize_signal(signal, padded_trigger_idx, light: LightParams, *,
         signal: (C, n_padded_ticks) waveform including front padding of
             ceil(trig_window[0]/tick).
         padded_trigger_idx: (ntrig,) trigger tick in the padded signal.
+        ref_exact: reproduce the reference's *active* code line, which
+            ignores `trigger_idx` entirely (light_sim.py:498: every
+            trigger samples from padded tick 0 — its commented-out line
+            shows the intended per-trigger window).  Default False =
+            the intended semantics; the two agree whenever the trigger
+            sits at tick 0 (beam mode), so the toggle only matters for
+            mode-0 multi-trigger events.
 
     Returns:
         (ntrig, C, digit_samples).
     """
     f = light.light_digit_sample_spacing / light.light_tick_size
     pre = int(np.ceil(light.light_trig_window[0] / light.light_tick_size))
-    sample_tick = (padded_trigger_idx[:, None] - pre
-                   + jnp.arange(digit_samples)[None, :] * f)    # (ntrig, M)
+    if ref_exact:
+        sample_tick = jnp.broadcast_to(
+            jnp.arange(digit_samples)[None, :] * f,
+            (padded_trigger_idx.shape[0], digit_samples))
+    else:
+        sample_tick = (padded_trigger_idx[:, None] - pre
+                       + jnp.arange(digit_samples)[None, :] * f)  # (ntrig, M)
     i0 = jnp.floor(sample_tick).astype(jnp.int32)
     frac = sample_tick - i0
     n = signal.shape[-1]

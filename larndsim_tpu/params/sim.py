@@ -32,6 +32,11 @@ class SimParams:
     max_mc_truth_ids: int = 0
     mc_truth_threshold: float = 0.1   # pe/us
     mod2mod_variation: bool = False
+    #: bug-compatibility: reproduce the reference's ACTIVE multi-trigger
+    #: light digitization (light_sim.py:498 ignores trigger_idx) instead
+    #: of the intended per-trigger windows — enables byte-level golden
+    #: comparison on mode-0 multi-trigger paths (PARITY.md)
+    ref_exact_light_digitize: bool = False
 
 
 def load_sim(simprop_file: str) -> SimParams:
@@ -55,4 +60,7 @@ def load_sim(simprop_file: str) -> SimParams:
         max_adc_values=int(simprop.get('max_adc_values', d.max_adc_values)),
         max_mc_truth_ids=int(simprop.get('max_light_truth_ids', d.max_mc_truth_ids)),
         mc_truth_threshold=float(simprop.get('mc_truth_threshold', d.mc_truth_threshold)),
+        ref_exact_light_digitize=bool(
+            simprop.get('ref_exact_light_digitize',
+                        d.ref_exact_light_digitize)),
     )

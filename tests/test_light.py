@@ -157,6 +157,63 @@ class TestTriggers:
         assert len(idx) == 1
         assert 900 <= idx[0] <= 1100
 
+    def test_device_scan_matches_host_walk(self, setup):
+        """The blocked lax.scan dead-time walk (device) reproduces the
+        sequential host walk on multi-trigger waveforms, including pulses
+        falling inside and just past the dead-time window."""
+        det_model, light, sim, lut = setup
+        import dataclasses
+        lp = dataclasses.replace(light, light_trig_mode=0)
+        rng = np.random.default_rng(9)
+        digit_ticks = int(np.ceil((lp.light_trig_window[1]
+                                   + lp.light_trig_window[0])
+                                  / lp.light_tick_size))
+        T = 4 * digit_ticks + 500
+        for trial in range(4):
+            sig = np.zeros((96, T))
+            # scatter pulses on several groups, incl. within dead time
+            for _ in range(10):
+                g = int(rng.integers(0, 16))
+                t = int(rng.integers(0, T - 120))
+                sig[g * 6:(g + 1) * 6, t:t + 100] = -400.0
+            thr = np.full(16, -1500.0)
+            args = (sig, thr, np.arange(96), 0, lp,
+                    det_model.module_to_tpcs, det_model.tpc_to_module,
+                    np.asarray(light.tpc_to_op_channel))
+            idx_d, ops_d, typ_d = light_ops.get_triggers(
+                *args, device_scan=True)
+            idx_h, ops_h, typ_h = light_ops.get_triggers(
+                *args, device_scan=False)
+            np.testing.assert_array_equal(idx_d, idx_h, err_msg=f'trial {trial}')
+            np.testing.assert_array_equal(typ_d, typ_h)
+            np.testing.assert_array_equal(ops_d, ops_h)
+
+    def test_ref_exact_digitize_toggle(self, setup):
+        """ref_exact=True reproduces the reference's active code line
+        (light_sim.py:498: trigger_idx ignored — every trigger samples
+        from padded tick 0); default mode applies per-trigger windows."""
+        import jax.numpy as jnp
+        det_model, light, sim, lut = setup
+        pre = int(np.ceil(light.light_trig_window[0]
+                          / light.light_tick_size))
+        digit_samples = int(np.ceil((light.light_trig_window[0]
+                                     + light.light_trig_window[1])
+                                    / light.light_digit_sample_spacing))
+        T = 4000 + pre
+        sig = np.zeros((4, T))
+        sig[:, pre + 2000: pre + 2100] = -700.0  # pulse at trigger 2
+        trig = jnp.asarray([pre + 0, pre + 2000])
+        kw = dict(digit_samples=digit_samples, quantize=False)
+        w_int = np.asarray(light_ops.digitize_signal(
+            jnp.asarray(sig), trig, light, **kw))
+        w_ref = np.asarray(light_ops.digitize_signal(
+            jnp.asarray(sig), trig, light, ref_exact=True, **kw))
+        # intended: trigger 2 sees the pulse, trigger 1 does not
+        assert np.abs(w_int[1]).max() > 100 > np.abs(w_int[0]).max()
+        # reference-exact: both triggers digitize the same tick-0 window
+        np.testing.assert_array_equal(w_ref[0], w_ref[1])
+        assert not np.array_equal(w_ref[1], w_int[1])
+
 
 class TestLightBatch:
     def test_end_to_end_beam(self, setup):

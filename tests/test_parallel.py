@@ -64,3 +64,63 @@ class TestMultichip:
                                               np.asarray(adc1))
         expected_hits = int((np.asarray(fee1.n_adc) > 0).sum()) * n_mod * n_ev
         assert int(n_hits) == expected_hits
+
+
+class TestMultiDeviceCLI:
+    """The production CLI's multi-chip path: event groups round-robin over
+    devices with per-device param copies, results gathered in submission
+    order — the output file must be byte-identical to single-device."""
+
+    @pytest.fixture(scope='class')
+    def files(self, tmp_path_factory):
+        from larndsim_tpu.cli.simulate_pixels import run_simulation
+        from larndsim_tpu.params import load_detector
+        from larndsim_tpu.assets.make_input import write_input
+        ref = '/root/reference/larndsim'
+        detprop = f'{ref}/detector_properties/module0.yaml'
+        pixel = f'{ref}/pixel_layouts/multi_tile_layout-2.3.16.yaml'
+        simprop = f'{ref}/simulation_properties/singles_sim.yaml'
+        tmp = tmp_path_factory.mktemp('cli_multidev')
+        in_file = str(tmp / 'input.h5')
+        dm = load_detector(detprop, pixel)
+        write_input(in_file, dm.tpc_borders, n_events=3, tracks_per_event=1,
+                    segments_per_track=8, dEdx=15.0, seed=7)
+        outs = []
+        for n_dev in (1, 3):
+            out = str(tmp / f'out_nd{n_dev}.h5')
+            run_simulation(in_file, out, config='module0',
+                           detector_properties=detprop, pixel_layout=pixel,
+                           simulation_properties=simprop,
+                           response_file='__missing__.npy',
+                           light_lut_filename='__missing__.npz',
+                           light_det_noise_filename='__missing__.npy',
+                           rand_seed=42, step_scale=16.0,
+                           event_group_size=2, n_devices=n_dev)
+            outs.append(out)
+        return outs
+
+    def test_byte_identical_output(self, files):
+        import h5py
+        f1, f4 = files
+
+        def collect(path):
+            data = {}
+            with h5py.File(path) as f:
+                def visit(name, obj):
+                    if isinstance(obj, h5py.Dataset):
+                        data[name] = np.asarray(obj)
+                f.visititems(visit)
+            return data
+
+        d1, d4 = collect(f1), collect(f4)
+        assert set(d1) == set(d4)
+        assert 'packets' in d1 and len(d1['packets']) > 0
+        for name in sorted(d1):
+            a, b = d1[name], d4[name]
+            assert a.shape == b.shape, name
+            if a.dtype.names:
+                for col in a.dtype.names:
+                    np.testing.assert_array_equal(b[col], a[col],
+                                                  err_msg=f'{name}[{col}]')
+            else:
+                np.testing.assert_array_equal(b, a, err_msg=name)

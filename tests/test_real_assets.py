@@ -1,0 +1,123 @@
+"""Real binary-asset ingestion: exercise the loaders' real-file branches
+with files in the exact on-disk formats the reference consumes
+(cli/simulate_pixels.py:436-449 response/threshold/gain loads, :768-787
+light LUT npz with vis/t0/t0_avg/time_dist), including the genuine
+thresholds npz shipped in the reference snapshot
+(detector_properties/thresholds/module0-fake_thresholds-6ke.npz)."""
+import os
+
+import h5py
+import numpy as np
+import pytest
+
+from larndsim_tpu.assets.light_lut import make_light_lut, make_light_noise
+from larndsim_tpu.assets.response import load_response, make_response
+from larndsim_tpu.assets.make_input import write_input
+from larndsim_tpu.cli.simulate_pixels import run_simulation
+from larndsim_tpu.params import load_detector
+from larndsim_tpu.utils import PixelLUT
+
+REF = '/root/reference/larndsim'
+DETPROP = f'{REF}/detector_properties/module0.yaml'
+PIXEL = f'{REF}/pixel_layouts/multi_tile_layout-2.3.16.yaml'
+SIMPROP = f'{REF}/simulation_properties/singles_sim.yaml'
+REAL_THRESHOLDS = (f'{REF}/detector_properties/thresholds/'
+                   'module0-fake_thresholds-6ke.npz')
+
+
+class TestRealThresholdsFile:
+    """The genuine CudaDict-format npz from the reference tree loads
+    through PixelLUT (same keys/values/default schema,
+    util/cuda_dict.py:59-74)."""
+
+    def test_load_and_lookup(self):
+        lut = PixelLUT.load(REAL_THRESHOLDS)
+        raw = np.load(REAL_THRESHOLDS)
+        assert len(lut.keys) == len(raw['keys']) == 78400
+        # spot-check lookups against the raw arrays
+        rng = np.random.default_rng(0)
+        pick = rng.integers(0, len(raw['keys']), 50)
+        got = np.asarray(lut.lookup(raw['keys'][pick]))
+        np.testing.assert_allclose(got, raw['values'][pick])
+        # missing key -> default
+        missing = int(raw['keys'].max()) + 12345
+        assert missing not in lut
+        assert float(lut.lookup(np.array([missing]))[0]) \
+            == pytest.approx(float(raw['default'][0]))
+
+    def test_threshold_scale(self):
+        raw = np.load(REAL_THRESHOLDS)
+        # "6ke" file: thresholds cluster near 6000 electrons expressed in
+        # COULOMBS (6e3 * 1.602e-19), NOT in the simulator's e=1 charge
+        # unit — the reference feeds these raw into its discriminator
+        # (cli:1088-1092, no conversion), so we do too, bug-compatibly
+        e_si = 1.60217733e-19
+        assert 4000 < np.median(raw['values']) / e_si < 9000
+
+
+class TestRealFormatFiles:
+    def test_response_npy_roundtrip(self, tmp_path):
+        resp = make_response(n_xy=45, n_t=200)
+        path = str(tmp_path / 'response_44.npy')
+        np.save(path, resp)
+        loaded = load_response(path)
+        np.testing.assert_array_equal(loaded, resp)
+        assert loaded.dtype == np.float32
+
+    def test_light_lut_npz_roundtrip(self, tmp_path):
+        from larndsim_tpu.assets.light_lut import load_light_lut
+        from larndsim_tpu.ops.light import LightLUT
+        arr = make_light_lut(vox_div=(4, 5, 3), n_det_tpc=48, n_prof=20)
+        # poke a zero-visibility voxel to cover the clip branch
+        arr['vis'][0, 0, 0, 0] = 0.0
+        path = str(tmp_path / 'lightLUT_test.npz')
+        np.savez_compressed(path, arr=arr)
+        loaded = load_light_lut(path, n_det_tpc=48)
+        np.testing.assert_array_equal(loaded['t0'], arr['t0'])
+        lut = LightLUT.from_structured(loaded)
+        assert lut.vox_div == (4, 5, 3)
+        vis = np.asarray(lut.vis)
+        assert vis.min() > 0  # zero-vis voxels clipped (cli:780-782)
+        assert np.asarray(lut.time_dist).shape[-1] == 20
+
+
+@pytest.mark.slow
+class TestEndToEndWithRealFormatAssets:
+    """Full CLI run where EVERY binary asset comes from a file in the real
+    on-disk format (response npy, light LUT structured npz, noise npy,
+    and the reference's own thresholds npz) — no synthetic fallbacks."""
+
+    def test_run(self, tmp_path):
+        det_model = load_detector(DETPROP, PIXEL)
+        det = det_model.params
+        n_t = int(round(float(det.time_window)
+                        / float(det.response_sampling)))
+        resp_path = str(tmp_path / 'response_44.npy')
+        np.save(resp_path, make_response(
+            n_xy=45, n_t=n_t, bin_size=float(det.response_bin_size),
+            sampling=float(det.response_sampling),
+            pixel_pitch=float(det.pixel_pitch)))
+        lut_path = str(tmp_path / 'lightLUT_Mod0.npz')
+        np.savez_compressed(
+            lut_path, arr=make_light_lut(vox_div=(14, 26, 8), n_det_tpc=48))
+        noise_path = str(tmp_path / 'light_noise-module0.npy')
+        np.save(noise_path, make_light_noise(96))
+
+        in_file = str(tmp_path / 'input.h5')
+        out_file = str(tmp_path / 'output.h5')
+        write_input(in_file, det_model.tpc_borders, n_events=2,
+                    tracks_per_event=1, segments_per_track=8, dEdx=18.0,
+                    seed=3)
+        run_simulation(in_file, out_file, config='module0',
+                       detector_properties=DETPROP, pixel_layout=PIXEL,
+                       simulation_properties=SIMPROP,
+                       response_file=resp_path,
+                       light_lut_filename=lut_path,
+                       light_det_noise_filename=noise_path,
+                       pixel_thresholds_file=REAL_THRESHOLDS,
+                       rand_seed=7, step_scale=16.0)
+        with h5py.File(out_file) as f:
+            pk = np.array(f['packets'])
+            data = pk[pk['packet_type'] == 0]
+            assert len(data) > 0
+            assert 'light_wvfm' in f
