@@ -15,6 +15,8 @@ ns -> us; spill time = spillCounter * spillPeriod * 1e6 us
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..assets.make_input import (SEGMENTS_DTYPE, TRAJECTORIES_DTYPE,
@@ -24,14 +26,48 @@ EDEP2CM = 0.1
 EDEP2US = 0.001
 
 
-def dump(input_file: str, output_file: str, spill_period: float = 1.2,
-         n_events: int | None = None):
+class SpillTimer:
+    """Spill-time bookkeeping of the reference loop (dumpTree.py:198-237):
+    without an `event_spill_map` every event is its own "spill" at t=0;
+    with one, a counter increments whenever the event's global spill id
+    changes and t_spill = counter * spillPeriod_s * 1e6 us."""
+
+    def __init__(self, spill_period_s: float | None):
+        self.spill_period_s = spill_period_s   # None = no event_spill_map
+        self._counter = -1
+        self._last = None
+
+    def t_spill(self, spill_id) -> float:
+        if self.spill_period_s is None:
+            return 0.0
+        if spill_id != self._last:
+            self._counter += 1
+            self._last = spill_id
+        return self._counter * self.spill_period_s * 1e6
+
+
+def passes_active_volume(container_names, keep_all_dets: bool) -> bool:
+    """Event filter (dumpTree.py:255-262): with keep_all_dets, keep any
+    event that has segment detectors at all; otherwise require a container
+    named $ARCUBE_ACTIVE_VOLUME (default 'volTPCActive')."""
+    names = list(container_names)
+    if keep_all_dets:
+        return len(names) > 0
+    active = os.environ.get('ARCUBE_ACTIVE_VOLUME', 'volTPCActive')
+    return any(name == active for name in names)
+
+
+def dump(input_file: str, output_file: str,
+         n_events: int | None = None, keep_all_dets: bool = False):
     """Convert an edep-sim ROOT file to the segments HDF5 schema.
 
     Args:
-        input_file: edep-sim ROOT file with an EDepSimEvents tree.
+        input_file: edep-sim ROOT file with an EDepSimEvents tree (+
+            optional `event_spill_map` TMap and `spillPeriod_s` TParameter,
+            dumpTree.py:198-205).
         output_file: HDF5 output path.
-        spill_period: spill period in seconds (dumpTree semantics).
+        keep_all_dets: keep events with hits in any detector container
+            instead of requiring $ARCUBE_ACTIVE_VOLUME (dumpTree.py:255).
     """
     try:
         from ROOT import TFile, TG4Event  # noqa: F401
@@ -49,6 +85,12 @@ def dump(input_file: str, output_file: str, spill_period: float = 1.2,
     n = tree.GetEntries() if n_events is None else min(
         n_events, tree.GetEntries())
 
+    # spill map: which global spill each (run, event) lives in
+    # (dumpTree.py:198-205)
+    event_spill_map = root_file.Get('event_spill_map')
+    timer = SpillTimer(float(root_file.Get('spillPeriod_s').GetVal())
+                       if event_spill_map else None)
+
     segments, trajectories, vertices = [], [], []
     segment_id = 0
     file_traj = 0
@@ -56,7 +98,17 @@ def dump(input_file: str, output_file: str, spill_period: float = 1.2,
         tree.GetEntry(ientry)
         event = tree.Event
         ev_id = event.EventId
-        t_spill = ev_id * spill_period * 1e6  # us
+        if event_spill_map:
+            spill_tobj = event_spill_map.GetValue(
+                f'{event.RunId} {event.EventId}')
+            t_spill = timer.t_spill(int(spill_tobj.GetName()))
+        else:
+            t_spill = timer.t_spill(None)
+
+        if not passes_active_volume(
+                (name for name, _hits in event.SegmentDetectors),
+                keep_all_dets):
+            continue
 
         for primaries in event.Primaries:
             vrow = np.zeros(1, VERTICES_DTYPE)

@@ -167,6 +167,28 @@ def _append_dataset(f: h5py.File, name: str, data: np.ndarray):
         f[name][n0:] = data
 
 
+_BAD_CHANNELS_CACHE: dict = {}
+
+
+def _packed_bad_channels(path, bad_channels_list: dict) -> np.ndarray:
+    """Flatten the bad-channels YAML ('{io_group}-{io_channel}-{chip}' ->
+    [channels], fee.py:250-254) into sorted packed int64 keys, cached per
+    file path."""
+    hit = _BAD_CHANNELS_CACHE.get(path)
+    if hit is not None:
+        return hit
+    keys = []
+    for key, channels in bad_channels_list.items():
+        g, c, ch = (int(x) for x in str(key).split('-'))
+        for chan in channels or ():
+            keys.append((((g << 16 | c) << 16 | ch) << 16) | int(chan))
+    packed = np.sort(np.asarray(keys, np.int64))
+    if len(_BAD_CHANNELS_CACHE) > 8:
+        _BAD_CHANNELS_CACHE.clear()
+    _BAD_CHANNELS_CACHE[path] = packed
+    return packed
+
+
 # --------------------------------------------------------------------------
 # charge export
 # --------------------------------------------------------------------------
@@ -260,16 +282,15 @@ def export_to_hdf5(event_pix, hit_row, hit_adc, hit_ticks, hit_fractions,
         n_bad = int((~ok).sum())
         logger.warning('%d hits on unmapped pixels dropped', n_bad)
 
-    # bad-channel masking (fee.py:250-254)
+    # bad-channel masking (fee.py:250-254), vectorized: the YAML's
+    # '{io_group}-{io_channel}-{chip}' -> [channels] map is flattened once
+    # into packed (io_group, io_channel, chip, channel) int64 keys and the
+    # per-hit test becomes one np.isin against the sorted pack
     if bad_channels_list:
-        keys = np.array([f'{g}-{c}-{ch}' for g, c, ch in
-                         zip(io_group, io_channel, chip)])
-        bad = np.zeros(n_hits, bool)
-        for i in range(n_hits):
-            lst = bad_channels_list.get(keys[i])
-            if lst and channel[i] in lst:
-                bad[i] = True
-        ok &= ~bad
+        packed_bad = _packed_bad_channels(bad_channels, bad_channels_list)
+        hit_keys = (((io_group.astype(np.int64) << 16 | io_channel) << 16
+                     | chip) << 16) | channel
+        ok &= ~np.isin(hit_keys, packed_bad)
 
     # --- service-packet schedule (per hit, in stream order) ---
     # event boundary: first hit of each event above the digitized zero —

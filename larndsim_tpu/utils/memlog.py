@@ -3,7 +3,10 @@
 TPU-native counterpart of the reference memory_logger
 (util/memory_logger.py:4-150): records wall time, host tracemalloc, and
 per-device HBM usage (via jax device memory stats) per labelled phase;
-stores to npz.
+stores to HDF5 (one table per phase, the reference's
+``df.to_hdf(filename, phase, format='table')`` layout of
+util/memory_logger.py:86-96 without the pandas/pytables dependency) or
+npz (the reference's ImportError fallback).
 """
 from __future__ import annotations
 
@@ -11,6 +14,10 @@ import time
 import tracemalloc
 
 import numpy as np
+
+#: column names of each snapshot row (memory_logger.py:119)
+FIELDS = ('time', 'cpu_mem_used', 'cpu_mem_peak',
+          'gpu_mem_used', 'gpu_mem_free')
 
 
 class MemoryLogger:
@@ -28,21 +35,28 @@ class MemoryLogger:
         self._t0 = time.time()
 
     @staticmethod
-    def _device_memory() -> int:
+    def _device_memory() -> tuple[int, int]:
+        """(bytes in use, bytes free) on device 0; (0, 0) when the backend
+        exposes no memory stats (CPU)."""
         try:
             import jax
             stats = jax.local_devices()[0].memory_stats()
-            return int(stats.get('bytes_in_use', 0)) if stats else 0
+            if not stats:
+                return 0, 0
+            used = int(stats.get('bytes_in_use', 0))
+            limit = int(stats.get('bytes_limit', 0))
+            return used, max(limit - used, 0)
         except Exception:
-            return 0
+            return 0, 0
 
     def take_snapshot(self):
         if self.disabled:
             return
         cpu_now, cpu_peak = (tracemalloc.get_traced_memory()
                              if tracemalloc.is_tracing() else (0, 0))
-        self.log.append((time.time(), cpu_now, cpu_peak,
-                         self._device_memory()))
+        hbm_used, hbm_free = self._device_memory()
+        self.log.append((time.time() - (self._t0 or 0.0),
+                         cpu_now, cpu_peak, hbm_used, hbm_free))
 
     def archive(self, phase: str):
         if self.disabled:
@@ -53,7 +67,22 @@ class MemoryLogger:
     def store(self, filename: str | None):
         if self.disabled or not filename:
             return
-        out = {}
-        for phase, entries in self.archive_log.items():
-            out[phase] = np.array(entries)
-        np.savez_compressed(filename, **out)
+        if filename.endswith(('.h5', '.hdf5')):
+            self._store_hdf5(filename)
+        else:
+            out = {phase: np.array(entries)
+                   for phase, entries in self.archive_log.items()}
+            np.savez_compressed(filename, **out)
+
+    def _store_hdf5(self, filename: str):
+        import h5py
+        dtype = np.dtype([(f, 'f8') for f in FIELDS])
+        with h5py.File(filename, 'a') as f:
+            for phase, entries in self.archive_log.items():
+                arr = np.array(entries, np.float64).reshape(-1, len(FIELDS))
+                rec = np.zeros(len(arr), dtype)
+                for i, name in enumerate(FIELDS):
+                    rec[name] = arr[:, i]
+                if phase in f:
+                    del f[phase]
+                f.create_dataset(phase, data=rec)

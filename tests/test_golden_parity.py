@@ -634,6 +634,56 @@ class TestExportGolden:
         np.testing.assert_array_equal(am['file_traj_ids'][live_m],
                                       ar['file_traj_ids'][live_r])
 
+    def test_bad_channels_masking(self, ref, det_model, sim_params,
+                                  export_case, exported_files,
+                                  tmp_path_factory):
+        """Bad-channel masking (fee.py:250-254): disabling the channel of
+        the first data packet drops exactly its hits from both streams, and
+        the streams stay field-identical."""
+        import h5py
+        import yaml as yaml_mod
+        from larndsim_tpu.io import export as my_export
+        from larndsim_tpu.params import load_light
+        c = export_case
+        with h5py.File(exported_files[1]) as fm:
+            p0 = np.asarray(fm['packets'])
+        d0 = p0[p0['packet_type'] == 0]
+        key = '%i-%i-%i' % (d0['io_group'][0], d0['io_channel'][0],
+                            d0['chip_id'][0])
+        tmp = tmp_path_factory.mktemp('golden_badchan')
+        bad_file = str(tmp / 'bad.yaml')
+        with open(bad_file, 'w') as f:
+            yaml_mod.safe_dump({key: [int(d0['channel_id'][0])]}, f)
+
+        file_ref = str(tmp / 'ref.h5')
+        file_my = str(tmp / 'mine.h5')
+        ref.fee.export_to_hdf5(
+            c.event_id_list, c.adc, c.ticks, c.unique_pix, c.fractions,
+            c.track_ids, c.traj_ids, file_ref, c.event_start_times,
+            bad_channels=bad_file)
+        hit_row, hit_adc, hit_ticks, hit_frac = [], [], [], []
+        for r in range(len(c.unique_pix)):
+            for h in range(c.n_hits_per_row[r]):
+                hit_row.append(r)
+                hit_adc.append(c.adc[r, h])
+                hit_ticks.append(c.ticks[r, h])
+                hit_frac.append(c.fractions[r, h])
+        light = load_light(DETPROP)
+        my_export.export_to_hdf5(
+            c.event_per_row, np.array(hit_row), np.array(hit_adc),
+            np.array(hit_ticks), np.array(hit_frac), c.unique_pix,
+            c.track_ids, c.traj_ids, file_my, c.event_start_times,
+            det_model, light, sim_params, bad_channels=bad_file)
+        with h5py.File(file_ref) as fr, h5py.File(file_my) as fm:
+            pr = np.asarray(fr['packets'])
+            pm = np.asarray(fm['packets'])
+        assert len(pr) == len(pm)
+        n_data = (pm['packet_type'] == 0).sum()
+        assert 0 < n_data < len(d0)
+        for field in pr.dtype.names:
+            np.testing.assert_array_equal(pm[field], pr[field],
+                                          err_msg=f'packets[{field}]')
+
     def test_rollover_progression(self, exported_files):
         """Timestamp-packet payloads and sync cadence across PPS resets:
         data timestamps stay within one reset period and the event-boundary

@@ -110,3 +110,68 @@ class TestUnits:
         assert units.mV == pytest.approx(1e-9 * units.MeV / units.e)
         # kV/cm in (MeV/e)/mm: 1e-3 MeV/e / 10 mm
         assert units.kV / units.cm == pytest.approx(1e-4)
+
+
+class TestMemoryLogger:
+    def test_hdf5_store(self, tmp_path):
+        """HDF5 store path (memory_logger.py:86-96 layout): one table per
+        archived phase with the reference's five field names."""
+        from larndsim_tpu.utils import MemoryLogger
+        from larndsim_tpu.utils.memlog import FIELDS
+        import h5py
+        ml = MemoryLogger()
+        ml.start()
+        ml.take_snapshot()
+        ml.take_snapshot()
+        ml.archive('loading')
+        ml.take_snapshot()
+        ml.archive('loop_mod0')
+        out = str(tmp_path / 'mem.h5')
+        ml.store(out)
+        with h5py.File(out) as f:
+            assert set(f.keys()) == {'loading', 'loop_mod0'}
+            rec = np.asarray(f['loading'])
+            assert rec.dtype.names == FIELDS
+            assert len(rec) == 2
+            assert (rec['time'] >= 0).all()
+            assert (rec['cpu_mem_used'] >= 0).all()
+            assert rec['cpu_mem_peak'].max() > 0
+
+    def test_npz_store(self, tmp_path):
+        from larndsim_tpu.utils import MemoryLogger
+        ml = MemoryLogger()
+        ml.start()
+        ml.take_snapshot()
+        ml.archive('phase')
+        out = str(tmp_path / 'mem.npz')
+        ml.store(out)
+        dat = np.load(out)
+        assert dat['phase'].shape == (1, 5)
+
+
+class TestDumpTreeHelpers:
+    """Pure parts of the edep-sim converter (the ROOT loop itself needs
+    PyROOT): spill-counter semantics (dumpTree.py:198-237) and the
+    ARCUBE_ACTIVE_VOLUME event filter (dumpTree.py:255-262)."""
+
+    def test_spill_timer(self):
+        from larndsim_tpu.cli.dump_tree import SpillTimer
+        t = SpillTimer(1.2)
+        # counter advances on spill-id *change*, not per event
+        assert t.t_spill(5) == 0.0
+        assert t.t_spill(5) == 0.0
+        assert t.t_spill(7) == pytest.approx(1.2e6)
+        assert t.t_spill(7) == pytest.approx(1.2e6)
+        assert t.t_spill(9) == pytest.approx(2.4e6)
+        # no event_spill_map -> every event at t=0
+        assert SpillTimer(None).t_spill(123) == 0.0
+
+    def test_active_volume_filter(self, monkeypatch):
+        from larndsim_tpu.cli.dump_tree import passes_active_volume
+        assert passes_active_volume(['volTPCActive', 'x'], False)
+        assert not passes_active_volume(['x'], False)
+        assert passes_active_volume(['x'], True)
+        assert not passes_active_volume([], True)
+        monkeypatch.setenv('ARCUBE_ACTIVE_VOLUME', 'myVol')
+        assert passes_active_volume(['myVol'], False)
+        assert not passes_active_volume(['volTPCActive'], False)
