@@ -2,11 +2,18 @@
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
-The reference publishes no in-repo numbers (BASELINE.md): `vs_baseline` is
-reported against the provisional target of 10 s/spill for larnd-sim on an
-A100 (order-of-magnitude from the JINST 18 P04034 production context) until
-a measured reference baseline lands in BASELINE.json "published".
-vs_baseline > 1 means faster than that target.
+The reference publishes no in-repo numbers, so the baseline is
+*established* (BASELINE.md "Derived baseline"): at the production 2x2
+config (light truth on, `max_light_truth_ids: 50`) the reference's
+end-to-end spill floor is its HOST python truth zero-suppression —
+`light_sim.zero_suppress_waveform_truth` (light_sim.py:621-661), an
+np.ndenumerate over 19.2M slots + ~9.6M list appends — measured via the
+reference's own function at 24.8 s/spill (min of 3) on THIS host
+(tools/measure_ref_host.py), plus 0.10 s/spill for its A100 GPU kernels
+(operation-count derivation, tools/derive_baseline.py).  Host stages
+compare host-to-host: this bench runs on the same machine.
+vs_baseline > 1 means faster end-to-end than the reference at the same
+production config on the same host.
 """
 from __future__ import annotations
 
@@ -15,7 +22,9 @@ import os
 import sys
 import time
 
-NOMINAL_BASELINE_SEC_PER_SPILL = 10.0
+#: reference end-to-end floor: 24.8 (measured host truth stage, min-of-3)
+#: + 0.10 (derived A100 kernel time, fast end) — see BASELINE.md
+NOMINAL_BASELINE_SEC_PER_SPILL = 24.9
 
 _TMP_DIRS: list = []
 
