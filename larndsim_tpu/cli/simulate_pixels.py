@@ -395,12 +395,19 @@ def run_simulation(input_filename: str,
                           'clamping')
             n_dev = len(avail)
         if n_dev > 1:
+            from ..params import detector as det_params_mod
+            from ..params import light as light_params_mod
             dev_ctx = []
             for d in avail[:n_dev]:
                 det_d = jax.device_put(det, d)
+                light_d = jax.device_put(light, d)
+                # share the loader-seeded host scalars: host code touching
+                # a per-chip copy must not pull scalars through the device
+                det_params_mod.adopt_host_scalars(det_d, det)
+                light_params_mod.adopt_host_scalars(light_d, light)
                 ctx = dict(
                     det_model=dataclasses.replace(det_model, params=det_d),
-                    light=jax.device_put(light, d),
+                    light=light_d,
                     response=jax.device_put(response_dev, d),
                     lut=lut.to_device(d) if lut is not None else None,
                 )

@@ -9,12 +9,15 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
+import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..params.detector import DetectorModel
+from ..params import light as light_params
 from ..params.light import LightParams
 from ..params.sim import SimParams
 from ..segments import Segments
@@ -166,25 +169,49 @@ def _combined_kernel_host(light: LightParams, conv_ticks: int) -> np.ndarray:
     """Combined scintillation*SiPM kernel on host (cached per config)."""
     # the scalar-leaf part of the key is memoized by params identity:
     # five float() device pulls per call would dominate on remote TPU hosts
-    ent = _KERNEL_KEY_CACHE.get(id(light))
-    if ent is not None and ent[0] is light:
-        leaf_key = ent[1]
-    else:
-        leaf_key = (float(light.tau_s), float(light.tau_t),
-                    float(light.singlet_fraction),
-                    float(light.light_response_time),
-                    float(light.light_oscillation_period))
-        _KERNEL_KEY_CACHE[id(light)] = (light, leaf_key)
+    hs = light_params.host_scalars(light)
+    leaf_key = (hs['tau_s'], hs['tau_t'], hs['singlet_fraction'],
+                hs['light_response_time'], hs['light_oscillation_period'])
     key = (conv_ticks, light.sipm_response_model, *leaf_key,
            light.light_tick_size,
            light.impulse_tick_size, int(light.impulse_model.shape[0]))
     hit = _KERNEL_CACHE.get(key)
     if hit is not None:
         return hit
-    scint_k = jnp.pad(light_ops.scintillation_kernel(light, conv_ticks),
-                      (0, conv_ticks))
-    combined = np.asarray(light_ops.causal_convolve(
-        scint_k[None, :], light_ops.sipm_kernel(light, conv_ticks))[0])
+    # pure numpy — same math as ops.light.{scintillation,sipm}_kernel +
+    # causal_convolve, but with no device dispatch: going through the
+    # device here cost a remote compile + tunnel pull (~80 s) on the
+    # first event of a fresh process
+    tau_s, tau_t, singlet, resp_t, osc_p = leaf_key
+    tick = float(light.light_tick_size)
+    k = np.arange(conv_ticks, dtype=np.float64)
+    scint = (singlet * np.exp(-k * tick / tau_s)
+             * (1 - np.exp(-tick / tau_s))
+             + (1 - singlet) * np.exp(-k * tick / tau_t)
+             * (1 - np.exp(-tick / tau_t)))
+    if light.sipm_response_model == 0:
+        t = k * tick
+        imp = (np.exp(-t / resp_t) * np.sin(t / osc_p)
+               / (osc_p * resp_t ** 2) * (osc_p ** 2 + resp_t ** 2) * tick)
+    else:
+        arr = hs['impulse_model'].astype(np.float64)
+        idx = k * tick / float(light.impulse_tick_size)
+        i0 = np.floor(idx).astype(np.int64)
+        frac = idx - i0
+        n_imp = arr.shape[0]
+        v0 = np.where((i0 >= 0) & (i0 < n_imp),
+                      arr[np.clip(i0, 0, n_imp - 1)], 0.0)
+        v1 = np.where((i0 + 1 >= 0) & (i0 + 1 < n_imp),
+                      arr[np.clip(i0 + 1, 0, n_imp - 1)], 0.0)
+        imp = np.where(i0 > n_imp - 2, 0.0, v0 + (v1 - v0) * frac)
+        imp = imp / (float(light.impulse_tick_size) / tick)
+    # causal FFT convolution, signal = scint zero-padded to 2*conv_ticks
+    # (matches ops.light.causal_convolve's fft sizing + truncation)
+    n = 2 * conv_ticks
+    fft_len = int(2 ** np.ceil(np.log2(max(n + conv_ticks - 1, 1))))
+    combined = np.fft.irfft(np.fft.rfft(scint, fft_len)
+                            * np.fft.rfft(imp, fft_len), fft_len)[:n]
+    combined = combined.astype(np.float32)
     if len(_KERNEL_CACHE) > 16:
         _KERNEL_CACHE.clear()
     _KERNEL_CACHE[key] = combined
@@ -247,19 +274,23 @@ def _transfer_table_host(light: LightParams, conv_ticks: int, n_ticks: int,
     i0 = np.floor(y).astype(np.int32)
     frac = y - i0.astype(np.float32)
     LK = kernel.shape[0]
-    j = np.arange(n_ticks, dtype=np.int32)[:, None]
 
-    def kval(idx):
-        return np.where((idx >= 0) & (idx < LK),
-                        kernel[np.clip(idx, 0, LK - 1)], np.float32(0))
-
-    in0 = (i0 >= 0) & (i0 < n_ticks)
-    in1 = (i0 + 1 >= 0) & (i0 + 1 < n_ticks)
-    edge = (i0 + pad_front) <= n_padded - 2
-    v0 = np.where(in0[None, :], kval(i0[None, :] - j), np.float32(0))
-    v1 = np.where(in1[None, :], kval(i0[None, :] + 1 - j), np.float32(0))
-    T = np.where(edge[None, :], v0 + (v1 - v0) * frac[None, :],
-                 np.float32(0)).astype(np.float32)
+    # T[j, s] = interp(kernel at i0[s] - j), masked — each column is a
+    # *reversed kernel slice*, so build columns as sliding windows over a
+    # zero-padded reversed kernel instead of (n_ticks x S) fancy gathers
+    # (which cost ~40 s/config on the bench host)
+    D = np.zeros(2 * n_ticks + LK, np.float32)
+    D[n_ticks:n_ticks + LK] = kernel[::-1]
+    W = np.lib.stride_tricks.sliding_window_view(D, n_ticks)
+    start0 = n_ticks + LK - 1 - i0.astype(np.int64)
+    in0 = ((i0 >= 0) & (i0 < n_ticks)).astype(np.float32)
+    in1 = ((i0 + 1 >= 0) & (i0 + 1 < n_ticks)).astype(np.float32)
+    edge = ((i0 + pad_front) <= n_padded - 2).astype(np.float32)
+    hi = W.shape[0] - 1
+    V0 = W[np.clip(start0, 0, hi)] * in0[:, None]        # (S, n_ticks)
+    V1 = W[np.clip(start0 - 1, 0, hi)] * in1[:, None]
+    Ts = (V0 + (V1 - V0) * frac[:, None]) * edge[:, None]
+    T = np.ascontiguousarray(Ts.T)                       # (n_ticks, S)
     if len(_TRANSFER_CACHE) > 8:
         _TRANSFER_CACHE.clear()
     _TRANSFER_CACHE[key] = T
@@ -290,10 +321,21 @@ def _host_smeared_truth_sparse(ids_dev, contrib_dev, t0_dev, vox_dev,
     *view* of the table.  Same terms, same zero padding — only the
     summation grouping changes (f32 BLAS order was unspecified already).
     """
+    prof_t = {} if os.environ.get('LARNDSIM_TRUTH_PROF') else None
+    _tick0 = time.perf_counter() if prof_t is not None else 0.0
+
+    def _mark(label):
+        nonlocal _tick0
+        if prof_t is not None:
+            now = time.perf_counter()
+            prof_t[label] = prof_t.get(label, 0.0) + (now - _tick0)
+            _tick0 = now
+
     ids = np.asarray(ids_dev)
     contrib = np.asarray(contrib_dev).astype(np.float32)
     t0_sel = np.asarray(t0_dev).astype(np.float32)
     vox = np.asarray(vox_dev)
+    _mark('pull')
     C, K = ids.shape
     nprof = lut_td_host.shape[-1]
     tick, _, _ = _digit_scalars(light)
@@ -313,6 +355,7 @@ def _host_smeared_truth_sparse(ids_dev, contrib_dev, t0_dev, vox_dev,
           & (contrib[..., None] > 0))
     photons = np.where(ok, contrib[..., None] / tick32 * prof,
                        np.float32(0))
+    _mark('profiles')
 
     act = photons.any(axis=-1).reshape(C * K)
     rows = np.nonzero(act)[0]
@@ -329,6 +372,7 @@ def _host_smeared_truth_sparse(ids_dev, contrib_dev, t0_dev, vox_dev,
 
     T = _transfer_table_host(light, conv_ticks, n_ticks, digit_samples,
                              pad_front, n_ticks + pad_front + pad_back)
+    _mark('table')
 
     def _row_matmul(ph, it):
         out = np.empty((ph.shape[0], digit_samples), np.float32)
@@ -367,6 +411,7 @@ def _host_smeared_truth_sparse(ids_dev, contrib_dev, t0_dev, vox_dev,
                       ph_all[blk].reshape(-1))
             res[blk] = ph_blk @ T[t_lo:t_hi]
             i = jend
+    _mark('gemm')
 
     # record order is (channel, tick, contributor) major — no lexsort:
     # either a dense (C, S, K) scatter + nonzero (dict path), or, for the
@@ -397,7 +442,12 @@ def _host_smeared_truth_sparse(ids_dev, contrib_dev, t0_dev, vox_dev,
             parts.append(rec)
         if not parts:
             return np.empty(0, TRUTH_DTYPE)
-        return np.concatenate(parts)
+        out_rec = np.concatenate(parts)
+        _mark('records')
+        if prof_t is not None:
+            print('truth_prof:', {k: round(v, 3) for k, v in prof_t.items()},
+                  flush=True)
+        return out_rec
 
     dense = np.zeros((C, digit_samples, K), np.float32)
     dense[rows // K, :, rows % K] = res

@@ -121,12 +121,32 @@ _SCALAR_LEAVES = (
 _HOST_SCALAR_CACHE: dict[int, tuple] = {}
 
 
-def host_scalars(det: 'DetectorParams') -> dict:
-    """Host float copies of all scalar leaves, in ONE device->host pull.
+def seed_host_scalars(det: 'DetectorParams', values: dict) -> None:
+    """Record host copies of `det`'s scalar leaves (the loader seeds this
+    from the raw YAML values so host code never pulls them back through
+    the device)."""
+    if len(_HOST_SCALAR_CACHE) > 32:
+        _HOST_SCALAR_CACHE.clear()
+    _HOST_SCALAR_CACHE[id(det)] = (det, values)
 
-    Per-leaf ``float(det.x)`` costs a device round trip each — expensive on
-    remote-dispatch TPU hosts — so callers that need leaf values on the host
-    (exporters, shape selection) go through this identity-keyed cache.
+
+def adopt_host_scalars(new: 'DetectorParams', old: 'DetectorParams') -> None:
+    """Share `old`'s host-scalar snapshot with `new` (a device_put copy
+    with identical values)."""
+    ent = _HOST_SCALAR_CACHE.get(id(old))
+    if ent is not None and ent[0] is old:
+        seed_host_scalars(new, ent[1])
+
+
+def host_scalars(det: 'DetectorParams') -> dict:
+    """Host float copies of all scalar leaves.
+
+    Loader-seeded (no device traffic) for params from `load_detector`;
+    falls back to ONE stacked device->host pull for directly-constructed
+    params.  Per-leaf ``float(det.x)`` costs a device round trip each —
+    expensive on remote-dispatch TPU hosts — so callers that need leaf
+    values on the host (exporters, shape selection) go through this
+    identity-keyed cache.
     """
     ent = _HOST_SCALAR_CACHE.get(id(det))
     if ent is not None and ent[0] is det:
@@ -225,36 +245,50 @@ def load_detector(detprop_file: str, pixel_file: str | list[str],
     clock_reset_period = int(detprop.get(
         'clock_reset_period', pps_cycles if use_pps else rollover))
 
+    # host float values of every scalar leaf, computed BEFORE the device
+    # conversion: they seed the host-scalar cache below so host code never
+    # pulls a scalar back through the device (a fresh stacked pull costs a
+    # remote compile + tunnel round trip — measured minutes on a degraded
+    # tunnel)
+    hv = dict(
+        pixel_pitch=float(layout.pixel_pitch),
+        e_field=float(e_field),
+        temperature=float(temperature),
+        v_drift=float(v_drift),
+        electron_lifetime=float(lifetime),
+        long_diff=float(detprop.get('long_diff', _DEFAULTS['long_diff'])),
+        tran_diff=float(detprop.get('tran_diff', _DEFAULTS['tran_diff'])),
+        time_padding=float(detprop.get('time_padding',
+                                       _DEFAULTS['time_padding'])),
+        time_window=float(detprop.get('time_window',
+                                      _DEFAULTS['time_window'])),
+        response_sampling=float(_pick(
+            detprop.get('response_sampling', _DEFAULTS['response_sampling']),
+            i_module)),
+        response_bin_size=float(_pick(
+            detprop.get('response_bin_size', _DEFAULTS['response_bin_size']),
+            i_module)),
+        discrimination_threshold=float(_pick(
+            detprop.get('discrimination_threshold',
+                        _DEFAULTS['discrimination_threshold']), i_module)),
+        gain=float(detprop.get('larpix_gain', _DEFAULTS['larpix_gain'])),
+        buffer_risetime=float(detprop.get('buffer_risetime',
+                                          _DEFAULTS['buffer_risetime'])),
+        v_cm=float(detprop.get('v_cm', _DEFAULTS['v_cm'])),
+        v_ref=float(detprop.get('v_ref', _DEFAULTS['v_ref'])),
+        v_pedestal=float(detprop.get('v_pedestal', _DEFAULTS['v_pedestal'])),
+        reset_noise_charge=float(detprop.get(
+            'reset_noise_charge', _DEFAULTS['reset_noise_charge'])),
+        uncorrelated_noise_charge=float(detprop.get(
+            'uncorrelated_noise_charge',
+            _DEFAULTS['uncorrelated_noise_charge'])),
+        discriminator_noise=float(detprop.get(
+            'discriminator_noise', _DEFAULTS['discriminator_noise'])),
+    )
     f32 = lambda x: jnp.asarray(x, jnp.float32)
     params = DetectorParams(
         tpc_borders=f32(tpc_borders),
-        pixel_pitch=f32(layout.pixel_pitch),
-        e_field=f32(e_field),
-        temperature=f32(temperature),
-        v_drift=f32(v_drift),
-        electron_lifetime=f32(lifetime),
-        long_diff=f32(detprop.get('long_diff', _DEFAULTS['long_diff'])),
-        tran_diff=f32(detprop.get('tran_diff', _DEFAULTS['tran_diff'])),
-        time_padding=f32(detprop.get('time_padding', _DEFAULTS['time_padding'])),
-        time_window=f32(detprop.get('time_window', _DEFAULTS['time_window'])),
-        response_sampling=f32(_pick(
-            detprop.get('response_sampling', _DEFAULTS['response_sampling']), i_module)),
-        response_bin_size=f32(_pick(
-            detprop.get('response_bin_size', _DEFAULTS['response_bin_size']), i_module)),
-        discrimination_threshold=f32(_pick(
-            detprop.get('discrimination_threshold',
-                        _DEFAULTS['discrimination_threshold']), i_module)),
-        gain=f32(detprop.get('larpix_gain', _DEFAULTS['larpix_gain'])),
-        buffer_risetime=f32(detprop.get('buffer_risetime', _DEFAULTS['buffer_risetime'])),
-        v_cm=f32(detprop.get('v_cm', _DEFAULTS['v_cm'])),
-        v_ref=f32(detprop.get('v_ref', _DEFAULTS['v_ref'])),
-        v_pedestal=f32(detprop.get('v_pedestal', _DEFAULTS['v_pedestal'])),
-        reset_noise_charge=f32(detprop.get('reset_noise_charge',
-                                           _DEFAULTS['reset_noise_charge'])),
-        uncorrelated_noise_charge=f32(detprop.get(
-            'uncorrelated_noise_charge', _DEFAULTS['uncorrelated_noise_charge'])),
-        discriminator_noise=f32(detprop.get('discriminator_noise',
-                                            _DEFAULTS['discriminator_noise'])),
+        **{k: f32(v) for k, v in hv.items()},
         n_pixels=layout.n_pixels,
         n_pixels_per_tile=layout.n_pixels_per_tile,
         n_tpcs=int(tpc_borders.shape[0]),
@@ -274,6 +308,9 @@ def load_detector(detprop_file: str, pixel_file: str | list[str],
                                              _DEFAULTS['non_beam_event_gap'])),
         drift_length=float(detprop['drift_length']),
     )
+    hv_cache = dict(hv)
+    hv_cache['tpc_borders'] = np.asarray(tpc_borders)
+    seed_host_scalars(params, hv_cache)
 
     module_to_tpcs = {int(k): list(v) for k, v in detprop['module_to_tpcs'].items()}
     tpc_to_module = {tpc: mod for mod, tpcs in module_to_tpcs.items() for tpc in tpcs}

@@ -108,7 +108,7 @@ def load_light(detprop_file: str, asset_root: str | None = None) -> LightParams:
         else:
             thr = np.array(thr, dtype=float)
 
-        return LightParams(
+        lp = LightParams(
             op_channel_efficiency=f32(eff),
             op_channel_to_tpc=i32(op_to_tpc),
             tpc_to_op_channel=i32(tpc_to_op),
@@ -136,6 +136,21 @@ def load_light(detprop_file: str, asset_root: str | None = None) -> LightParams:
                 detprop.get('light_digit_sample_spacing', 0.01)),
             light_nbit=int(detprop.get('light_nbit', 10)),
         )
+        # seed the host-scalar cache from the raw YAML values: host code
+        # (kernel builders, exporters) must never have to pull these five
+        # scalars back through the device — a fresh pull costs a remote
+        # compile + tunnel round trip (measured minutes on a bad tunnel)
+        seed_host_scalars(lp, {
+            'tau_s': float(detprop.get('tau_s', 0.001)),
+            'tau_t': float(detprop.get('tau_t', 1.530)),
+            'singlet_fraction': float(detprop.get('singlet_fraction', 0.3)),
+            'light_response_time': float(
+                detprop.get('light_response_time', 0.055)),
+            'light_oscillation_period': float(
+                detprop.get('light_oscillation_period', 0.095)),
+            'impulse_model': np.asarray(impulse, np.float32),
+        })
+        return lp
     except KeyError:
         return LightParams(
             op_channel_efficiency=f32(np.ones(0)),
@@ -149,3 +164,49 @@ def load_light(detprop_file: str, asset_root: str | None = None) -> LightParams:
             light_simulated=False,
             light_trig_mode=int(detprop.get('light_trig_mode', 0)),
         )
+
+
+_HOST_SCALAR_CACHE: dict[int, tuple] = {}
+
+#: device-scalar leaves host code needs (kernel builders, exporters)
+_HOST_LEAVES = ('tau_s', 'tau_t', 'singlet_fraction',
+                'light_response_time', 'light_oscillation_period')
+
+
+def seed_host_scalars(light: 'LightParams', values: dict) -> None:
+    """Record host copies for `light`'s device-scalar leaves (loaders seed
+    this from the raw YAML so host code never pulls them back through the
+    device; `adopt` below propagates to device_put copies)."""
+    if len(_HOST_SCALAR_CACHE) > 16:
+        _HOST_SCALAR_CACHE.clear()
+    _HOST_SCALAR_CACHE[id(light)] = (light, values)
+
+
+def adopt_host_scalars(new: 'LightParams', old: 'LightParams') -> None:
+    """Share `old`'s host-scalar snapshot with `new` (a device_put or
+    dataclasses.replace copy with identical scalar values)."""
+    ent = _HOST_SCALAR_CACHE.get(id(old))
+    if ent is not None and ent[0] is old:
+        seed_host_scalars(new, ent[1])
+
+
+def host_scalars(light: 'LightParams') -> dict:
+    """Host copies of the device-scalar leaves + the impulse model.
+
+    Loader-seeded (no device traffic) for params built by `load_light`;
+    falls back to ONE stacked device->host pull for params constructed
+    directly (tests) — per-leaf float() costs a tunnel round trip each
+    on remote-dispatch TPU hosts (a fresh pull measured minutes on a
+    degraded tunnel)."""
+    ent = _HOST_SCALAR_CACHE.get(id(light))
+    if ent is not None and ent[0] is light:
+        return ent[1]
+    import jax.numpy as jnp
+    stacked = np.asarray(jnp.stack(
+        [jnp.ravel(jnp.asarray(getattr(light, n)))[0] for n in _HOST_LEAVES]))
+    got = {n: float(v) for n, v in zip(_HOST_LEAVES, stacked)}
+    got['impulse_model'] = np.asarray(light.impulse_model)
+    if len(_HOST_SCALAR_CACHE) > 16:
+        _HOST_SCALAR_CACHE.clear()
+    _HOST_SCALAR_CACHE[id(light)] = (light, got)
+    return got
