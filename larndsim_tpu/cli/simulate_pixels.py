@@ -37,6 +37,7 @@ from ..segments import from_structured, from_structured_group, to_structured
 from ..assets.response import load_response
 from ..assets.light_lut import load_light_lut, make_light_noise
 from ..models.charge import bucket, simulate_charge_batch
+from ..models import light as light_model
 from ..models.light import simulate_light_batch, simulate_light_group
 from ..utils import MemoryLogger, PixelLUT
 from ..utils.batching_native import FastTPCBatcher
@@ -194,6 +195,9 @@ def run_simulation(input_filename: str,
     memlog = MemoryLogger(save_memory is None)
     memlog.start()
     t_sim0 = time.time()
+    # per-run phase table: without the reset, repeated run_simulation calls
+    # in one process (bench warm + timed runs) print cumulative times
+    trace.reset()
 
     if rand_seed is None:
         rand_seed = int(time.time())
@@ -423,16 +427,24 @@ def run_simulation(input_filename: str,
         actions: deque = deque()
 
         def write_truth(ievd_t, trig_t, fut):
+            # runs on the truth worker thread: fut (the assembly task) is
+            # earlier in the same single-worker FIFO, so result() is
+            # immediate — the compute shows up under 'truth/worker'
             truth = fut.result()
-            if isinstance(truth, np.ndarray):
-                # worker assembled TRUTH_DTYPE records; stamp the ids
-                truth['event_id'] = ievd_t
-                truth['trigger_id'] += trig_t
-            else:
-                truth = export.truth_sparse_to_records(truth, ievd_t,
-                                                       trig_t)
-            with h5_lock:
+            with trace.phase('truth/stamp'):
+                if isinstance(truth, np.ndarray):
+                    # worker assembled TRUTH_DTYPE records; stamp the ids
+                    truth['event_id'] = ievd_t
+                    truth['trigger_id'] += trig_t
+                else:
+                    truth = export.truth_sparse_to_records(truth, ievd_t,
+                                                           trig_t)
+            with trace.phase('truth/h5'), h5_lock:
                 export.export_light_truth_to_hdf5(output_filename, truth)
+            if isinstance(truth, np.ndarray):
+                # hand the record buffer back to the worker pool (h5py has
+                # copied it; nothing else holds a reference)
+                light_model.recycle_truth_records(truth)
 
         def drain_truth(block=False):
             while pending_truth and (block or pending_truth[0].done()):

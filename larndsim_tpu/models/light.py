@@ -11,6 +11,7 @@ import dataclasses
 import math
 import os
 import time
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -22,6 +23,7 @@ from ..params.light import LightParams
 from ..params.sim import SimParams
 from ..segments import Segments
 from ..ops import light as light_ops
+from ..utils import trace
 
 
 @dataclasses.dataclass
@@ -165,26 +167,16 @@ _KERNEL_CACHE: dict = {}
 _KERNEL_KEY_CACHE: dict = {}
 
 
-def _combined_kernel_host(light: LightParams, conv_ticks: int) -> np.ndarray:
-    """Combined scintillation*SiPM kernel on host (cached per config)."""
-    # the scalar-leaf part of the key is memoized by params identity:
-    # five float() device pulls per call would dominate on remote TPU hosts
+def _stage_kernels_host(light: LightParams, L: int):
+    """(scintillation, SiPM) kernel taps k=0..L-1 on host, float64 — the
+    same math as ops.light.{scintillation,sipm}_kernel
+    (light_sim.py:132-145, :274-300)."""
     hs = light_params.host_scalars(light)
-    leaf_key = (hs['tau_s'], hs['tau_t'], hs['singlet_fraction'],
-                hs['light_response_time'], hs['light_oscillation_period'])
-    key = (conv_ticks, light.sipm_response_model, *leaf_key,
-           light.light_tick_size,
-           light.impulse_tick_size, int(light.impulse_model.shape[0]))
-    hit = _KERNEL_CACHE.get(key)
-    if hit is not None:
-        return hit
-    # pure numpy — same math as ops.light.{scintillation,sipm}_kernel +
-    # causal_convolve, but with no device dispatch: going through the
-    # device here cost a remote compile + tunnel pull (~80 s) on the
-    # first event of a fresh process
-    tau_s, tau_t, singlet, resp_t, osc_p = leaf_key
+    tau_s, tau_t, singlet, resp_t, osc_p = (
+        hs['tau_s'], hs['tau_t'], hs['singlet_fraction'],
+        hs['light_response_time'], hs['light_oscillation_period'])
     tick = float(light.light_tick_size)
-    k = np.arange(conv_ticks, dtype=np.float64)
+    k = np.arange(L, dtype=np.float64)
     scint = (singlet * np.exp(-k * tick / tau_s)
              * (1 - np.exp(-tick / tau_s))
              + (1 - singlet) * np.exp(-k * tick / tau_t)
@@ -205,6 +197,27 @@ def _combined_kernel_host(light: LightParams, conv_ticks: int) -> np.ndarray:
                       arr[np.clip(i0 + 1, 0, n_imp - 1)], 0.0)
         imp = np.where(i0 > n_imp - 2, 0.0, v0 + (v1 - v0) * frac)
         imp = imp / (float(light.impulse_tick_size) / tick)
+    return scint, imp
+
+
+def _combined_kernel_host(light: LightParams, conv_ticks: int) -> np.ndarray:
+    """Combined scintillation*SiPM kernel on host (cached per config)."""
+    # the scalar-leaf part of the key is memoized by params identity:
+    # five float() device pulls per call would dominate on remote TPU hosts
+    hs = light_params.host_scalars(light)
+    leaf_key = (hs['tau_s'], hs['tau_t'], hs['singlet_fraction'],
+                hs['light_response_time'], hs['light_oscillation_period'])
+    key = (conv_ticks, light.sipm_response_model, *leaf_key,
+           light.light_tick_size,
+           light.impulse_tick_size, int(light.impulse_model.shape[0]))
+    hit = _KERNEL_CACHE.get(key)
+    if hit is not None:
+        return hit
+    # pure numpy — same math as ops.light.{scintillation,sipm}_kernel +
+    # causal_convolve, but with no device dispatch: going through the
+    # device here cost a remote compile + tunnel pull (~80 s) on the
+    # first event of a fresh process
+    scint, imp = _stage_kernels_host(light, conv_ticks)
     # causal FFT convolution, signal = scint zero-padded to 2*conv_ticks
     # (matches ops.light.causal_convolve's fft sizing + truncation)
     n = 2 * conv_ticks
@@ -257,6 +270,23 @@ def _digit_scalars(light: LightParams) -> tuple:
     return out
 
 
+def _digit_geometry(light: LightParams, n_ticks: int, digit_samples: int,
+                    pad_front: int, n_padded: int):
+    """Per-sample interpolation geometry of the beam-trigger digitizer:
+    (i0, frac, in0, in1, edge) — sample s reads ticks i0[s], i0[s]+1 with
+    weight frac[s]; in0/in1/edge are the bounds masks the transfer table
+    bakes in (same semantics as ops/light.digitize_signal)."""
+    tick, f, pre = _digit_scalars(light)
+    y = (np.float32(-pre)
+         + np.arange(digit_samples, dtype=np.float32) * np.float32(f))
+    i0 = np.floor(y).astype(np.int32)
+    frac = y - i0.astype(np.float32)
+    in0 = ((i0 >= 0) & (i0 < n_ticks)).astype(np.float32)
+    in1 = ((i0 + 1 >= 0) & (i0 + 1 < n_ticks)).astype(np.float32)
+    edge = ((i0 + pad_front) <= n_padded - 2).astype(np.float32)
+    return i0, frac, in0, in1, edge
+
+
 def _transfer_table_host(light: LightParams, conv_ticks: int, n_ticks: int,
                          digit_samples: int, pad_front: int,
                          n_padded: int) -> np.ndarray:
@@ -269,10 +299,8 @@ def _transfer_table_host(light: LightParams, conv_ticks: int, n_ticks: int,
     if hit is not None:
         return hit
     kernel = _combined_kernel_host(light, conv_ticks).astype(np.float32)
-    y = (np.float32(-pre)
-         + np.arange(digit_samples, dtype=np.float32) * np.float32(f))
-    i0 = np.floor(y).astype(np.int32)
-    frac = y - i0.astype(np.float32)
+    i0, frac, in0, in1, edge = _digit_geometry(
+        light, n_ticks, digit_samples, pad_front, n_padded)
     LK = kernel.shape[0]
 
     # T[j, s] = interp(kernel at i0[s] - j), masked — each column is a
@@ -283,9 +311,6 @@ def _transfer_table_host(light: LightParams, conv_ticks: int, n_ticks: int,
     D[n_ticks:n_ticks + LK] = kernel[::-1]
     W = np.lib.stride_tricks.sliding_window_view(D, n_ticks)
     start0 = n_ticks + LK - 1 - i0.astype(np.int64)
-    in0 = ((i0 >= 0) & (i0 < n_ticks)).astype(np.float32)
-    in1 = ((i0 + 1 >= 0) & (i0 + 1 < n_ticks)).astype(np.float32)
-    edge = ((i0 + pad_front) <= n_padded - 2).astype(np.float32)
     hi = W.shape[0] - 1
     V0 = W[np.clip(start0, 0, hi)] * in0[:, None]        # (S, n_ticks)
     V1 = W[np.clip(start0 - 1, 0, hi)] * in1[:, None]
@@ -297,6 +322,133 @@ def _transfer_table_host(light: LightParams, conv_ticks: int, n_ticks: int,
     return T
 
 
+def _staged_truth_res(ph_rows: np.ndarray, it_rows: np.ndarray,
+                      light: LightParams, threshold: float,
+                      conv_ticks: int, n_ticks: int, digit_samples: int,
+                      pad_front: int, n_padded: int):
+    """Reference-exact STAGED truth chain (sim.ref_exact_truth_staging).
+
+    Reproduces the reference's in-chain increment cuts instead of the
+    linear transfer-table chain: the scintillation stage drops per-
+    (output tick, input tick) increments with ``w*x < threshold`` (no
+    abs, light_sim.py:175), the SiPM stage drops ``|w*x| < threshold``
+    (light_sim.py:327, truth carries no LIGHT_GAIN), and digitization
+    zeroes samples whose left-neighbor tick is below threshold
+    (light_sim.py:528).  Kernel support is t-j in [0, conv_ticks]
+    INCLUSIVE, matching the reference loops' ``range(itick-conv_ticks,
+    itick+1)``.  O(rows * n_ticks * conv_ticks): golden-validation scale.
+
+    Slot bookkeeping: the SiPM stage reads the contributing track id at
+    the OUTPUT tick (light_sim.py:330 indexes ``[idet, itick, itrue]``),
+    so output ticks where the scintillation-stage truth slot is inactive
+    collect photons under id -1, which zero_suppress later drops — here
+    that is the ``s1 > 0`` activity mask.  Digitization writes the id
+    BEFORE the threshold check (light_sim.py:522-528), so samples whose
+    left neighbor is sub-threshold are emitted with pe_current == 0;
+    the returned ``keep`` mask carries that (records are kept by slot
+    activity, not by value).  The reference's sticky-``photons1``
+    behavior when the right neighbor's slot is unmatched is NOT emulated
+    (the right-neighbor value falls back to 0).
+    """
+    R, nprof = ph_rows.shape
+    L = conv_ticks + 1
+    w_s, w_r = _stage_kernels_host(light, L)
+    # f64 digitizer geometry: the reference computes sample_tick in double
+    # (light_sim.py:499); the fast path's f32 table geometry differs by
+    # ~1e-7 in frac, which cancellation-heavy samples amplify
+    tick, f, pre = _digit_scalars(light)
+    y = (-np.float64(pre)
+         + np.arange(digit_samples, dtype=np.float64) * np.float64(f))
+    i0 = np.floor(y).astype(np.int64)
+    frac = y - i0
+    in0 = ((i0 >= 0) & (i0 < n_ticks)).astype(np.float64)
+    in1 = ((i0 + 1 >= 0) & (i0 + 1 < n_ticks)).astype(np.float64)
+    edge = ((i0 + pad_front) <= n_padded - 2).astype(np.float64)
+    i0c = np.clip(i0, 0, n_ticks - 1)
+    i1c = np.clip(i0 + 1, 0, n_ticks - 1)
+    in0b = in0 > 0
+    res = np.empty((R, digit_samples), np.float64)
+    keep = np.empty((R, digit_samples), np.bool_)
+    thr = np.float64(threshold)
+    for r in range(R):
+        p = np.zeros(n_ticks, np.float64)
+        np.add.at(p, it_rows[r], ph_rows[r].astype(np.float64))
+        # stage 1: scintillation with signed increment cut (< thr drops)
+        M = np.outer(p, w_s)                      # (n_ticks, L)
+        M[M < thr] = 0.0
+        s1 = np.zeros(n_ticks + L)
+        for k in range(L):
+            s1[k:k + n_ticks] += M[:, k]
+        s1 = s1[:n_ticks]
+        act1 = s1 > 0
+        # stage 2: SiPM response with |increment| cut; no gain on truth
+        M = np.outer(s1, w_r)
+        M[np.abs(M) < thr] = 0.0
+        cnt2 = np.zeros(n_ticks + L)
+        s2 = np.zeros(n_ticks + L)
+        nz = (M != 0.0).astype(np.float64)
+        for k in range(L):
+            s2[k:k + n_ticks] += M[:, k]
+            cnt2[k:k + n_ticks] += nz[:, k]
+        s2 = s2[:n_ticks] * act1
+        act2 = (cnt2[:n_ticks] > 0) & act1
+        # digitize: linear interp, id written before the value gate
+        v0 = s2[i0c] * in0
+        v1 = s2[i1c] * in1 * act2[i1c]
+        val = (v0 + (v1 - v0) * frac) * edge
+        val[np.abs(v0) < thr] = 0.0
+        res[r] = val
+        keep[r] = act2[i0c] & in0b
+    return res, keep
+
+
+#: persistent worker scratch: on this class of bench host, first-touch
+#: page faults on fresh >32 MB mmaps run at ~15-60 MB/s under CPU steal
+#: (measured 5-20 s per ~300 MB allocation), while warm buffers assemble
+#: the same records in ~0.6 s.  glibc's dynamic mmap threshold caches
+#: smaller blocks already; these pools cover the large ones.  All entries
+#: are touched only from the single truth-worker thread (or serially in
+#: tests), so no locking.
+_WORKER_SCRATCH: dict = {}
+_REC_POOL: list = []
+
+
+def _scratch2d(name: str, n: int, m: int, dtype) -> np.ndarray:
+    buf = _WORKER_SCRATCH.get(name)
+    if buf is None or buf.dtype != dtype or buf.shape[1] != m \
+            or buf.shape[0] < n:
+        buf = np.empty((max(int(n * 1.25), 1024), m), dtype)
+        _WORKER_SCRATCH[name] = buf
+    return buf[:n]
+
+
+def _rec_take(n: int) -> np.ndarray:
+    from ..io.export import TRUTH_DTYPE
+    best = -1
+    for i, b in enumerate(_REC_POOL):
+        if b.shape[0] >= n and (best < 0
+                                or b.shape[0] < _REC_POOL[best].shape[0]):
+            best = i
+    if best >= 0:
+        return _REC_POOL.pop(best)[:n]
+    return np.empty(max(int(n * 1.25), 1 << 16), TRUTH_DTYPE)[:n]
+
+
+def recycle_truth_records(arr: np.ndarray) -> None:
+    """Return a TRUTH_DTYPE buffer to the worker pool once its consumer
+    (the HDF5 append) is done with it.  Caller guarantees no live
+    references remain; only the single-threaded truth worker calls this."""
+    from ..io.export import TRUTH_DTYPE
+    if arr.size == 0:
+        return
+    base = arr.base if isinstance(arr.base, np.ndarray) else arr
+    if base.dtype == TRUTH_DTYPE and base.flags.owndata:
+        _REC_POOL.append(base)
+        if len(_REC_POOL) > 2:           # keep the two largest
+            _REC_POOL.sort(key=lambda b: b.shape[0])
+            _REC_POOL.pop(0)
+
+
 def _host_smeared_truth_sparse(ids_dev, contrib_dev, t0_dev, vox_dev,
                                lut_td_host: np.ndarray, op_channel,
                                light: LightParams, threshold: float,
@@ -304,7 +456,8 @@ def _host_smeared_truth_sparse(ids_dev, contrib_dev, t0_dev, vox_dev,
                                digit_samples: int, pad_front: int,
                                pad_back: int, start_time: float,
                                _force_slow: bool = False,
-                               as_records: bool = False):
+                               as_records: bool = False,
+                               staged: bool = False):
     """Smeared-truth records recomputed on the host worker thread.
 
     Only (C, K)-sized contributor metadata crosses the device->host link
@@ -370,6 +523,23 @@ def _host_smeared_truth_sparse(ids_dev, contrib_dev, t0_dev, vox_dev,
 
     it_all = itick.reshape(C * K, nprof)[rows]
 
+    if staged:
+        # reference-exact staged thresholds (sim.ref_exact_truth_staging):
+        # no transfer table — per-row dense chain with in-stage cuts
+        if rows.size * n_ticks > 5e7:
+            warnings.warn('ref_exact_truth_staging at production scale: '
+                          f'{rows.size} rows x {n_ticks} ticks is a '
+                          'validation-mode cost')
+        res, keep_st = _staged_truth_res(
+            photons.reshape(C * K, nprof)[rows],
+            np.clip(it_all, 0, n_ticks - 1), light, threshold,
+            conv_ticks, n_ticks, digit_samples, pad_front,
+            n_ticks + pad_front + pad_back)
+        _mark('gemm')
+        return _emit_truth(res, rows, ids, op_channel, C, K, threshold,
+                           as_records, digit_samples, _mark, prof_t,
+                           keep_override=keep_st)
+
     T = _transfer_table_host(light, conv_ticks, n_ticks, digit_samples,
                              pad_front, n_ticks + pad_front + pad_back)
     _mark('table')
@@ -391,9 +561,10 @@ def _host_smeared_truth_sparse(ids_dev, contrib_dev, t0_dev, vox_dev,
         it_c = np.clip(it_all, 0, n_ticks - 1)
         row_lo = it_c.min(axis=1)                       # per-row span is
         row_hi = it_c.max(axis=1)                       # <= nprof + 1 ticks
-        win = max(2 * nprof, 1024)
+        win = int(os.environ.get('LARNDSIM_TRUTH_WIN', '0')) \
+            or max(2 * nprof, 1024)
         order = np.argsort(row_lo, kind='stable')
-        res = np.empty((rows.size, digit_samples), np.float32)
+        res = _scratch2d('res', rows.size, digit_samples, np.float32)
         i = 0
         while i < rows.size:
             t_lo = int(row_lo[order[i]])
@@ -412,46 +583,67 @@ def _host_smeared_truth_sparse(ids_dev, contrib_dev, t0_dev, vox_dev,
             res[blk] = ph_blk @ T[t_lo:t_hi]
             i = jend
     _mark('gemm')
+    return _emit_truth(res, rows, ids, op_channel, C, K, threshold,
+                       as_records, digit_samples, _mark, prof_t)
 
-    # record order is (channel, tick, contributor) major — no lexsort:
-    # either a dense (C, S, K) scatter + nonzero (dict path), or, for the
-    # production records path, per-channel transposes whose working set
-    # stays cache-resident (the strided full-tensor scatter was the
-    # worker's hottest pass)
+
+def _emit_truth(res, rows, ids, op_channel, C, K, threshold, as_records,
+                digit_samples, _mark, prof_t, keep_override=None):
+    """Zero-suppress (rows, S) truth values into records/dict output.
+
+    Record order is (channel, tick, contributor) major — no lexsort:
+    either a dense (C, S, K) scatter + nonzero (dict path), or, for the
+    production records path, per-channel transposes whose working set
+    stays cache-resident (the strided full-tensor scatter was the
+    worker's hottest pass)."""
     if as_records:
-        from ..io.export import TRUTH_DTYPE
         rows_k = (rows % K).astype(np.int32)
         c_starts = np.searchsorted(rows // K, np.arange(C + 1))
-        parts = []
+        # count-then-fill: one preallocated record array (production volume
+        # is ~10M rows/spill; concatenating per-channel parts was a second
+        # full copy of the ~300 MB record block)
+        if keep_override is not None:
+            keep_all = keep_override                       # (R, S)
+        else:
+            ab = _scratch2d('abs', rows.size, digit_samples, np.float32)
+            keep_all = _scratch2d('keep', rows.size, digit_samples,
+                                  np.bool_)
+            np.absolute(res, out=ab)
+            np.greater(ab, threshold, out=keep_all)        # (R, S)
+        cum_rows = np.concatenate(
+            [[0], np.cumsum(keep_all.sum(axis=1, dtype=np.int64))])
+        off_ch = cum_rows[c_starts]                        # (C+1,) offsets
+        out_rec = _rec_take(int(off_ch[-1]))
         for c in range(C):
             i0, i1 = int(c_starts[c]), int(c_starts[c + 1])
-            if i0 == i1:
+            o0, o1 = int(off_ch[c]), int(off_ch[c + 1])
+            if o0 == o1:
                 continue
             sub_t = np.ascontiguousarray(res[i0:i1].T)     # (S, kc)
-            keep_c = np.abs(sub_t) > threshold
+            keep_c = np.ascontiguousarray(keep_all[i0:i1].T)
             s_i, k_i = np.nonzero(keep_c)
-            if not len(s_i):
-                continue
-            rec = np.empty(len(s_i), TRUTH_DTYPE)
-            rec['trigger_id'] = 0
-            rec['op_channel_id'] = op_channel[c]
-            rec['tick'] = s_i
-            rec['event_id'] = 0
-            rec['segment_id'] = ids[c, rows_k[i0:i1][k_i]]
-            rec['pe_current'] = sub_t[keep_c]
-            parts.append(rec)
-        if not parts:
-            return np.empty(0, TRUTH_DTYPE)
-        out_rec = np.concatenate(parts)
+            view = out_rec[o0:o1]
+            view['trigger_id'] = 0
+            view['op_channel_id'] = op_channel[c]
+            view['tick'] = s_i
+            view['event_id'] = 0
+            view['segment_id'] = ids[c, rows_k[i0:i1][k_i]]
+            view['pe_current'] = sub_t[s_i, k_i]
         _mark('records')
         if prof_t is not None:
             print('truth_prof:', {k: round(v, 3) for k, v in prof_t.items()},
                   flush=True)
         return out_rec
 
-    dense = np.zeros((C, digit_samples, K), np.float32)
+    dense = _scratch2d('dense', C * digit_samples, K,
+                       np.asarray(res).dtype).reshape(C, digit_samples, K)
+    dense.fill(0)
     dense[rows // K, :, rows % K] = res
-    keep = np.abs(dense) > threshold
+    if keep_override is not None:
+        keep = np.zeros(dense.shape, np.bool_)
+        keep[rows // K, :, rows % K] = keep_override
+    else:
+        keep = np.abs(dense) > threshold
     c_idx, s_idx, k_idx = np.nonzero(keep)
     return dict(
         trig=np.zeros(len(c_idx), np.int32),
@@ -460,6 +652,14 @@ def _host_smeared_truth_sparse(ids_dev, contrib_dev, t0_dev, vox_dev,
         segment_id=ids[c_idx, k_idx].astype(np.int64),
         pe_current=dense[keep].astype(np.float64),
     )
+
+
+def _worker_smeared_truth(*args, **kw):
+    """Truth-worker entry: phase-labeled so the wall-clock table attributes
+    the host recompute to 'truth/worker' instead of whichever main-thread
+    phase blocks on it."""
+    with trace.phase('truth/worker'):
+        return _host_smeared_truth_sparse(*args, **kw)
 
 
 def _tight_bucket(n: int, lo: int = 16384) -> int:
@@ -711,9 +911,11 @@ def simulate_light_batch(segs: Segments, det_model: DetectorModel,
         # main thread can keep dispatching the next batch)
         if truth_executor is not None:
             truth_future = truth_executor.submit(
-                _host_smeared_truth_sparse, *smear_args, as_records=True)
+                _worker_smeared_truth, *smear_args, as_records=True,
+                staged=sim.ref_exact_truth_staging)
         else:
-            truth_sparse = _host_smeared_truth_sparse(*smear_args)
+            truth_sparse = _host_smeared_truth_sparse(
+                *smear_args, staged=sim.ref_exact_truth_staging)
     elif truth_sparse is None and tw_dev is not None:
         # general multi-trigger path: dense truth pulled packed + decoded
         if truth_executor is not None:
@@ -848,9 +1050,11 @@ def simulate_light_group(segs_g: Segments, det_model: DetectorModel,
                     n_ticks, digit_samples, pad_front, pad_back, 0.0)
             if truth_executor is not None:
                 truth_future = truth_executor.submit(
-                    _host_smeared_truth_sparse, *args, as_records=True)
+                    _worker_smeared_truth, *args, as_records=True,
+                    staged=sim.ref_exact_truth_staging)
             else:
-                truth_sparse = _host_smeared_truth_sparse(*args)
+                truth_sparse = _host_smeared_truth_sparse(
+                    *args, staged=sim.ref_exact_truth_staging)
         out.append(LightBatchResult(
             trigger_idx=trigger_idx.copy(),
             trigger_type=np.ones(1, int),

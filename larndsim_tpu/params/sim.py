@@ -37,6 +37,16 @@ class SimParams:
     #: of the intended per-trigger windows — enables byte-level golden
     #: comparison on mode-0 multi-trigger paths (PARITY.md)
     ref_exact_light_digitize: bool = False
+    #: bug-compatibility: reproduce the reference's STAGED light-truth
+    #: thresholding — per-(output tick, input tick) convolution increments
+    #: below mc_truth_threshold are dropped inside the scintillation stage
+    #: (light_sim.py:175, no abs) and the SiPM stage (light_sim.py:327,
+    #: abs), and digitization skips samples whose left neighbor is below
+    #: threshold (light_sim.py:528) — instead of thresholding each
+    #: contributor's final convolved value once.  O(n_ticks * conv_ticks)
+    #: per contributor: intended for golden-comparison runs at validation
+    #: scale, not production
+    ref_exact_truth_staging: bool = False
 
 
 def load_sim(simprop_file: str) -> SimParams:
@@ -63,4 +73,7 @@ def load_sim(simprop_file: str) -> SimParams:
         ref_exact_light_digitize=bool(
             simprop.get('ref_exact_light_digitize',
                         d.ref_exact_light_digitize)),
+        ref_exact_truth_staging=bool(
+            simprop.get('ref_exact_truth_staging',
+                        d.ref_exact_truth_staging)),
     )

@@ -57,11 +57,16 @@ def main():
             np.arange(C), light, sim.mc_truth_threshold, conv_ticks,
             n_ticks, digit_samples, pre, 0, 0.0)
 
+    from larndsim_tpu.models.light import recycle_truth_records
     for rep in range(reps):
         t0w = time.perf_counter()
         out = _host_smeared_truth_sparse(*args, as_records=True)
         dt = time.perf_counter() - t0w
         print(f'rep {rep}: total {dt:.2f} s, {len(out)} records')
+        # production cycle: write_truth recycles the buffer after the
+        # HDF5 append, so steady state reuses warm pages
+        recycle_truth_records(out)
+        del out
 
 
 if __name__ == '__main__':
