@@ -115,7 +115,8 @@ def run_simulation(input_filename: str,
                    save_memory: str | None = None,
                    step_scale: float = 1.0,
                    event_group_size: int = 1,
-                   n_devices: int = 1):
+                   n_devices: int = 1,
+                   truth_compression: str = 'lzf'):
     """Simulate a pixelated LArTPC (same flag surface as the reference CLI).
 
     Extra knobs: ``step_scale`` coarsens the MC charge-sampling density
@@ -440,7 +441,9 @@ def run_simulation(input_filename: str,
                     truth = export.truth_sparse_to_records(truth, ievd_t,
                                                            trig_t)
             with trace.phase('truth/h5'), h5_lock:
-                export.export_light_truth_to_hdf5(output_filename, truth)
+                export.export_light_truth_to_hdf5(
+                    output_filename, truth,
+                    compression=truth_compression)
             if isinstance(truth, np.ndarray):
                 # hand the record buffer back to the worker pool (h5py has
                 # copied it; nothing else holds a reference)
@@ -572,7 +575,8 @@ def run_simulation(input_filename: str,
                     lres.truth_sparse, int(ievd_l), i_light_trig)
                 with h5_lock:
                     export.export_light_truth_to_hdf5(
-                        output_filename, truth)
+                        output_filename, truth,
+                        compression=truth_compression)
             elif lres.truth_future is not None:
                 # chain decode+write on the same single worker (FIFO
                 # keeps record order identical to inline writes)

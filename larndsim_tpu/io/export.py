@@ -545,16 +545,27 @@ def truth_sparse_to_records(sparse: dict, event_id: int,
     return out
 
 
-def export_light_truth_to_hdf5(filename, truth_data: np.ndarray):
-    """Append light_wvfm_mc_assn records."""
+def export_light_truth_to_hdf5(filename, truth_data: np.ndarray,
+                               compression: str = 'lzf'):
+    """Append light_wvfm_mc_assn records.
+
+    compression: 'lzf' (default) or 'none'.  The truth dataset is the
+    output's dominant volume (~300 MB/spill at production thresholds)
+    and this host's sustained buffered-write rate is ~50 MB/s, so the
+    shuffle+lzf filter (>3x on these records: small-int columns +
+    f8 pe_current with f32-zero mantissa tails) trades ~150 MB/s of CPU
+    for most of the write-back stall.  h5py reads it transparently;
+    the dtype/schema is unchanged."""
     if truth_data.shape[0] == 0:
         return
     with h5py.File(filename, 'a') as f:
         if 'light_wvfm_mc_assn' not in f:
             # production volume is ~10M rows/spill: h5py's auto-chunks are
             # KB-sized, which makes the append IO chunk-op bound
+            kw = {} if compression in (None, 'none') \
+                else dict(compression=compression, shuffle=True)
             f.create_dataset('light_wvfm_mc_assn', data=truth_data,
-                             maxshape=(None,), chunks=(1 << 18,))
+                             maxshape=(None,), chunks=(1 << 18,), **kw)
         else:
             _append_dataset(f, 'light_wvfm_mc_assn', truth_data)
 

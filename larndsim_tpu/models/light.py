@@ -444,7 +444,10 @@ def recycle_truth_records(arr: np.ndarray) -> None:
     base = arr.base if isinstance(arr.base, np.ndarray) else arr
     if base.dtype == TRUTH_DTYPE and base.flags.owndata:
         _REC_POOL.append(base)
-        if len(_REC_POOL) > 2:           # keep the two largest
+        # a whole event group's assemblies (typically 4) queue on the
+        # worker FIFO before any write_truth recycles, so the pool must
+        # hold at least that many buffers or half the calls re-fault
+        if len(_REC_POOL) > 6:           # keep the six largest
             _REC_POOL.sort(key=lambda b: b.shape[0])
             _REC_POOL.pop(0)
 

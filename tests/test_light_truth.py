@@ -245,3 +245,34 @@ class TestLightTruth:
         assert (truth['event_id'] == 3).all()
         assert (truth['segment_id'] >= 0).all()
         assert truth['op_channel_id'].max() < light.n_op_channel
+
+
+class TestTruthExportCompression:
+    def test_lzf_roundtrip_and_append(self, tmp_path):
+        """light_wvfm_mc_assn: shuffle+lzf storage is transparent to
+        readers and append-compatible; 'none' stores unfiltered (byte
+        layout parity with the reference)."""
+        from larndsim_tpu.io import export
+        import h5py
+        rng = np.random.default_rng(1)
+        n = 5000
+        rec = np.zeros(n, export.TRUTH_DTYPE)
+        rec['op_channel_id'] = rng.integers(0, 384, n)
+        rec['tick'] = rng.integers(0, 1000, n)
+        rec['segment_id'] = rng.integers(0, 9000, n)
+        rec['pe_current'] = rng.random(n) * 5 - 1
+
+        fz = str(tmp_path / 'z.h5')
+        export.export_light_truth_to_hdf5(fz, rec[:3000])
+        export.export_light_truth_to_hdf5(fz, rec[3000:])
+        with h5py.File(fz) as f:
+            d = f['light_wvfm_mc_assn']
+            assert d.compression == 'lzf' and d.shuffle
+            np.testing.assert_array_equal(np.asarray(d), rec)
+
+        fp = str(tmp_path / 'p.h5')
+        export.export_light_truth_to_hdf5(fp, rec, compression='none')
+        with h5py.File(fp) as f:
+            d = f['light_wvfm_mc_assn']
+            assert d.compression is None
+            np.testing.assert_array_equal(np.asarray(d), rec)
