@@ -564,8 +564,12 @@ def _host_smeared_truth_sparse(ids_dev, contrib_dev, t0_dev, vox_dev,
         it_c = np.clip(it_all, 0, n_ticks - 1)
         row_lo = it_c.min(axis=1)                       # per-row span is
         row_hi = it_c.max(axis=1)                       # <= nprof + 1 ticks
+        # block width ~2x the profile span: each row occupies <= nprof+1
+        # ticks, so wider windows only add zero-padding FLOPs (the old
+        # 1024 floor measured 2.3x slower at nprof=100 — 10x FLOP
+        # overshoot beats BLAS shape efficiency on this host)
         win = int(os.environ.get('LARNDSIM_TRUTH_WIN', '0')) \
-            or max(2 * nprof, 1024)
+            or max(2 * nprof + 8, 128)
         order = np.argsort(row_lo, kind='stable')
         res = _scratch2d('res', rows.size, digit_samples, np.float32)
         i = 0
