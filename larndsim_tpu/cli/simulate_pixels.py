@@ -550,6 +550,10 @@ def run_simulation(input_filename: str,
             warnings.warn('event_group_size reduced to 1: pixel keys would '
                           'overflow int32 for this geometry')
             group_cap = 1
+        if light.light_simulated:
+            # a whole group's truth assemblies are in flight before any
+            # buffer recycles back to the worker pool
+            light_model.set_rec_pool_bound(group_cap + 2)
         group: list = []  # buffered (ievd, global segment indices)
         light_done_events: set = set()
         group_seq = 0  # distinct RNG stream per processed group

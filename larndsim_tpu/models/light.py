@@ -411,6 +411,14 @@ def _staged_truth_res(ph_rows: np.ndarray, it_rows: np.ndarray,
 #: tests), so no locking.
 _WORKER_SCRATCH: dict = {}
 _REC_POOL: list = []
+_REC_POOL_BOUND: list = [6]
+
+
+def set_rec_pool_bound(n: int) -> None:
+    """Size the record-buffer pool to the orchestrator's in-flight depth
+    (a whole event group's assemblies queue on the worker FIFO before any
+    write_truth recycles a buffer)."""
+    _REC_POOL_BOUND[0] = max(int(n), 2)
 
 
 def _scratch2d(name: str, n: int, m: int, dtype) -> np.ndarray:
@@ -444,10 +452,10 @@ def recycle_truth_records(arr: np.ndarray) -> None:
     base = arr.base if isinstance(arr.base, np.ndarray) else arr
     if base.dtype == TRUTH_DTYPE and base.flags.owndata:
         _REC_POOL.append(base)
-        # a whole event group's assemblies (typically 4) queue on the
-        # worker FIFO before any write_truth recycles, so the pool must
-        # hold at least that many buffers or half the calls re-fault
-        if len(_REC_POOL) > 6:           # keep the six largest
+        # a whole event group's assemblies queue on the worker FIFO
+        # before any write_truth recycles, so the pool must hold at
+        # least that many buffers or the tail calls re-fault
+        while len(_REC_POOL) > _REC_POOL_BOUND[0]:   # keep the largest
             _REC_POOL.sort(key=lambda b: b.shape[0])
             _REC_POOL.pop(0)
 
