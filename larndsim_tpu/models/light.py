@@ -432,6 +432,10 @@ def _scratch2d(name: str, n: int, m: int, dtype) -> np.ndarray:
 
 def _rec_take(n: int) -> np.ndarray:
     from ..io.export import TRUTH_DTYPE
+    if n <= 0:
+        # never hand out (and thereby lose: recycle skips size-0 views)
+        # a pooled buffer for an empty result
+        return np.empty(0, TRUTH_DTYPE)
     best = -1
     for i, b in enumerate(_REC_POOL):
         if b.shape[0] >= n and (best < 0
@@ -578,6 +582,7 @@ def _host_smeared_truth_sparse(ids_dev, contrib_dev, t0_dev, vox_dev,
         # overshoot beats BLAS shape efficiency on this host)
         win = int(os.environ.get('LARNDSIM_TRUTH_WIN', '0')) \
             or max(2 * nprof + 8, 128)
+        win = max(win, nprof + 2)   # narrower never advances the block loop
         order = np.argsort(row_lo, kind='stable')
         res = _scratch2d('res', rows.size, digit_samples, np.float32)
         i = 0
@@ -912,6 +917,12 @@ def simulate_light_batch(segs: Segments, det_model: DetectorModel,
 
     # --- truth zero-suppression ---
     truth_sparse = None
+    if sim.ref_exact_truth_staging and smear_args is None \
+            and sim.max_mc_truth_ids > 0:
+        warnings.warn('ref_exact_truth_staging has no effect on this truth '
+                      'path (contributor-point or dense multi-trigger); '
+                      'only the LUT-smearing beam path implements the '
+                      'staged reference cuts')
     if amp is not None:
         # host path: sample the combined kernel at the (C, K) contributor
         # points in numpy; only those small arrays ever leave the device
