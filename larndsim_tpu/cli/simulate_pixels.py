@@ -116,7 +116,8 @@ def run_simulation(input_filename: str,
                    step_scale: float = 1.0,
                    event_group_size: int = 1,
                    n_devices: int = 1,
-                   truth_compression: str = 'lzf'):
+                   truth_compression: str = 'lzf',
+                   truth_workers: int = 1):
     """Simulate a pixelated LArTPC (same flag surface as the reference CLI).
 
     Extra knobs: ``step_scale`` coarsens the MC charge-sampling density
@@ -384,7 +385,15 @@ def run_simulation(input_filename: str,
         # it inline would serialize disk IO with device dispatch).  h5_lock
         # serializes worker appends against main-thread flush_results
         # writes to the same file.
-        truth_executor = ThreadPoolExecutor(max_workers=1) \
+        # assembly pool (CPU-parallel per-event truth recompute) feeding a
+        # single ordered writer thread: the writer chains on each assembly
+        # future, so the truth dataset's row order equals accumulate order
+        # for any truth_workers, and HDF5 access stays single-threaded
+        # (h5_lock serializes the writer against main-thread flushes)
+        truth_executor = ThreadPoolExecutor(
+            max_workers=max(int(truth_workers), 1)) \
+            if light.light_simulated else None
+        truth_writer = ThreadPoolExecutor(max_workers=1) \
             if light.light_simulated else None
         pending_truth: deque = deque()
         h5_lock = threading.Lock()
@@ -428,9 +437,8 @@ def run_simulation(input_filename: str,
         actions: deque = deque()
 
         def write_truth(ievd_t, trig_t, fut):
-            # runs on the truth worker thread: fut (the assembly task) is
-            # earlier in the same single-worker FIFO, so result() is
-            # immediate — the compute shows up under 'truth/worker'
+            # runs on the single writer thread; blocks until the assembly
+            # pool resolves fut (compute shows up under 'truth/worker')
             truth = fut.result()
             with trace.phase('truth/stamp'):
                 if isinstance(truth, np.ndarray):
@@ -553,7 +561,8 @@ def run_simulation(input_filename: str,
         if light.light_simulated:
             # a whole group's truth assemblies are in flight before any
             # buffer recycles back to the worker pool
-            light_model.set_rec_pool_bound(group_cap + 2)
+            light_model.set_rec_pool_bound(group_cap
+                                           + max(int(truth_workers), 1) + 2)
         group: list = []  # buffered (ievd, global segment indices)
         light_done_events: set = set()
         group_seq = 0  # distinct RNG stream per processed group
@@ -582,9 +591,9 @@ def run_simulation(input_filename: str,
                         output_filename, truth,
                         compression=truth_compression)
             elif lres.truth_future is not None:
-                # chain decode+write on the same single worker (FIFO
-                # keeps record order identical to inline writes)
-                pending_truth.append(truth_executor.submit(
+                # ordered writer: FIFO keeps record order identical to
+                # inline writes for any assembly parallelism
+                pending_truth.append(truth_writer.submit(
                     write_truth, int(ievd_l), i_light_trig,
                     lres.truth_future))
             i_light_trig += ntrig
@@ -881,6 +890,8 @@ def run_simulation(input_filename: str,
             drain_truth(block=True)
         if truth_executor is not None:
             truth_executor.shutdown(wait=True)
+        if truth_writer is not None:
+            truth_writer.shutdown(wait=True)
         memlog.archive(f'loop_mod{i_mod}')
 
         if segments_to_files is None:

@@ -10,6 +10,7 @@ from __future__ import annotations
 import dataclasses
 import math
 import os
+import threading
 import time
 import warnings
 
@@ -406,11 +407,12 @@ def _staged_truth_res(ph_rows: np.ndarray, it_rows: np.ndarray,
 #: page faults on fresh >32 MB mmaps run at ~15-60 MB/s under CPU steal
 #: (measured 5-20 s per ~300 MB allocation), while warm buffers assemble
 #: the same records in ~0.6 s.  glibc's dynamic mmap threshold caches
-#: smaller blocks already; these pools cover the large ones.  All entries
-#: are touched only from the single truth-worker thread (or serially in
-#: tests), so no locking.
-_WORKER_SCRATCH: dict = {}
+#: smaller blocks already; these pools cover the large ones.  Scratch is
+#: per-thread (assembly may run on a small pool of workers); the record
+#: pool is shared under _REC_LOCK.
+_SCRATCH_TLS = threading.local()     # per-thread scratch (parallel workers)
 _REC_POOL: list = []
+_REC_LOCK = threading.Lock()
 _REC_POOL_BOUND: list = [6]
 
 
@@ -422,11 +424,14 @@ def set_rec_pool_bound(n: int) -> None:
 
 
 def _scratch2d(name: str, n: int, m: int, dtype) -> np.ndarray:
-    buf = _WORKER_SCRATCH.get(name)
+    d = getattr(_SCRATCH_TLS, 'bufs', None)
+    if d is None:
+        d = _SCRATCH_TLS.bufs = {}
+    buf = d.get(name)
     if buf is None or buf.dtype != dtype or buf.shape[1] != m \
             or buf.shape[0] < n:
         buf = np.empty((max(int(n * 1.25), 1024), m), dtype)
-        _WORKER_SCRATCH[name] = buf
+        d[name] = buf
     return buf[:n]
 
 
@@ -436,32 +441,34 @@ def _rec_take(n: int) -> np.ndarray:
         # never hand out (and thereby lose: recycle skips size-0 views)
         # a pooled buffer for an empty result
         return np.empty(0, TRUTH_DTYPE)
-    best = -1
-    for i, b in enumerate(_REC_POOL):
-        if b.shape[0] >= n and (best < 0
-                                or b.shape[0] < _REC_POOL[best].shape[0]):
-            best = i
-    if best >= 0:
-        return _REC_POOL.pop(best)[:n]
+    with _REC_LOCK:
+        best = -1
+        for i, b in enumerate(_REC_POOL):
+            if b.shape[0] >= n and (best < 0
+                                    or b.shape[0] < _REC_POOL[best].shape[0]):
+                best = i
+        if best >= 0:
+            return _REC_POOL.pop(best)[:n]
     return np.empty(max(int(n * 1.25), 1 << 16), TRUTH_DTYPE)[:n]
 
 
 def recycle_truth_records(arr: np.ndarray) -> None:
     """Return a TRUTH_DTYPE buffer to the worker pool once its consumer
     (the HDF5 append) is done with it.  Caller guarantees no live
-    references remain; only the single-threaded truth worker calls this."""
+    references remain."""
     from ..io.export import TRUTH_DTYPE
     if arr.size == 0:
         return
     base = arr.base if isinstance(arr.base, np.ndarray) else arr
     if base.dtype == TRUTH_DTYPE and base.flags.owndata:
-        _REC_POOL.append(base)
-        # a whole event group's assemblies queue on the worker FIFO
-        # before any write_truth recycles, so the pool must hold at
-        # least that many buffers or the tail calls re-fault
-        while len(_REC_POOL) > _REC_POOL_BOUND[0]:   # keep the largest
-            _REC_POOL.sort(key=lambda b: b.shape[0])
-            _REC_POOL.pop(0)
+        with _REC_LOCK:
+            _REC_POOL.append(base)
+            # a whole event group's assemblies queue on the worker FIFO
+            # before any write_truth recycles, so the pool must hold at
+            # least that many buffers or the tail calls re-fault
+            while len(_REC_POOL) > _REC_POOL_BOUND[0]:  # keep the largest
+                _REC_POOL.sort(key=lambda b: b.shape[0])
+                _REC_POOL.pop(0)
 
 
 def _host_smeared_truth_sparse(ids_dev, contrib_dev, t0_dev, vox_dev,
