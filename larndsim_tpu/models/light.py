@@ -145,7 +145,7 @@ def _smeared_truth_stage(segs, voxels, n_det, op_channel, time_dist, t0_avg,
     VPU FFTs over ~19k rows."""
     if transfer is None:
         scint_k = jnp.pad(light_ops.scintillation_kernel(light, conv_ticks),
-                          (0, conv_ticks))
+                          (0, conv_ticks))   # support [0, 2*conv_ticks]
         combined_dev = light_ops.causal_convolve(
             scint_k[None, :], light_ops.sipm_kernel(light, conv_ticks))[0]
         transfer = light_ops.truth_transfer_table(
@@ -218,11 +218,12 @@ def _combined_kernel_host(light: LightParams, conv_ticks: int) -> np.ndarray:
     # causal_convolve, but with no device dispatch: going through the
     # device here cost a remote compile + tunnel pull (~80 s) on the
     # first event of a fresh process
-    scint, imp = _stage_kernels_host(light, conv_ticks)
-    # causal FFT convolution, signal = scint zero-padded to 2*conv_ticks
+    scint, imp = _stage_kernels_host(light, conv_ticks + 1)
+    # causal FFT convolution, signal = scint zero-padded: combined support
+    # is t-j in [0, 2*conv_ticks] (each reference stage spans [0, conv])
     # (matches ops.light.causal_convolve's fft sizing + truncation)
-    n = 2 * conv_ticks
-    fft_len = int(2 ** np.ceil(np.log2(max(n + conv_ticks - 1, 1))))
+    n = 2 * conv_ticks + 1
+    fft_len = int(2 ** np.ceil(np.log2(max(n + conv_ticks, 1))))
     combined = np.fft.irfft(np.fft.rfft(scint, fft_len)
                             * np.fft.rfft(imp, fft_len), fft_len)[:n]
     combined = combined.astype(np.float32)

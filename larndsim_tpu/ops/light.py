@@ -397,8 +397,12 @@ def light_truth_sample(amp, itick, kernel, trigger_idx,
 
 
 def scintillation_kernel(light: LightParams, conv_ticks: int) -> jnp.ndarray:
-    """Two-exponential emission-time kernel (light_sim.py:132-145)."""
-    k = jnp.arange(conv_ticks)
+    """Two-exponential emission-time kernel (light_sim.py:132-145).
+
+    conv_ticks + 1 taps: the reference convolution loop spans
+    ``range(itick - conv_ticks, itick + 1)`` — t-j in [0, conv_ticks]
+    INCLUSIVE (light_sim.py:164)."""
+    k = jnp.arange(conv_ticks + 1)
     tick = light.light_tick_size
     p1 = (light.singlet_fraction * jnp.exp(-k * tick / light.tau_s)
           * (1 - jnp.exp(-tick / light.tau_s)))
@@ -408,8 +412,11 @@ def scintillation_kernel(light: LightParams, conv_ticks: int) -> jnp.ndarray:
 
 
 def sipm_kernel(light: LightParams, conv_ticks: int) -> jnp.ndarray:
-    """SiPM impulse response kernel (light_sim.py:274-300)."""
-    k = jnp.arange(conv_ticks)
+    """SiPM impulse response kernel (light_sim.py:274-300).
+
+    conv_ticks + 1 taps, matching the reference loop's inclusive bound
+    (light_sim.py:318)."""
+    k = jnp.arange(conv_ticks + 1)
     tick = light.light_tick_size
     if light.sipm_response_model == 0:
         t = k * tick

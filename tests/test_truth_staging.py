@@ -220,3 +220,50 @@ class TestStagedTruthGolden:
         assert not (len(lin['tick']) == len(stg['tick'])
                     and np.array_equal(lin['tick'], stg['tick'])
                     and np.allclose(lin['pe_current'], stg['pe_current']))
+
+
+class TestGoldenLightSignal:
+    def test_signal_conv_matches_reference_kernels(self, ref_light,
+                                                   our_light):
+        """Scintillation + SiPM SIGNAL convolutions == the reference's own
+        kernels (shim-executed) on identical input, including the
+        inclusive [0, conv_ticks] kernel support of the reference loops
+        (a conv_ticks-tap kernel fails this at small windows)."""
+        import jax.numpy as jnp
+        import larndsim.consts.light as ref_consts
+        from larndsim_tpu.ops import light as light_ops
+
+        ref_ls = ref_light
+        ph, it, _ = _scenario()
+        C = ph.shape[0]
+        N = 64
+        conv = 6
+        gains = np.array([-2.5, -3.1])
+        ref_consts.LIGHT_GAIN = gains.copy()
+
+        p = np.zeros((C, N), np.float64)
+        for c in range(C):
+            np.add.at(p[c], it[c], ph[c].astype(np.float64))
+
+        KD = 1
+        no_id = np.full((C, N, KD), -1, np.int64)
+        no_ph = np.zeros((C, N, KD), np.float64)
+        scint_ref = np.zeros((C, N), np.float64)
+        ref_ls.calc_scintillation_effect[(C, N), (1, 1)](
+            p.copy(), no_id, no_ph, scint_ref,
+            np.full((C, N, KD), -1, np.int64), np.zeros((C, N, KD)))
+        resp_ref = np.zeros((C, N), np.float64)
+        ref_ls.calc_light_detector_response[(C, N), (1, 1)](
+            scint_ref, no_id, no_ph, resp_ref,
+            np.full((C, N, KD), -1, np.int64), np.zeros((C, N, KD)))
+
+        scint_ours = np.asarray(light_ops.calc_scintillation_effect(
+            jnp.asarray(p, jnp.float32), our_light, conv_ticks=conv))
+        resp_ours = np.asarray(light_ops.calc_light_detector_response(
+            jnp.asarray(scint_ref, jnp.float32), jnp.asarray(gains),
+            our_light, conv_ticks=conv))
+
+        np.testing.assert_allclose(scint_ours, scint_ref, rtol=2e-4,
+                                   atol=1e-5 * np.abs(scint_ref).max())
+        np.testing.assert_allclose(resp_ours, resp_ref, rtol=2e-4,
+                                   atol=1e-5 * np.abs(resp_ref).max())
