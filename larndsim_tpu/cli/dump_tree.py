@@ -171,5 +171,18 @@ def dump(input_file: str, output_file: str,
 
 
 if __name__ == '__main__':
-    import sys
-    dump(sys.argv[1], sys.argv[2])
+    import argparse
+    ap = argparse.ArgumentParser(
+        description='edep-sim ROOT -> segments HDF5 (reference '
+                    'cli/dumpTree.py counterpart)')
+    ap.add_argument('input_file')
+    ap.add_argument('output_file')
+    ap.add_argument('--n_events', type=int, default=None,
+                    help='stop after this many events')
+    ap.add_argument('--keep_all_dets', action='store_true',
+                    help='keep events with hits in any detector container '
+                         'instead of requiring $ARCUBE_ACTIVE_VOLUME '
+                         '(dumpTree.py:255)')
+    a = ap.parse_args()
+    dump(a.input_file, a.output_file, n_events=a.n_events,
+         keep_all_dets=a.keep_all_dets)

@@ -268,12 +268,17 @@ def run_simulation(input_filename: str,
         det_model = load_detector(detector_properties, pixel_layout,
                                   i_module=i_mod)
         det = det_model.params
-        light = load_light(detector_properties,
-                           asset_root=os.path.dirname(
-                               os.path.dirname(detector_properties)))
-        light = dataclasses.replace(light,
+        light_loaded = load_light(detector_properties,
+                                  asset_root=os.path.dirname(
+                                      os.path.dirname(detector_properties)))
+        light = dataclasses.replace(light_loaded,
                                     light_simulated=bool(light_simulated)
-                                    and light.light_simulated)
+                                    and light_loaded.light_simulated)
+        # keep the loader-seeded host scalars: the replace() copy would
+        # otherwise miss the id-keyed cache and re-pull the scalar leaves
+        # through the device (minutes on a degraded tunnel)
+        from ..params import light as light_params_mod
+        light_params_mod.adopt_host_scalars(light, light_loaded)
 
         resp_path = (response_file[i_mod - 1] if isinstance(response_file,
                                                             list)
@@ -559,9 +564,10 @@ def run_simulation(input_filename: str,
                           'overflow int32 for this geometry')
             group_cap = 1
         if light.light_simulated:
-            # a whole group's truth assemblies are in flight before any
-            # buffer recycles back to the worker pool
-            light_model.set_rec_pool_bound(group_cap
+            # every in-flight group's truth assemblies (one group per
+            # chip's dispatch thread) queue before any buffer recycles
+            # back to the worker pool
+            light_model.set_rec_pool_bound(group_cap * n_dev
                                            + max(int(truth_workers), 1) + 2)
         group: list = []  # buffered (ievd, global segment indices)
         light_done_events: set = set()

@@ -12,6 +12,7 @@ packet -> data packet).
 from __future__ import annotations
 
 import logging
+import os
 import warnings
 
 import h5py
@@ -173,8 +174,13 @@ _BAD_CHANNELS_CACHE: dict = {}
 def _packed_bad_channels(path, bad_channels_list: dict) -> np.ndarray:
     """Flatten the bad-channels YAML ('{io_group}-{io_channel}-{chip}' ->
     [channels], fee.py:250-254) into sorted packed int64 keys, cached per
-    file path."""
-    hit = _BAD_CHANNELS_CACHE.get(path)
+    (file path, mtime, size) so a rewritten file is repacked."""
+    try:
+        st = os.stat(path)
+        cache_key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        cache_key = path
+    hit = _BAD_CHANNELS_CACHE.get(cache_key)
     if hit is not None:
         return hit
     keys = []
@@ -185,7 +191,7 @@ def _packed_bad_channels(path, bad_channels_list: dict) -> np.ndarray:
     packed = np.sort(np.asarray(keys, np.int64))
     if len(_BAD_CHANNELS_CACHE) > 8:
         _BAD_CHANNELS_CACHE.clear()
-    _BAD_CHANNELS_CACHE[path] = packed
+    _BAD_CHANNELS_CACHE[cache_key] = packed
     return packed
 
 

@@ -165,7 +165,22 @@ def _smeared_truth_stage(segs, voxels, n_det, op_channel, time_dist, t0_avg,
 
 
 _KERNEL_CACHE: dict = {}
-_KERNEL_KEY_CACHE: dict = {}
+
+
+def _kernel_leaf_key(light: LightParams) -> tuple:
+    """Every scalar (and the impulse content) that defines the combined
+    kernel — shared by the kernel and transfer-table caches so two
+    configs differing only in scintillation/SiPM constants never alias."""
+    hs = light_params.host_scalars(light)
+    imp = hs['impulse_model']
+    imp_h = hs.get('_impulse_hash')
+    if imp_h is None:
+        imp_h = hs['_impulse_hash'] = hash(imp.tobytes())
+    return (hs['tau_s'], hs['tau_t'], hs['singlet_fraction'],
+            hs['light_response_time'], hs['light_oscillation_period'],
+            float(light.light_tick_size), float(light.impulse_tick_size),
+            int(light.sipm_response_model),
+            imp.shape[0], imp_h)
 
 
 def _stage_kernels_host(light: LightParams, L: int):
@@ -205,12 +220,7 @@ def _combined_kernel_host(light: LightParams, conv_ticks: int) -> np.ndarray:
     """Combined scintillation*SiPM kernel on host (cached per config)."""
     # the scalar-leaf part of the key is memoized by params identity:
     # five float() device pulls per call would dominate on remote TPU hosts
-    hs = light_params.host_scalars(light)
-    leaf_key = (hs['tau_s'], hs['tau_t'], hs['singlet_fraction'],
-                hs['light_response_time'], hs['light_oscillation_period'])
-    key = (conv_ticks, light.sipm_response_model, *leaf_key,
-           light.light_tick_size,
-           light.impulse_tick_size, int(light.impulse_model.shape[0]))
+    key = (conv_ticks, *_kernel_leaf_key(light))
     hit = _KERNEL_CACHE.get(key)
     if hit is not None:
         return hit
@@ -296,7 +306,7 @@ def _transfer_table_host(light: LightParams, conv_ticks: int, n_ticks: int,
     (beam trigger), cached per config.  (n_ticks, digit_samples) f32."""
     tick, f, pre = _digit_scalars(light)
     key = (conv_ticks, n_ticks, digit_samples, pad_front, n_padded,
-           tick, f, pre, light.sipm_response_model)
+           tick, f, pre, *_kernel_leaf_key(light))
     hit = _TRANSFER_CACHE.get(key)
     if hit is not None:
         return hit

@@ -20,6 +20,10 @@ _TIMES: dict[str, float] = defaultdict(float)
 _COUNTS: dict[str, int] = defaultdict(int)
 _CHILD: dict[str, float] = defaultdict(float)
 _STACK = threading.local()
+#: += on the shared dicts is a non-atomic read-modify-write; phases now
+#: end concurrently on dispatch/truth threads (same labels), so updates
+#: take this lock (phases are coarse — contention is negligible)
+_ACC_LOCK = threading.Lock()
 
 #: LARNDSIM_SYNC_PHASES=1 drains the device at every phase boundary so the
 #: wall-clock table attributes compute to the phase that dispatched it
@@ -56,14 +60,15 @@ def phase(label: str):
             _drain_device()
         dt = time.perf_counter() - t0
         stack.pop()
-        _TIMES[label] += dt
-        _COUNTS[label] += 1
-        if stack:
-            # nested time is attributed to the child; the parent's row
-            # reports *self* time so the table sums to wall clock
-            # (VERDICT r1: `export` wrapping flush+drain showed 101 s
-            # against 36 s elapsed)
-            _CHILD[stack[-1]] += dt
+        with _ACC_LOCK:
+            _TIMES[label] += dt
+            _COUNTS[label] += 1
+            if stack:
+                # nested time is attributed to the child; the parent's row
+                # reports *self* time so the table sums to wall clock
+                # (VERDICT r1: `export` wrapping flush+drain showed 101 s
+                # against 36 s elapsed)
+                _CHILD[stack[-1]] += dt
 
 
 def summary() -> dict[str, tuple[float, int]]:

@@ -276,3 +276,36 @@ class TestTruthExportCompression:
             d = f['light_wvfm_mc_assn']
             assert d.compression is None
             np.testing.assert_array_equal(np.asarray(d), rec)
+
+
+class TestKernelCacheKeys:
+    def test_transfer_table_distinguishes_kernel_scalars(self):
+        """Two configs with identical geometry but different tau_s must not
+        alias in the transfer-table/kernel caches (review finding r2)."""
+        import dataclasses
+        from larndsim_tpu.models import light as lm
+        from larndsim_tpu.params import load_light
+
+        ref = '/root/reference/larndsim'
+        l1 = load_light(f'{ref}/detector_properties/module0.yaml')
+        l2 = dataclasses.replace(l1, tau_s=np.float32(0.002))
+        args = (80, 2048, 500, 4, 2048 + 4 + 16)
+        t1 = lm._transfer_table_host(l1, *args)
+        t1b = lm._transfer_table_host(l1, *args)
+        t2 = lm._transfer_table_host(l2, *args)
+        assert t1 is t1b                      # cache hit for same config
+        assert not np.array_equal(t1, t2)     # no aliasing across configs
+
+    def test_adopt_host_scalars_after_replace(self):
+        """dataclasses.replace copies share the loader-seeded host scalars
+        via adopt (no device pull on the replaced object)."""
+        import dataclasses
+        from larndsim_tpu.params import light as light_params
+        from larndsim_tpu.params import load_light
+
+        ref = '/root/reference/larndsim'
+        l1 = load_light(f'{ref}/detector_properties/module0.yaml')
+        base = light_params.host_scalars(l1)
+        l2 = dataclasses.replace(l1, light_simulated=False)
+        light_params.adopt_host_scalars(l2, l1)
+        assert light_params.host_scalars(l2) is base
