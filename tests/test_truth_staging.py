@@ -267,3 +267,29 @@ class TestGoldenLightSignal:
                                    atol=1e-5 * np.abs(scint_ref).max())
         np.testing.assert_allclose(resp_ours, resp_ref, rtol=2e-4,
                                    atol=1e-5 * np.abs(resp_ref).max())
+
+
+def test_staged_records_match_dict_path(our_light):
+    """Staged mode: as_records assembly == dict path + records helper
+    (the explicit keep mask — including pe == 0 rows — flows through
+    both emission branches identically)."""
+    from larndsim_tpu.io import export
+    rng = np.random.default_rng(4)
+    C, K, nprof = 3, 2, 4
+    lut_td = rng.random((2, 2, 2, C, nprof)).astype(np.float32)
+    lut_td /= lut_td.sum(axis=-1, keepdims=True)
+    ids = rng.integers(0, 40, (C, K)).astype(np.int64)
+    contrib = (rng.random((C, K)).astype(np.float32) * 400 + 20)
+    t0 = (rng.random((C, K)).astype(np.float32) * 0.004)
+    vox = rng.integers(0, 2, (C, K, 3)).astype(np.int32)
+    args = (ids, contrib, t0, vox, lut_td, np.arange(C), our_light,
+            THRESHOLD, 6, 64, 13, 4, 16, 0.0)
+    rec = light_model._host_smeared_truth_sparse(*args, as_records=True,
+                                                 staged=True)
+    rec['event_id'] = 5
+    rec['trigger_id'] += 2
+    ref = export.truth_sparse_to_records(
+        light_model._host_smeared_truth_sparse(*args, staged=True), 5, 2)
+    assert rec.shape == ref.shape and rec.shape[0] > 0
+    for name in rec.dtype.names:
+        np.testing.assert_array_equal(rec[name], ref[name], err_msg=name)
