@@ -33,6 +33,8 @@ from ..ops.drift import drift, select_active_volume
 from ..ops.quench import quench
 from ..params import (get_module_ids, load_detector, load_light, load_sim,
                       physics)
+from ..params import detector as det_params_mod
+from ..params import light as light_params_mod
 from ..segments import from_structured, from_structured_group, to_structured
 from ..assets.response import load_response
 from ..assets.light_lut import load_light_lut, make_light_noise
@@ -277,7 +279,6 @@ def run_simulation(input_filename: str,
         # keep the loader-seeded host scalars: the replace() copy would
         # otherwise miss the id-keyed cache and re-pull the scalar leaves
         # through the device (minutes on a degraded tunnel)
-        from ..params import light as light_params_mod
         light_params_mod.adopt_host_scalars(light, light_loaded)
 
         resp_path = (response_file[i_mod - 1] if isinstance(response_file,
@@ -414,8 +415,6 @@ def run_simulation(input_filename: str,
                           'clamping')
             n_dev = len(avail)
         if n_dev > 1:
-            from ..params import detector as det_params_mod
-            from ..params import light as light_params_mod
             dev_ctx = []
             for d in avail[:n_dev]:
                 det_d = jax.device_put(det, d)

@@ -283,19 +283,22 @@ def _digit_scalars(light: LightParams) -> tuple:
 
 
 def _digit_geometry(light: LightParams, n_ticks: int, digit_samples: int,
-                    pad_front: int, n_padded: int):
+                    pad_front: int, n_padded: int, dtype=np.float32):
     """Per-sample interpolation geometry of the beam-trigger digitizer:
     (i0, frac, in0, in1, edge) — sample s reads ticks i0[s], i0[s]+1 with
     weight frac[s]; in0/in1/edge are the bounds masks the transfer table
-    bakes in (same semantics as ops/light.digitize_signal)."""
+    bakes in (same semantics as ops/light.digitize_signal).  dtype
+    selects f32 (table parity with the device path) or f64 (the staged
+    reference-exact path: the reference computes sample_tick in double,
+    light_sim.py:499)."""
     tick, f, pre = _digit_scalars(light)
-    y = (np.float32(-pre)
-         + np.arange(digit_samples, dtype=np.float32) * np.float32(f))
-    i0 = np.floor(y).astype(np.int32)
-    frac = y - i0.astype(np.float32)
-    in0 = ((i0 >= 0) & (i0 < n_ticks)).astype(np.float32)
-    in1 = ((i0 + 1 >= 0) & (i0 + 1 < n_ticks)).astype(np.float32)
-    edge = ((i0 + pad_front) <= n_padded - 2).astype(np.float32)
+    y = (dtype(-pre)
+         + np.arange(digit_samples, dtype=dtype) * dtype(f))
+    i0 = np.floor(y).astype(np.int64)
+    frac = (y - i0.astype(dtype)).astype(dtype)
+    in0 = ((i0 >= 0) & (i0 < n_ticks)).astype(dtype)
+    in1 = ((i0 + 1 >= 0) & (i0 + 1 < n_ticks)).astype(dtype)
+    edge = ((i0 + pad_front) <= n_padded - 2).astype(dtype)
     return i0, frac, in0, in1, edge
 
 
@@ -365,17 +368,11 @@ def _staged_truth_res(ph_rows: np.ndarray, it_rows: np.ndarray,
     R, nprof = ph_rows.shape
     L = conv_ticks + 1
     w_s, w_r = _stage_kernels_host(light, L)
-    # f64 digitizer geometry: the reference computes sample_tick in double
-    # (light_sim.py:499); the fast path's f32 table geometry differs by
-    # ~1e-7 in frac, which cancellation-heavy samples amplify
-    tick, f, pre = _digit_scalars(light)
-    y = (-np.float64(pre)
-         + np.arange(digit_samples, dtype=np.float64) * np.float64(f))
-    i0 = np.floor(y).astype(np.int64)
-    frac = y - i0
-    in0 = ((i0 >= 0) & (i0 < n_ticks)).astype(np.float64)
-    in1 = ((i0 + 1 >= 0) & (i0 + 1 < n_ticks)).astype(np.float64)
-    edge = ((i0 + pad_front) <= n_padded - 2).astype(np.float64)
+    # f64 geometry: the fast path's f32 table frac differs by ~1e-7,
+    # which cancellation-heavy samples amplify
+    i0, frac, in0, in1, edge = _digit_geometry(
+        light, n_ticks, digit_samples, pad_front, n_padded,
+        dtype=np.float64)
     i0c = np.clip(i0, 0, n_ticks - 1)
     i1c = np.clip(i0 + 1, 0, n_ticks - 1)
     in0b = in0 > 0
