@@ -155,7 +155,7 @@ def phase_split_response(response: np.ndarray, ratio: int) -> np.ndarray:
 def _current_kernel(xs_ref, ys_ref, shift_ref, phase_ref, px_ref, py_ref,
                     nstep_ref, npix_ref, lo_ref, hi_ref, resp_hbm, out_ref,
                     slab, sem, *, t_blk, slab_w, k0, s_blk, bin_size, nx_r,
-                    ny_r, ratio, ntp):
+                    ny_r, ratio, ntp, pix_grp=4):
     """One (segment-block, tick-block) grid instance.
 
     All per-point/per-pixel metadata lives in SMEM and the response-row
@@ -188,16 +188,17 @@ def _current_kernel(xs_ref, ys_ref, shift_ref, phase_ref, px_ref, py_ref,
         in_window = ((hi_ref[s, 0] + ntp > blk_lo)
                      & (lo_ref[s, 0] < blk_lo + t_blk))
         n_pix = jnp.where(in_window, npix_ref[s, 0], 0)
-        n_quad = (n_pix + 3) // 4
+        n_quad = (n_pix + pix_grp - 1) // pix_grp
 
         def quad_body(pp, _):
-            # 4 pixels per iteration: a step's tick shift is pixel-
-            # independent, so the four shifted row-slices share one roll
-            # and one accumulate on a (4, t_blk) tile (2.3x over the
-            # one-pixel loop); the tail quad clamps to the last pixel
+            # pix_grp pixels per iteration: a step's tick shift is pixel-
+            # independent, so the grouped shifted row-slices share one roll
+            # and one accumulate on a (pix_grp, t_blk) tile (2.3x over the
+            # one-pixel loop at 4); the tail group clamps to the last pixel
             # (duplicate writes of identical accumulators are benign)
             pmax = jnp.maximum(n_pix - 1, 0)
-            p_ids = [jnp.minimum(4 * pp + i, pmax) for i in range(4)]
+            p_ids = [jnp.minimum(pix_grp * pp + i, pmax)
+                     for i in range(pix_grp)]
             centers = [(px_ref[s, pi], py_ref[s, pi]) for pi in p_ids]
 
             def row_of(pxv, pyv, istep):
@@ -228,17 +229,122 @@ def _current_kernel(xs_ref, ys_ref, shift_ref, phase_ref, px_ref, py_ref,
                 ws = [slab[pl.ds(row_of(pxv, pyv, istep), 1),
                            pl.ds(al, w_win)]
                       for pxv, pyv in centers]
-                window = jnp.concatenate(ws, axis=0)         # (4, w_win)
+                window = jnp.concatenate(ws, axis=0)     # (pix_grp, w_win)
                 rolled = pltpu.roll(window, w_win - rem, axis=1)
                 return acc + rolled[:, :t_blk]
 
             acc = jax.lax.fori_loop(
-                0, ns, step_body, jnp.zeros((4, t_blk), jnp.float32))
-            for i in range(4):
+                0, ns, step_body, jnp.zeros((pix_grp, t_blk), jnp.float32))
+            for i in range(pix_grp):
                 out_ref[s, p_ids[i], :] = acc[i, :]
             return 0
 
         jax.lax.fori_loop(0, n_quad, quad_body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, s_blk, seg_body, 0)
+
+
+def _current_kernel_folded(xs_ref, ys_ref, shift_ref, phase_ref, px_ref,
+                           py_ref, nstep_ref, npix_ref, lo_ref, hi_ref,
+                           resp_hbm, out_ref, slab, sem, *, t_blk, slab_w,
+                           k0, s_blk, bin_size, nx_r, ny_r, ratio, ntp,
+                           pix_grp, transposed=False):
+    """Folded-lane variant of :func:`_current_kernel`.
+
+    The rows variant reads each response row as a (1, t_blk + 128) slice —
+    ~9 vector registers of traffic occupying a single sublane each.  Here
+    the slab is stored folded, (n_rows, slab_w // 128, 128), so one row
+    window is a (n_q, 128) *sublane block* (2 packed vregs at t_blk=1024),
+    and the shift becomes one lane-roll plus a static sublane blend
+    (res[q] = l < 128-rem ? rolled[q] : rolled[q+1]).  Output stays folded
+    as (s, p, t_blk//128, 128); the caller unfolds with a free XLA reshape.
+
+    ``transposed`` stacks the group's windows as (n_q, grp, 128) — dense
+    (8, 128) tiles per q-group — instead of (grp, n_q, 128), whose
+    9-sublane middle axis pads to 16; which wins depends on Mosaic's
+    relayout costs, hence the knob.
+    """
+    jt = pl.program_id(1)
+    n_q = t_blk // 128 + 1   # sublane blocks covering t_blk + misalignment
+
+    dma = pltpu.make_async_copy(
+        resp_hbm.at[:, pl.ds(jt * (t_blk // 128), slab_w // 128), :],
+        slab, sem)
+    dma.start()
+    dma.wait()
+    out_ref[...] = jnp.zeros_like(out_ref)
+
+    max_x = bin_size * nx_r
+    max_y = bin_size * ny_r
+    inv_bin = 1.0 / bin_size  # scalar-core divides are slow
+    zero_row = nx_r * ny_r * ratio  # trailing all-zero response row
+
+    lane_shape = ((n_q - 1, pix_grp, 128) if transposed
+                  else (pix_grp, n_q - 1, 128))
+    lane = jax.lax.broadcasted_iota(jnp.int32, lane_shape, 2)
+
+    def seg_body(s, _):
+        ns = nstep_ref[s, 0]
+        blk_lo = jt * t_blk
+        in_window = ((hi_ref[s, 0] + ntp > blk_lo)
+                     & (lo_ref[s, 0] < blk_lo + t_blk))
+        n_pix = jnp.where(in_window, npix_ref[s, 0], 0)
+        n_grp = (n_pix + pix_grp - 1) // pix_grp
+
+        def grp_body(pp, _):
+            pmax = jnp.maximum(n_pix - 1, 0)
+            p_ids = [jnp.minimum(pix_grp * pp + i, pmax)
+                     for i in range(pix_grp)]
+            centers = [(px_ref[s, pi], py_ref[s, pi]) for pi in p_ids]
+
+            def row_of(pxv, pyv, istep):
+                # branchless: out-of-LUT-range points read the appended
+                # all-zero response row (see the rows variant)
+                x_dist = jnp.minimum(jnp.abs(pxv - xs_ref[s, istep]),
+                                     max_x + bin_size)
+                y_dist = jnp.minimum(jnp.abs(pyv - ys_ref[s, istep]),
+                                     max_y + bin_size)
+                i_idx = jnp.round(x_dist * inv_bin - 0.5).astype(jnp.int32)
+                j_idx = jnp.round(y_dist * inv_bin - 0.5).astype(jnp.int32)
+                ok = ((x_dist <= max_x) & (y_dist <= max_y)
+                      & (i_idx >= 0) & (i_idx < nx_r)
+                      & (j_idx >= 0) & (j_idx < ny_r))
+                i_c = jnp.clip(i_idx, 0, nx_r - 1)
+                j_c = jnp.clip(j_idx, 0, ny_r - 1)
+                return jnp.where(ok, (i_c * ny_r + j_c) * ratio
+                                 + phase_ref[s, istep], zero_row)
+
+            def step_body(istep, acc):
+                off = k0 - shift_ref[s, istep]
+                q0 = off // 128
+                rem = off - q0 * 128
+                ws = [slab[pl.ds(row_of(pxv, pyv, istep), 1),
+                           pl.ds(q0, n_q), :]
+                      for pxv, pyv in centers]
+                # flat col off + t at t = 128q + l reads (q0 + q + carry,
+                # (rem + l) mod 128): one lane-roll + static sublane blend
+                if transposed:
+                    window = jnp.concatenate(
+                        [w.reshape(n_q, 1, 128) for w in ws], axis=1)
+                    a = pltpu.roll(window, 128 - rem, axis=2)
+                    res = jnp.where(lane < 128 - rem,
+                                    a[:n_q - 1], a[1:])
+                else:
+                    window = jnp.concatenate(ws, axis=0)  # (grp, n_q, 128)
+                    a = pltpu.roll(window, 128 - rem, axis=2)
+                    res = jnp.where(lane < 128 - rem,
+                                    a[:, :n_q - 1, :], a[:, 1:, :])
+                return acc + res
+
+            acc = jax.lax.fori_loop(
+                0, ns, step_body, jnp.zeros(lane_shape, jnp.float32))
+            for i in range(pix_grp):
+                out_ref[s, p_ids[i], :, :] = (acc[:, i, :] if transposed
+                                              else acc[i])
+            return 0
+
+        jax.lax.fori_loop(0, n_grp, grp_body, 0)
         return 0
 
     jax.lax.fori_loop(0, s_blk, seg_body, 0)
@@ -283,18 +389,38 @@ def _padded_response(response, ratio: int, K0: int, total_cols: int):
 @functools.lru_cache(maxsize=64)
 def _kernel_fn(s_pad, P, t_sig_p, n_steps_p, s_blk, t_blk,
                slab_w, k0, bin_size, nx_r, ny_r, ratio, n_rows, ntp,
-               interpret):
+               interpret, variant='rows', pix_grp=4):
     """Jitted pallas_call, cached on the static configuration."""
     grid = (s_pad // s_blk, t_sig_p // t_blk)
-    kernel = functools.partial(
-        _current_kernel, t_blk=t_blk, slab_w=slab_w, k0=k0,
-        s_blk=s_blk, bin_size=bin_size, nx_r=nx_r, ny_r=ny_r, ratio=ratio,
-        ntp=ntp)
+    folded = variant.startswith('folded')
+    if folded:
+        kernel = functools.partial(
+            _current_kernel_folded, transposed=variant == 'foldedT',
+            t_blk=t_blk, slab_w=slab_w, k0=k0, s_blk=s_blk,
+            bin_size=bin_size, nx_r=nx_r, ny_r=ny_r, ratio=ratio,
+            ntp=ntp, pix_grp=pix_grp)
+    else:
+        kernel = functools.partial(
+            _current_kernel, t_blk=t_blk, slab_w=slab_w, k0=k0,
+            s_blk=s_blk, bin_size=bin_size, nx_r=nx_r, ny_r=ny_r,
+            ratio=ratio, ntp=ntp, pix_grp=pix_grp)
 
     smem2 = lambda: pl.BlockSpec((s_blk, n_steps_p), lambda i, j: (i, 0),
                                  memory_space=pltpu.SMEM)
     smem1 = lambda: pl.BlockSpec((s_blk, 1), lambda i, j: (i, 0),
                                  memory_space=pltpu.SMEM)
+    if folded:
+        out_specs = pl.BlockSpec((s_blk, P, t_blk // 128, 128),
+                                 lambda i, j: (i, 0, j, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct(
+            (s_pad, P, t_sig_p // 128, 128), jnp.float32)
+        slab_shape = pltpu.VMEM((n_rows, slab_w // 128, 128), jnp.float32)
+    else:
+        out_specs = pl.BlockSpec((s_blk, P, t_blk), lambda i, j: (i, 0, j),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((s_pad, P, t_sig_p), jnp.float32)
+        slab_shape = pltpu.VMEM((n_rows, slab_w), jnp.float32)
     call = pl.pallas_call(
         kernel,
         grid=grid,
@@ -313,11 +439,10 @@ def _kernel_fn(s_pad, P, t_sig_p, n_steps_p, s_blk, t_blk,
             smem1(),  # tick_hi
             pl.BlockSpec(memory_space=pl.ANY),  # padded response (HBM)
         ],
-        out_specs=pl.BlockSpec((s_blk, P, t_blk), lambda i, j: (i, 0, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((s_pad, P, t_sig_p), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((n_rows, slab_w), jnp.float32),
+            slab_shape,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -364,13 +489,33 @@ def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
                    t_blk: int | None = None,
                    step_blk: int = 128, interpret: bool = False,
                    shift_band: tuple[int, int] | None = None,
-                   min_step: float = 0.001) -> jnp.ndarray:
+                   min_step: float = 0.001,
+                   variant: str | None = None,
+                   pix_grp: int | None = None) -> jnp.ndarray:
     """Induced current per (segment, pixel, tick) — Pallas TPU backend.
 
     Same contract as ops.current.current; `response` is the raw
     (nx, ny, nt) LUT (host numpy or device array).  Pass ``shift_band``
     (from :func:`host_shift_band`) to avoid the per-batch device sync.
+
+    ``variant`` selects the kernel inner-loop formulation ('rows' |
+    'folded', default from $LARNDSIM_PALLAS_VARIANT) and ``pix_grp`` the
+    pixel group width (default from $LARNDSIM_PALLAS_PIXGRP); both
+    variants produce identical results — the knobs exist for per-platform
+    tuning (see BENCHMARKS.md).
     """
+    import os
+    if variant is None:
+        variant = os.environ.get('LARNDSIM_PALLAS_VARIANT', 'rows')
+    if pix_grp is None:
+        pix_grp = int(os.environ.get(
+            'LARNDSIM_PALLAS_PIXGRP',
+            '8' if variant.startswith('folded') else '4'))
+    assert variant in ('rows', 'folded', 'foldedT'), variant
+    # Mosaic kernels only compile for TPU; on CPU (tests, tools' smoke
+    # modes) fall through to the interpreter instead of erroring
+    if not interpret and jax.default_backend() != 'tpu':
+        interpret = True
     resp_np = np.asarray(response)
     nx_r, ny_r, nt_r = resp_np.shape
     dt = float(det.time_sampling)
@@ -478,14 +623,18 @@ def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
 
     total_cols = _round_up((t_sig_p - t_blk) + slab_w, 128)
     padded_dev = _padded_response(response, ratio, K0, total_cols)
+    if variant.startswith('folded'):
+        padded_dev = padded_dev.reshape(padded_dev.shape[0], -1, 128)
 
     ntp = -(-nt_r // ratio)
     fn = _kernel_fn(s_pad, P, t_sig_p, n_steps_p, s_blk, t_blk,
                     slab_w, K0, float(det.response_bin_size),
                     resp_np.shape[0], resp_np.shape[1], ratio, n_rows, ntp,
-                    interpret)
+                    interpret, variant, pix_grp)
     out = fn(xs, ys, shift, phase, pxc, pyc, nstep_c, npix, tick_lo_c,
              tick_hi_c, padded_dev)
+    if variant.startswith('folded'):
+        out = out.reshape(s_pad, P, t_sig_p)
     out = out[:S, :, :t_sig]
     # charge is constant per segment: fold it in outside the kernel, along
     # with the negative-time-tick mask (detsim.py:299: ticks before the

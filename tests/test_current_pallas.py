@@ -113,3 +113,20 @@ class TestCurrentPallas:
         total = float(np.asarray(out).sum()) * float(det.time_sampling)
         expected = float(np.asarray(segs.n_electrons).sum())
         assert total == pytest.approx(expected, rel=0.05)
+
+    def test_folded_variant_exact(self, setup):
+        """The folded-lane kernel is bit-identical to the rows kernel:
+        both accumulate the same per-step values in the same order."""
+        det, segs, response, px, py, pv = setup
+        key = jax.random.PRNGKey(5)
+        kw = dict(n_steps=64, t_sig=1024, mc_smear=True, s_blk=4,
+                  t_blk=256, interpret=True)
+        rows = current_pallas.current_pallas(
+            segs, px, py, pv, response, det, key, variant='rows', **kw)
+        for variant in ('folded', 'foldedT'):
+            for grp in (4, 8):
+                folded = current_pallas.current_pallas(
+                    segs, px, py, pv, response, det, key, variant=variant,
+                    pix_grp=grp, **kw)
+                np.testing.assert_array_equal(np.asarray(rows),
+                                              np.asarray(folded))

@@ -1,0 +1,68 @@
+"""A/B timing lab for induced-current Pallas kernel variants.
+
+Times each (variant, pix_grp, t_blk) combination at the bench's grouped
+workload (tools/perf_guard.build_workload) using the output-scalar-pull
+method (the only honest timing on the axon tunnel — BENCHMARKS.md
+"Measurement methodology"), and prints a ranked table.  Purely a tuning
+tool: it never writes PERF_LOG.jsonl.
+
+Usage:  LARNDSIM_ASSETS=/root/reference/larndsim python tools/kernel_lab.py
+        [--reps 3] [--combos rows:4,rows:8,folded:4,folded:8]
+Do not run while a benchmark is in flight — results share the TPU.
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+_HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _HERE)
+os.environ.setdefault('LARNDSIM_ASSETS', '/root/reference/larndsim')
+
+import numpy as np
+
+from perf_guard import build_workload, timed  # noqa: E402
+
+
+def main():
+    reps = 3
+    if '--reps' in sys.argv:
+        reps = int(sys.argv[sys.argv.index('--reps') + 1])
+    combos = 'rows:4,rows:8,folded:4,folded:8,foldedT:4,foldedT:8'
+    if '--combos' in sys.argv:
+        combos = sys.argv[sys.argv.index('--combos') + 1]
+
+    from larndsim_tpu.ops.current_pallas import current_pallas
+
+    w = build_workload()
+    kw = dict(n_steps=w['n_steps'], t_sig=w['t_sig'], mc_smear=True,
+              shift_band=w['band'],
+              min_step=float(w['sim'].min_step_size))
+    args = (w['segs'], w['px'], w['py'], w['pix_valid'], w['response'],
+            w['det'], w['key'])
+
+    baseline = None
+    results = []
+    for combo in combos.split(','):
+        variant, grp = combo.split(':')
+        ms = timed(current_pallas, *args, variant=variant,
+                   pix_grp=int(grp), reps=reps, **kw)
+        if baseline is None:
+            baseline = ms
+        results.append((combo, ms))
+        print(f'{combo:>12}: {ms:8.1f} ms   ({baseline / ms:.2f}x vs '
+              f'{combos.split(",")[0]})', flush=True)
+
+    # cross-check: all variants must produce identical results
+    ref = np.asarray(current_pallas(*args, variant='rows', **kw))
+    for combo, _ in results[1:]:
+        variant, grp = combo.split(':')
+        got = np.asarray(current_pallas(*args, variant=variant,
+                                        pix_grp=int(grp), **kw))
+        same = np.array_equal(ref, got)
+        print(f'{combo:>12}: identical to rows:4 -> {same}')
+        assert same, f'{combo} output differs from rows:4'
+
+
+if __name__ == '__main__':
+    main()

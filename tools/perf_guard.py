@@ -11,8 +11,9 @@ shapes — making kernel regressions visible through the +-30-100% host
 wall-clock noise that bench.py's end-to-end number carries.
 
 Usage:  LARNDSIM_ASSETS=/root/reference/larndsim python tools/perf_guard.py
-        (CPU smoke: JAX_PLATFORMS=cpu ... python tools/perf_guard.py --reps 1)
 Do not run while a benchmark is in flight — results share the TPU.
+(On CPU the Pallas op falls back to interpret mode, which is far too slow
+at these shapes — TPU only.)
 """
 from __future__ import annotations
 
@@ -55,11 +56,9 @@ def timed(fn, *args, reps=3, **kw):
     return best * 1e3
 
 
-def main():
-    reps = 3
-    if '--reps' in sys.argv:
-        reps = int(sys.argv[sys.argv.index('--reps') + 1])
-
+def build_workload():
+    """Stage the bench's grouped charge workload (4 events, ~930 seg each)
+    exactly like simulate_charge_batch; shared with tools/kernel_lab.py."""
     import jax
     import jax.numpy as jnp
 
@@ -67,9 +66,8 @@ def main():
     from larndsim_tpu.assets.make_input import write_input
     from larndsim_tpu.assets.response import make_response
     from larndsim_tpu.models import charge as mc
-    from larndsim_tpu.ops import accumulate, fee, pixelize
-    from larndsim_tpu.ops.current_pallas import (current_pallas,
-                                                 host_shift_band)
+    from larndsim_tpu.ops import pixelize
+    from larndsim_tpu.ops.current_pallas import host_shift_band
     from larndsim_tpu.ops.drift import drift
     from larndsim_tpu.ops.quench import quench
     from larndsim_tpu import segments as seg_mod
@@ -144,6 +142,31 @@ def main():
                   n_unique_cap=n_unique_cap, max_nb=max_nb,
                   max_adc=sim.max_adc_values,
                   max_tracks=sim.max_tracks_per_pixel)
+    return dict(det=det, sim=sim, response=response, segs=segs,
+                seg_np=seg_np, px=px, py=py, pix_valid=pix_valid, key=key,
+                band=band, shapes=shapes, n_steps=n_steps, t_sig=t_sig,
+                n_unique_cap=n_unique_cap, pix_idx=pix_idx, slot=slot,
+                track_starts=track_starts)
+
+
+def main():
+    reps = 3
+    if '--reps' in sys.argv:
+        reps = int(sys.argv[sys.argv.index('--reps') + 1])
+
+    import jax
+    import jax.numpy as jnp
+
+    from larndsim_tpu.ops import accumulate, fee
+    from larndsim_tpu.ops.current_pallas import current_pallas
+
+    w = build_workload()
+    det, sim, response, segs = w['det'], w['sim'], w['response'], w['segs']
+    px, py, pix_valid, key = w['px'], w['py'], w['pix_valid'], w['key']
+    band, shapes = w['band'], w['shapes']
+    n_steps, t_sig, n_unique_cap = (w['n_steps'], w['t_sig'],
+                                    w['n_unique_cap'])
+    pix_idx, slot, track_starts = w['pix_idx'], w['slot'], w['track_starts']
     ops = {}
 
     ops['current_pallas'] = timed(
