@@ -446,9 +446,11 @@ def run_simulation(input_filename: str,
             truth = fut.result()
             with trace.phase('truth/stamp'):
                 if isinstance(truth, np.ndarray):
-                    # worker assembled TRUTH_DTYPE records; stamp the ids
-                    truth['event_id'] = ievd_t
-                    truth['trigger_id'] += trig_t
+                    # worker assembled TRUTH_DTYPE records with event_id
+                    # already threaded in (free during the cache-resident
+                    # per-channel fill); only the running trigger offset
+                    # is unknown at assembly-submission time
+                    truth['trigger_id'] = trig_t
                 else:
                     truth = export.truth_sparse_to_records(truth, ievd_t,
                                                            trig_t)
@@ -676,7 +678,8 @@ def run_simulation(input_filename: str,
                             inc_batch, vox_batch, lut_c, light_noise,
                             key_l, i_subbatch=i_sub,
                             op_channel=op_channel_sim, t0_det=t0_batch,
-                            truth_executor=truth_executor)
+                            truth_executor=truth_executor,
+                            event_id=int(ievd_l))
                     light_payloads.append((int(ievd_l), lres))
 
             with trace.phase('charge_batch'):

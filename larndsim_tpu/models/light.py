@@ -487,7 +487,8 @@ def _host_smeared_truth_sparse(ids_dev, contrib_dev, t0_dev, vox_dev,
                                pad_back: int, start_time: float,
                                _force_slow: bool = False,
                                as_records: bool = False,
-                               staged: bool = False):
+                               staged: bool = False,
+                               event_id: int = 0):
     """Smeared-truth records recomputed on the host worker thread.
 
     Only (C, K)-sized contributor metadata crosses the device->host link
@@ -568,7 +569,7 @@ def _host_smeared_truth_sparse(ids_dev, contrib_dev, t0_dev, vox_dev,
         _mark('gemm')
         return _emit_truth(res, rows, ids, op_channel, C, K, threshold,
                            as_records, digit_samples, _mark, prof_t,
-                           keep_override=keep_st)
+                           keep_override=keep_st, event_id=event_id)
 
     T = _transfer_table_host(light, conv_ticks, n_ticks, digit_samples,
                              pad_front, n_ticks + pad_front + pad_back)
@@ -619,11 +620,13 @@ def _host_smeared_truth_sparse(ids_dev, contrib_dev, t0_dev, vox_dev,
             i = jend
     _mark('gemm')
     return _emit_truth(res, rows, ids, op_channel, C, K, threshold,
-                       as_records, digit_samples, _mark, prof_t)
+                       as_records, digit_samples, _mark, prof_t,
+                       event_id=event_id)
 
 
 def _emit_truth(res, rows, ids, op_channel, C, K, threshold, as_records,
-                digit_samples, _mark, prof_t, keep_override=None):
+                digit_samples, _mark, prof_t, keep_override=None,
+                event_id: int = 0):
     """Zero-suppress (rows, S) truth values into records/dict output.
 
     Record order is (channel, tick, contributor) major — no lexsort:
@@ -661,7 +664,7 @@ def _emit_truth(res, rows, ids, op_channel, C, K, threshold, as_records,
             view['trigger_id'] = 0
             view['op_channel_id'] = op_channel[c]
             view['tick'] = s_i
-            view['event_id'] = 0
+            view['event_id'] = event_id
             view['segment_id'] = ids[c, rows_k[i0:i1][k_i]]
             view['pe_current'] = sub_t[s_i, k_i]
         _mark('records')
@@ -791,7 +794,8 @@ def simulate_light_batch(segs: Segments, det_model: DetectorModel,
                          op_channel: np.ndarray | None = None,
                          t0_det=None, max_ticks: int = 50_000,
                          add_noise: bool = True,
-                         truth_executor=None) -> LightBatchResult:
+                         truth_executor=None,
+                         event_id: int = 0) -> LightBatchResult:
     """Run the light chain for one batch.
 
     Args:
@@ -953,7 +957,7 @@ def simulate_light_batch(segs: Segments, det_model: DetectorModel,
         if truth_executor is not None:
             truth_future = truth_executor.submit(
                 _worker_smeared_truth, *smear_args, as_records=True,
-                staged=sim.ref_exact_truth_staging)
+                staged=sim.ref_exact_truth_staging, event_id=event_id)
         else:
             truth_sparse = _host_smeared_truth_sparse(
                 *smear_args, staged=sim.ref_exact_truth_staging)
@@ -1092,7 +1096,8 @@ def simulate_light_group(segs_g: Segments, det_model: DetectorModel,
             if truth_executor is not None:
                 truth_future = truth_executor.submit(
                     _worker_smeared_truth, *args, as_records=True,
-                    staged=sim.ref_exact_truth_staging)
+                    staged=sim.ref_exact_truth_staging,
+                    event_id=int(np.asarray(event_ids)[g]))
             else:
                 truth_sparse = _host_smeared_truth_sparse(
                     *args, staged=sim.ref_exact_truth_staging)
