@@ -101,8 +101,10 @@ def main():
         'metric': f'sec/spill (2x2 charge+light, synthetic LUTs{occ_tag})',
         'value': round(sec_per_spill, 4),
         'unit': 's',
-        'vs_baseline': round(NOMINAL_BASELINE_SEC_PER_SPILL
-                             / sec_per_spill, 3),
+        # the 24.9 s/spill reference floor is established at 1x occupancy;
+        # at other occupancies the ratio would compare different workloads
+        'vs_baseline': (round(NOMINAL_BASELINE_SEC_PER_SPILL
+                              / sec_per_spill, 3) if occ == 1 else None),
         'detail': {
             'n_spills': n_bench_ev,
             'n_segments': int(n_seg),

@@ -152,6 +152,37 @@ def phase_split_response(response: np.ndarray, ratio: int) -> np.ndarray:
     return np.concatenate([split, np.zeros((1, ntp), response.dtype)])
 
 
+def _make_row_of(xs_ref, ys_ref, phase_ref, bin_size, nx_r, ny_r, ratio):
+    """Scalar response-row index for a (pixel center, sample point) pair.
+
+    Branchless: out-of-LUT-range points route to the appended all-zero
+    response row — the straight-line body pipelines better on the scalar
+    core than a cond skip.  Shared by both kernel formulations so the
+    physics-critical LUT index math has exactly one definition.
+    """
+    max_x = bin_size * nx_r
+    max_y = bin_size * ny_r
+    inv_bin = 1.0 / bin_size  # scalar-core divides are slow
+    zero_row = nx_r * ny_r * ratio  # trailing all-zero response row
+
+    def row_of(s, istep, pxv, pyv):
+        x_dist = jnp.minimum(jnp.abs(pxv - xs_ref[s, istep]),
+                             max_x + bin_size)
+        y_dist = jnp.minimum(jnp.abs(pyv - ys_ref[s, istep]),
+                             max_y + bin_size)
+        i_idx = jnp.round(x_dist * inv_bin - 0.5).astype(jnp.int32)
+        j_idx = jnp.round(y_dist * inv_bin - 0.5).astype(jnp.int32)
+        ok = ((x_dist <= max_x) & (y_dist <= max_y)
+              & (i_idx >= 0) & (i_idx < nx_r)
+              & (j_idx >= 0) & (j_idx < ny_r))
+        i_c = jnp.clip(i_idx, 0, nx_r - 1)
+        j_c = jnp.clip(j_idx, 0, ny_r - 1)
+        return jnp.where(ok, (i_c * ny_r + j_c) * ratio
+                         + phase_ref[s, istep], zero_row)
+
+    return row_of
+
+
 def _current_kernel(xs_ref, ys_ref, shift_ref, phase_ref, px_ref, py_ref,
                     nstep_ref, npix_ref, lo_ref, hi_ref, resp_hbm, out_ref,
                     slab, sem, *, t_blk, slab_w, k0, s_blk, bin_size, nx_r,
@@ -173,12 +204,8 @@ def _current_kernel(xs_ref, ys_ref, shift_ref, phase_ref, px_ref, py_ref,
     dma.start()
     dma.wait()
     out_ref[...] = jnp.zeros_like(out_ref)
-
-    max_x = bin_size * nx_r
-    max_y = bin_size * ny_r
-    inv_bin = 1.0 / bin_size  # scalar-core divides are slow
-    zero_row = nx_r * ny_r * ratio  # trailing all-zero response row
-
+    row_of = _make_row_of(xs_ref, ys_ref, phase_ref, bin_size, nx_r, ny_r,
+                          ratio)
     w_win = t_blk + 128
 
     def seg_body(s, _):
@@ -201,24 +228,6 @@ def _current_kernel(xs_ref, ys_ref, shift_ref, phase_ref, px_ref, py_ref,
                      for i in range(pix_grp)]
             centers = [(px_ref[s, pi], py_ref[s, pi]) for pi in p_ids]
 
-            def row_of(pxv, pyv, istep):
-                # branchless: out-of-LUT-range points read the appended
-                # all-zero response row — the straight-line body
-                # pipelines better on the scalar core than a cond skip
-                x_dist = jnp.minimum(jnp.abs(pxv - xs_ref[s, istep]),
-                                     max_x + bin_size)
-                y_dist = jnp.minimum(jnp.abs(pyv - ys_ref[s, istep]),
-                                     max_y + bin_size)
-                i_idx = jnp.round(x_dist * inv_bin - 0.5).astype(jnp.int32)
-                j_idx = jnp.round(y_dist * inv_bin - 0.5).astype(jnp.int32)
-                ok = ((x_dist <= max_x) & (y_dist <= max_y)
-                      & (i_idx >= 0) & (i_idx < nx_r)
-                      & (j_idx >= 0) & (j_idx < ny_r))
-                i_c = jnp.clip(i_idx, 0, nx_r - 1)
-                j_c = jnp.clip(j_idx, 0, ny_r - 1)
-                return jnp.where(ok, (i_c * ny_r + j_c) * ratio
-                                 + phase_ref[s, istep], zero_row)
-
             def step_body(istep, acc):
                 off = k0 - shift_ref[s, istep]
                 # lane offsets of dynamic VMEM slices must be 128-aligned:
@@ -226,7 +235,7 @@ def _current_kernel(xs_ref, ys_ref, shift_ref, phase_ref, px_ref, py_ref,
                 off_base = (off // 128) * 128
                 rem = off - off_base
                 al = pl.multiple_of(off_base, 128)
-                ws = [slab[pl.ds(row_of(pxv, pyv, istep), 1),
+                ws = [slab[pl.ds(row_of(s, istep, pxv, pyv), 1),
                            pl.ds(al, w_win)]
                       for pxv, pyv in centers]
                 window = jnp.concatenate(ws, axis=0)     # (pix_grp, w_win)
@@ -274,12 +283,8 @@ def _current_kernel_folded(xs_ref, ys_ref, shift_ref, phase_ref, px_ref,
     dma.start()
     dma.wait()
     out_ref[...] = jnp.zeros_like(out_ref)
-
-    max_x = bin_size * nx_r
-    max_y = bin_size * ny_r
-    inv_bin = 1.0 / bin_size  # scalar-core divides are slow
-    zero_row = nx_r * ny_r * ratio  # trailing all-zero response row
-
+    row_of = _make_row_of(xs_ref, ys_ref, phase_ref, bin_size, nx_r, ny_r,
+                          ratio)
     lane_shape = ((n_q - 1, pix_grp, 128) if transposed
                   else (pix_grp, n_q - 1, 128))
     lane = jax.lax.broadcasted_iota(jnp.int32, lane_shape, 2)
@@ -298,28 +303,11 @@ def _current_kernel_folded(xs_ref, ys_ref, shift_ref, phase_ref, px_ref,
                      for i in range(pix_grp)]
             centers = [(px_ref[s, pi], py_ref[s, pi]) for pi in p_ids]
 
-            def row_of(pxv, pyv, istep):
-                # branchless: out-of-LUT-range points read the appended
-                # all-zero response row (see the rows variant)
-                x_dist = jnp.minimum(jnp.abs(pxv - xs_ref[s, istep]),
-                                     max_x + bin_size)
-                y_dist = jnp.minimum(jnp.abs(pyv - ys_ref[s, istep]),
-                                     max_y + bin_size)
-                i_idx = jnp.round(x_dist * inv_bin - 0.5).astype(jnp.int32)
-                j_idx = jnp.round(y_dist * inv_bin - 0.5).astype(jnp.int32)
-                ok = ((x_dist <= max_x) & (y_dist <= max_y)
-                      & (i_idx >= 0) & (i_idx < nx_r)
-                      & (j_idx >= 0) & (j_idx < ny_r))
-                i_c = jnp.clip(i_idx, 0, nx_r - 1)
-                j_c = jnp.clip(j_idx, 0, ny_r - 1)
-                return jnp.where(ok, (i_c * ny_r + j_c) * ratio
-                                 + phase_ref[s, istep], zero_row)
-
             def step_body(istep, acc):
                 off = k0 - shift_ref[s, istep]
                 q0 = off // 128
                 rem = off - q0 * 128
-                ws = [slab[pl.ds(row_of(pxv, pyv, istep), 1),
+                ws = [slab[pl.ds(row_of(s, istep, pxv, pyv), 1),
                            pl.ds(q0, n_q), :]
                       for pxv, pyv in centers]
                 # flat col off + t at t = 128q + l reads (q0 + q + carry,
@@ -512,6 +500,10 @@ def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
             'LARNDSIM_PALLAS_PIXGRP',
             '8' if variant.startswith('folded') else '4'))
     assert variant in ('rows', 'folded', 'foldedT'), variant
+    if variant.startswith('folded'):
+        if t_blk is not None and t_blk % 128:
+            raise ValueError(
+                f'folded variants need t_blk % 128 == 0, got {t_blk}')
     # Mosaic kernels only compile for TPU; on CPU (tests, tools' smoke
     # modes) fall through to the interpreter instead of erroring
     if not interpret and jax.default_backend() != 'tpu':

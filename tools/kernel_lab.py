@@ -53,9 +53,10 @@ def main():
         print(f'{combo:>12}: {ms:8.1f} ms   ({baseline / ms:.2f}x vs '
               f'{combos.split(",")[0]})', flush=True)
 
-    # cross-check: all variants must produce identical results
-    ref = np.asarray(current_pallas(*args, variant='rows', **kw))
-    for combo, _ in results[1:]:
+    # cross-check: every timed combo must match an independently computed
+    # rows:4 reference bit-for-bit
+    ref = np.asarray(current_pallas(*args, variant='rows', pix_grp=4, **kw))
+    for combo, _ in results:
         variant, grp = combo.split(':')
         got = np.asarray(current_pallas(*args, variant=variant,
                                         pix_grp=int(grp), **kw))
