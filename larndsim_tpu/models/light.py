@@ -624,6 +624,65 @@ def _host_smeared_truth_sparse(ids_dev, contrib_dev, t0_dev, vox_dev,
                        event_id=event_id)
 
 
+_TRUTH_EMIT_LIB = None
+
+
+def _truth_emit_lib():
+    """ctypes handle to native/truth_emit.cpp (None: use numpy fallback)."""
+    global _TRUTH_EMIT_LIB
+    if _TRUTH_EMIT_LIB is None:
+        import ctypes
+        from ..io.export import TRUTH_DTYPE
+        from ..native import load_library
+        lib = load_library('truth_emit')
+        # the C emitter hard-codes the packed 32-byte record layout
+        expected = {'trigger_id': 0, 'op_channel_id': 4, 'tick': 8,
+                    'event_id': 12, 'segment_id': 16, 'pe_current': 24}
+        if TRUTH_DTYPE.itemsize != 32 or any(
+                TRUTH_DTYPE.fields[k][1] != v for k, v in expected.items()):
+            lib = None
+        if lib is not None:
+            i64, i32, f64 = (ctypes.c_int64, ctypes.c_int32,
+                             ctypes.c_double)
+            lib.truth_count.restype = i64
+            lib.truth_count.argtypes = [ctypes.c_void_p, i64, i64, f64]
+            lib.truth_emit.restype = None
+            lib.truth_emit.argtypes = [ctypes.c_void_p] * 5 \
+                + [i64, i64, i64, f64, i32, ctypes.c_void_p]
+        _TRUTH_EMIT_LIB = (lib,)
+    return _TRUTH_EMIT_LIB[0]
+
+
+def _emit_truth_native(res, rows_k, c_starts, op_channel, ids, C, K,
+                       digit_samples, threshold, event_id):
+    """One-pass fused threshold+emit via native/truth_emit.cpp.
+
+    Replaces the per-channel transpose + nonzero + per-field strided
+    stores of the numpy path (~6 passes over the ~270 MB record block per
+    event) with a count pass and one sequential record-writing pass; the
+    ctypes call releases the GIL, so --truth_workers N assemblies overlap.
+    Returns None when the toolchain is unavailable (numpy path runs).
+    """
+    lib = _truth_emit_lib()
+    if lib is None or rows_k.size == 0:
+        return None
+    res_c = np.ascontiguousarray(res, np.float32)
+    rows_k = np.ascontiguousarray(rows_k, np.int32)
+    c_starts = np.ascontiguousarray(c_starts, np.int64)
+    op_c = np.ascontiguousarray(op_channel, np.int32)
+    ids_c = np.ascontiguousarray(ids, np.int64)
+    total = lib.truth_count(res_c.ctypes.data, res_c.shape[0],
+                            digit_samples, float(threshold))
+    out_rec = _rec_take(int(total))
+    if total:
+        lib.truth_emit(res_c.ctypes.data, rows_k.ctypes.data,
+                       c_starts.ctypes.data, op_c.ctypes.data,
+                       ids_c.ctypes.data, C, K, digit_samples,
+                       float(threshold), int(event_id),
+                       out_rec.ctypes.data)
+    return out_rec
+
+
 def _emit_truth(res, rows, ids, op_channel, C, K, threshold, as_records,
                 digit_samples, _mark, prof_t, keep_override=None,
                 event_id: int = 0):
@@ -637,6 +696,17 @@ def _emit_truth(res, rows, ids, op_channel, C, K, threshold, as_records,
     if as_records:
         rows_k = (rows % K).astype(np.int32)
         c_starts = np.searchsorted(rows // K, np.arange(C + 1))
+        if keep_override is None:
+            native = _emit_truth_native(res, rows_k, c_starts, op_channel,
+                                        ids, C, K, digit_samples, threshold,
+                                        event_id)
+            if native is not None:
+                _mark('records')
+                if prof_t is not None:
+                    print('truth_prof:',
+                          {k: round(v, 3) for k, v in prof_t.items()},
+                          flush=True)
+                return native
         # count-then-fill: one preallocated record array (production volume
         # is ~10M rows/spill; concatenating per-channel parts was a second
         # full copy of the ~300 MB record block)

@@ -309,3 +309,40 @@ class TestKernelCacheKeys:
         l2 = dataclasses.replace(l1, light_simulated=False)
         light_params.adopt_host_scalars(l2, l1)
         assert light_params.host_scalars(l2) is base
+
+
+class TestNativeEmit:
+    """native/truth_emit.cpp vs the numpy emission path: identical records."""
+
+    def _emit_both(self, threshold, event_id=11, seed=7):
+        from larndsim_tpu.models import light as lm
+        if lm._truth_emit_lib() is None:
+            pytest.skip('no native toolchain')
+        rng = np.random.default_rng(seed)
+        C, K, S = 5, 7, 64
+        rows = np.sort(rng.choice(C * K, size=17, replace=False))
+        res = rng.normal(0, 1, (rows.size, S)).astype(np.float32)
+        res[np.abs(res) < 0.3] *= 1e-3          # sub-threshold mix
+        res[0, :4] = np.float32(threshold)       # exact-boundary values
+        ids = rng.integers(0, 10 ** 6, (C, K)).astype(np.int64)
+        op = (np.arange(C) * 3).astype(np.int64)
+        args = (res, rows, ids, op, C, K, threshold, True, S,
+                lambda n: None, None)
+        nat = lm._emit_truth(*args, event_id=event_id)
+        orig = lm._TRUTH_EMIT_LIB
+        lm._TRUTH_EMIT_LIB = (None,)            # force the numpy path
+        try:
+            ref = lm._emit_truth(*args, event_id=event_id)
+        finally:
+            lm._TRUTH_EMIT_LIB = orig
+        return nat, ref
+
+    def test_records_identical(self):
+        nat, ref = self._emit_both(threshold=0.5)
+        assert len(nat) == len(ref) > 0
+        for f in nat.dtype.names:
+            np.testing.assert_array_equal(nat[f], ref[f], err_msg=f)
+
+    def test_all_suppressed(self):
+        nat, ref = self._emit_both(threshold=1e9)
+        assert len(nat) == len(ref) == 0
