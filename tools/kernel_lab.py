@@ -38,6 +38,8 @@ def main():
     kw = dict(n_steps=w['n_steps'], t_sig=w['t_sig'], mc_smear=True,
               shift_band=w['band'],
               min_step=float(w['sim'].min_step_size))
+    if '--t_blk' in sys.argv:
+        kw['t_blk'] = int(sys.argv[sys.argv.index('--t_blk') + 1])
     args = (w['segs'], w['px'], w['py'], w['pix_valid'], w['response'],
             w['det'], w['key'])
 
