@@ -698,3 +698,140 @@ class TestExportGolden:
         # event-boundary packets (2 io groups x 3 events) carry floor(t0_s)
         # = {0, 2, 2}; tick-group packets carry the adjusted row-0 payload
         assert set(ts['timestamp']) <= {0, 2}
+
+
+# ---------------------------------------------------------------------------
+# light incidence golden (lightLUT.py:16-139)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope='module')
+def ref_light(ref):
+    import larndsim.consts.light as light
+    light.set_light_properties(DETPROP)
+    import larndsim.lightLUT as lightLUT
+    return SimpleNamespace(light=light, lightLUT=lightLUT)
+
+
+class TestLightIncidenceGolden:
+    """Runs the reference's lightLUT.calculate_light_incidence (via the
+    CUDASIM shim) against ops/light.calculate_light_incidence on the same
+    drifted tracks and the same synthetic structured LUT."""
+
+    def test_incidence(self, ref, ref_light, det_model, ref_drifted,
+                       my_drifted):
+        from larndsim_tpu.assets.light_lut import make_light_lut
+        from larndsim_tpu.ops import light as light_ops
+        from larndsim_tpu.params import load_light
+
+        rl = ref_light.light
+        n_op = int(rl.N_OP_CHANNEL)
+        n_tpc = int(np.asarray(ref.det.TPC_BORDERS).shape[0])
+        lut = make_light_lut(vox_div=(14, 26, 8), n_det_tpc=n_op // n_tpc)
+
+        n = len(ref_drifted)
+        inc = np.zeros((n, n_op), dtype=[('segment_id', 'u4'),
+                                         ('n_photons_det', 'f4'),
+                                         ('t0_det', 'f4')])
+        voxel = np.zeros((n, 3), 'i4')
+        ref_light.lightLUT.calculate_light_incidence[1, n](
+            ref_drifted, lut, inc, voxel)
+
+        my_light = load_light(DETPROP, asset_root='/root/reference')
+        lutw = light_ops.LightLUT.from_structured(lut)
+        n_ph, t0_det, vox = light_ops.calculate_light_incidence(
+            my_drifted, det_model.params, my_light, lutw.vis, lutw.t0,
+            n_channels=n_op)
+        n_ph, t0_det, vox = (np.asarray(n_ph), np.asarray(t0_det),
+                             np.asarray(vox))
+
+        np.testing.assert_array_equal(vox, voxel)
+        scale = np.abs(inc['n_photons_det']).max()
+        assert scale > 0, 'test must land photons on channels'
+        np.testing.assert_allclose(n_ph / scale,
+                                   inc['n_photons_det'] / scale,
+                                   atol=2e-6)
+        if int(rl.LIGHT_TRIG_MODE) == 0:
+            # earliest-arrival time, only meaningful on visible channels
+            seen = inc['n_photons_det'] > 0
+            np.testing.assert_allclose(t0_det[seen], inc['t0_det'][seen],
+                                       rtol=2e-6, atol=1e-5)
+
+
+class TestSumLightSignalsGolden:
+    """light_sim.sum_light_signals (light_sim.py:59-129) vs
+    ops/light.sum_light_signals: photon time series per channel, both LUT
+    time-smearing modes.  (Truth slots are compared elsewhere: this
+    framework backtracks light truth through the contributor path, not
+    per-tick slot tensors.)"""
+
+    @pytest.fixture(scope='class')
+    def staged(self, ref, ref_light, det_model):
+        # t0 away from tick-boundary multiples: the reference compares
+        # profile arrival times against tick edges with strict < / > in
+        # f64; a boundary-exact t0 would let f32-vs-f64 crumbs flip bins
+        tr = make_tracks(ref.det.TPC_BORDERS, n=6, seed=23)
+        tr['t0'] = tr['t0_start'] = tr['t0_end'] = 1.0037
+        n = len(tr)
+        ref.quenching.quench[1, n](tr, ref.phys.BOX)
+        ref.drifting.drift[1, n](tr)
+
+        segs = to_segments(tr)
+        segs = quench(segs, det_model.params, physics.BOX)
+        segs = drift(segs, det_model.params)
+
+        from larndsim_tpu.assets.light_lut import make_light_lut
+        rl = ref_light.light
+        n_op = int(rl.N_OP_CHANNEL)
+        n_tpc = int(np.asarray(ref.det.TPC_BORDERS).shape[0])
+        lut = make_light_lut(vox_div=(14, 26, 8), n_det_tpc=n_op // n_tpc)
+
+        inc = np.zeros((n, n_op), dtype=[('segment_id', 'u4'),
+                                         ('n_photons_det', 'f4'),
+                                         ('t0_det', 'f4')])
+        voxel = np.zeros((n, 3), 'i4')
+        ref_light.lightLUT.calculate_light_incidence[1, n](
+            tr, lut, inc, voxel)
+        # channels from both TPCs
+        op_sel = np.concatenate([np.arange(4), n_op // 2 + np.arange(4)])
+        return tr, segs, lut, inc, voxel, op_sel
+
+    @pytest.mark.parametrize('smearing', [True, False])
+    def test_series(self, ref, ref_light, staged, smearing):
+        from larndsim_tpu.ops import light as light_ops
+        from larndsim_tpu.params import load_light
+
+        tr, segs, lut, inc, voxel, op_sel = staged
+        rl = ref_light.light
+        ndet = len(op_sel)
+        n = len(tr)
+        n_ticks = 256
+        start_time = 1.0
+        maxtracks = 5
+
+        series = np.zeros((ndet, n_ticks), 'f4')
+        true_ids = np.full((ndet, n_ticks, maxtracks), -1, 'i8')
+        true_ph = np.zeros((ndet, n_ticks, maxtracks), 'f4')
+        sorted_idx = np.tile(np.arange(n), (ndet, 1))
+        old = rl.ENABLE_LUT_SMEARING
+        rl.ENABLE_LUT_SMEARING = smearing
+        try:
+            import larndsim.light_sim as ref_ls
+            ref_ls.sum_light_signals[(ndet, n_ticks), (1, 1)](
+                tr, voxel, tr['segment_id'], inc, op_sel, lut,
+                start_time, series, true_ids, true_ph, sorted_idx,
+                lut['time_dist'].shape[-1])
+        finally:
+            rl.ENABLE_LUT_SMEARING = old
+
+        my_light = load_light(DETPROP, asset_root='/root/reference')
+        lutw = light_ops.LightLUT.from_structured(lut)
+        mine = np.asarray(light_ops.sum_light_signals(
+            segs, jnp.asarray(voxel),
+            jnp.asarray(inc['n_photons_det'][:, op_sel]),
+            jnp.asarray(op_sel), lutw.time_dist, lutw.t0_avg,
+            jnp.float32(start_time), my_light, n_ticks=n_ticks,
+            lut_smearing=smearing))
+
+        scale = np.abs(series).max()
+        assert scale > 0, 'test must produce a nonzero series'
+        np.testing.assert_allclose(mine / scale, series / scale, atol=3e-6)
