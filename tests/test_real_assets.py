@@ -121,3 +121,57 @@ class TestEndToEndWithRealFormatAssets:
             data = pk[pk['packet_type'] == 0]
             assert len(data) > 0
             assert 'light_wvfm' in f
+
+
+class TestGainsMemlogNEvents:
+    """CLI flags not covered elsewhere: pixel_gains_file (CudaDict-format
+    npz -> PixelLUT -> digitize), save_memory (HDF5 memory log), and
+    n_events (event subsetting)."""
+
+    def test_run(self, tmp_path):
+        det_model = load_detector(DETPROP, PIXEL)
+        in_file = str(tmp_path / 'input.h5')
+        write_input(in_file, det_model.tpc_borders, n_events=2,
+                    tracks_per_event=2, segments_per_track=8, dEdx=18.0,
+                    seed=5)
+        common = dict(config='module0',
+                      detector_properties=DETPROP, pixel_layout=PIXEL,
+                      simulation_properties=SIMPROP,
+                      response_file='__missing__.npy',
+                      light_simulated=False,
+                      rand_seed=7, step_scale=16.0, n_events=1)
+
+        base_out = str(tmp_path / 'base.h5')
+        run_simulation(in_file, base_out, **common)
+
+        # half-gain lookup: empty-ish key set, everything hits the default
+        gain = float(det_model.params.gain)
+        gains_path = str(tmp_path / 'gains.npz')
+        np.savez_compressed(gains_path, keys=np.array([0, 1], np.int64),
+                            values=np.array([gain, gain]),
+                            default=np.array([gain * 0.5]))
+        mem_path = str(tmp_path / 'memlog.h5')
+        out_file = str(tmp_path / 'gains.h5')
+        run_simulation(in_file, out_file, pixel_gains_file=gains_path,
+                       save_memory=mem_path, **common)
+
+        with h5py.File(base_out) as f:
+            base_pk = np.array(f['packets'])
+            base_seg = np.array(f['segments'])
+        with h5py.File(out_file) as f:
+            pk = np.array(f['packets'])
+            seg = np.array(f['segments'])
+
+        # n_events subsetting: only the first event's segments are written
+        assert len(np.unique(base_seg['event_id'])) == 1
+        assert len(np.unique(seg['event_id'])) == 1
+
+        # halved gain halves the voltage over pedestal -> lower ADC words
+        base_adc = base_pk[base_pk['packet_type'] == 0]['dataword']
+        adc = pk[pk['packet_type'] == 0]['dataword']
+        assert len(base_adc) > 0 and len(adc) > 0
+        assert adc.mean() < base_adc.mean()
+
+        # memory log stored as HDF5 with per-phase snapshots
+        with h5py.File(mem_path) as f:
+            assert len(f.keys()) > 0
