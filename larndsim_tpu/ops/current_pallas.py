@@ -240,7 +240,7 @@ def _current_kernel(xs_ref, ys_ref, shift_ref, phase_ref, px_ref, py_ref,
                       for pxv, pyv in centers]
                 window = jnp.concatenate(ws, axis=0)     # (pix_grp, w_win)
                 rolled = pltpu.roll(window, w_win - rem, axis=1)
-                return acc + rolled[:, :t_blk]
+                return acc + rolled[:, :t_blk].astype(jnp.float32)
 
             acc = jax.lax.fori_loop(
                 0, ns, step_body, jnp.zeros((pix_grp, t_blk), jnp.float32))
@@ -323,7 +323,7 @@ def _current_kernel_folded(xs_ref, ys_ref, shift_ref, phase_ref, px_ref,
                     a = pltpu.roll(window, 128 - rem, axis=2)
                     res = jnp.where(lane < 128 - rem,
                                     a[:, :n_q - 1, :], a[:, 1:, :])
-                return acc + res
+                return acc + res.astype(jnp.float32)
 
             acc = jax.lax.fori_loop(
                 0, ns, step_body, jnp.zeros(lane_shape, jnp.float32))
@@ -342,11 +342,12 @@ def _current_kernel_folded(xs_ref, ys_ref, shift_ref, phase_ref, px_ref,
 _RESP_CACHE: dict = {}
 
 
-def _padded_response(response, ratio: int, K0: int, total_cols: int):
+def _padded_response(response, ratio: int, K0: int, total_cols: int,
+                     slab_dtype: str = 'f32'):
     """Padded response columns on device, cached per (LUT, layout)."""
     resp_np = np.asarray(response)
     key = (resp_np.__array_interface__['data'][0], resp_np.shape,
-           ratio, K0, total_cols)
+           ratio, K0, total_cols, slab_dtype)
     hit = _RESP_CACHE.get(key)
     if hit is not None:
         # entries pin their source array (hit[0]) so its address can't be
@@ -368,6 +369,8 @@ def _padded_response(response, ratio: int, K0: int, total_cols: int):
     if hi > lo:
         padded[:, lo:hi] = resp_phase[:, lo - K0:hi - K0]
     dev = jnp.asarray(padded)
+    if slab_dtype == 'bf16':
+        dev = dev.astype(jnp.bfloat16)
     if len(_RESP_CACHE) > 8:
         _RESP_CACHE.clear()
     _RESP_CACHE[key] = (resp_np, dev)
@@ -377,7 +380,7 @@ def _padded_response(response, ratio: int, K0: int, total_cols: int):
 @functools.lru_cache(maxsize=64)
 def _kernel_fn(s_pad, P, t_sig_p, n_steps_p, s_blk, t_blk,
                slab_w, k0, bin_size, nx_r, ny_r, ratio, n_rows, ntp,
-               interpret, variant='rows', pix_grp=4):
+               interpret, variant='rows', pix_grp=4, slab_dtype='f32'):
     """Jitted pallas_call, cached on the static configuration."""
     grid = (s_pad // s_blk, t_sig_p // t_blk)
     folded = variant.startswith('folded')
@@ -403,12 +406,16 @@ def _kernel_fn(s_pad, P, t_sig_p, n_steps_p, s_blk, t_blk,
                                  memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct(
             (s_pad, P, t_sig_p // 128, 128), jnp.float32)
-        slab_shape = pltpu.VMEM((n_rows, slab_w // 128, 128), jnp.float32)
+        slab_shape = pltpu.VMEM(
+            (n_rows, slab_w // 128, 128),
+            jnp.bfloat16 if slab_dtype == 'bf16' else jnp.float32)
     else:
         out_specs = pl.BlockSpec((s_blk, P, t_blk), lambda i, j: (i, 0, j),
                                  memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((s_pad, P, t_sig_p), jnp.float32)
-        slab_shape = pltpu.VMEM((n_rows, slab_w), jnp.float32)
+        slab_shape = pltpu.VMEM(
+            (n_rows, slab_w),
+            jnp.bfloat16 if slab_dtype == 'bf16' else jnp.float32)
     call = pl.pallas_call(
         kernel,
         grid=grid,
@@ -479,7 +486,8 @@ def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
                    shift_band: tuple[int, int] | None = None,
                    min_step: float = 0.001,
                    variant: str | None = None,
-                   pix_grp: int | None = None) -> jnp.ndarray:
+                   pix_grp: int | None = None,
+                   slab_dtype: str | None = None) -> jnp.ndarray:
     """Induced current per (segment, pixel, tick) — Pallas TPU backend.
 
     Same contract as ops.current.current; `response` is the raw
@@ -487,10 +495,15 @@ def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
     (from :func:`host_shift_band`) to avoid the per-batch device sync.
 
     ``variant`` selects the kernel inner-loop formulation ('rows' |
-    'folded', default from $LARNDSIM_PALLAS_VARIANT) and ``pix_grp`` the
-    pixel group width (default from $LARNDSIM_PALLAS_PIXGRP); both
-    variants produce identical results — the knobs exist for per-platform
-    tuning (see BENCHMARKS.md).
+    'folded' | 'foldedT', default from $LARNDSIM_PALLAS_VARIANT) and
+    ``pix_grp`` the pixel group width (default from
+    $LARNDSIM_PALLAS_PIXGRP); all variants produce identical results —
+    the knobs exist for per-platform tuning (see BENCHMARKS.md).
+    ``slab_dtype`` ('f32' default, or 'bf16' via
+    $LARNDSIM_PALLAS_SLAB_DTYPE) stores the VMEM response slab in
+    bfloat16 with float32 accumulation: ~0.2% per-value LUT quantization
+    (well under the MC noise scale) for half the window traffic — an
+    opt-in accuracy/throughput knob, never bit-identical to f32.
     """
     import os
     if variant is None:
@@ -499,6 +512,10 @@ def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
         pix_grp = int(os.environ.get(
             'LARNDSIM_PALLAS_PIXGRP',
             '8' if variant.startswith('folded') else '4'))
+    if slab_dtype is None:
+        slab_dtype = os.environ.get('LARNDSIM_PALLAS_SLAB_DTYPE', 'f32')
+    assert slab_dtype in ('f32', 'bf16'), slab_dtype
+    slab_isz = 2 if slab_dtype == 'bf16' else 4
     assert variant in ('rows', 'folded', 'foldedT'), variant
     if variant.startswith('folded'):
         if t_blk is not None and t_blk % 128:
@@ -572,7 +589,7 @@ def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
         # whose phase split doubles the slab rows)
         for t_blk in (1024, 512, 256):
             out_blk = s_blk * P * t_blk * 4  # output VMEM block
-            if n_rows * _round_up(t_blk + span + 1 + 256, 128) * 4 \
+            if n_rows * _round_up(t_blk + span + 1 + 256, 128) * slab_isz \
                     + out_blk <= SLAB_BUDGET_BYTES + 2 * 2 ** 20:
                 break
 
@@ -584,7 +601,7 @@ def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
     # VMEM guard: the slab must fit on chip.  The shift band scales with
     # the *per-segment* drift extent (sub-cm for real edep-sim segments,
     # so ~100 ticks); pathological inputs fall back to the XLA backend.
-    slab_bytes = n_rows * slab_w * 4
+    slab_bytes = n_rows * slab_w * slab_isz
     vmem_bytes = slab_bytes + s_blk * P * t_blk * 4
     if vmem_bytes > SLAB_BUDGET_BYTES + 2 * 2 ** 20 and not interpret:
         import warnings
@@ -614,7 +631,8 @@ def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
         return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
 
     total_cols = _round_up((t_sig_p - t_blk) + slab_w, 128)
-    padded_dev = _padded_response(response, ratio, K0, total_cols)
+    padded_dev = _padded_response(response, ratio, K0, total_cols,
+                                  slab_dtype)
     if variant.startswith('folded'):
         padded_dev = padded_dev.reshape(padded_dev.shape[0], -1, 128)
 
@@ -622,7 +640,7 @@ def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
     fn = _kernel_fn(s_pad, P, t_sig_p, n_steps_p, s_blk, t_blk,
                     slab_w, K0, float(det.response_bin_size),
                     resp_np.shape[0], resp_np.shape[1], ratio, n_rows, ntp,
-                    interpret, variant, pix_grp)
+                    interpret, variant, pix_grp, slab_dtype)
     out = fn(xs, ys, shift, phase, pxc, pyc, nstep_c, npix, tick_lo_c,
              tick_hi_c, padded_dev)
     if variant.startswith('folded'):

@@ -28,7 +28,8 @@ def main():
     reps = 3
     if '--reps' in sys.argv:
         reps = int(sys.argv[sys.argv.index('--reps') + 1])
-    combos = 'rows:4,rows:8,folded:4,folded:8,foldedT:4,foldedT:8'
+    combos = ('rows:4,rows:8,folded:4,folded:8,foldedT:4,foldedT:8,'
+              'folded:8:bf16')
     if '--combos' in sys.argv:
         combos = sys.argv[sys.argv.index('--combos') + 1]
 
@@ -43,28 +44,42 @@ def main():
     args = (w['segs'], w['px'], w['py'], w['pix_valid'], w['response'],
             w['det'], w['key'])
 
+    def parse(combo):
+        parts = combo.split(':')
+        variant, grp = parts[0], int(parts[1])
+        dtype = parts[2] if len(parts) > 2 else 'f32'
+        return variant, grp, dtype
+
     baseline = None
     results = []
     for combo in combos.split(','):
-        variant, grp = combo.split(':')
-        ms = timed(current_pallas, *args, variant=variant,
-                   pix_grp=int(grp), reps=reps, **kw)
+        variant, grp, dtype = parse(combo)
+        ms = timed(current_pallas, *args, variant=variant, pix_grp=grp,
+                   slab_dtype=dtype, reps=reps, **kw)
         if baseline is None:
             baseline = ms
         results.append((combo, ms))
-        print(f'{combo:>12}: {ms:8.1f} ms   ({baseline / ms:.2f}x vs '
+        print(f'{combo:>16}: {ms:8.1f} ms   ({baseline / ms:.2f}x vs '
               f'{combos.split(",")[0]})', flush=True)
 
-    # cross-check: every timed combo must match an independently computed
-    # rows:4 reference bit-for-bit
+    # cross-check: every f32 combo must match an independently computed
+    # rows:4 reference bit-for-bit; bf16 combos to quantization tolerance
     ref = np.asarray(current_pallas(*args, variant='rows', pix_grp=4, **kw))
+    scale = np.abs(ref).max() or 1.0
     for combo, _ in results:
-        variant, grp = combo.split(':')
+        variant, grp, dtype = parse(combo)
         got = np.asarray(current_pallas(*args, variant=variant,
-                                        pix_grp=int(grp), **kw))
-        same = np.array_equal(ref, got)
-        print(f'{combo:>12}: identical to rows:4 -> {same}')
-        assert same, f'{combo} output differs from rows:4'
+                                        pix_grp=grp, slab_dtype=dtype,
+                                        **kw))
+        if dtype == 'f32':
+            same = np.array_equal(ref, got)
+            print(f'{combo:>16}: identical to rows:4 -> {same}')
+            assert same, f'{combo} output differs from rows:4'
+        else:
+            err = np.abs(got - ref).max() / scale
+            print(f'{combo:>16}: max rel-to-peak error vs rows:4 = '
+                  f'{err:.2e}')
+            assert err < 6e-3, f'{combo} deviates beyond quantization'
 
 
 if __name__ == '__main__':
