@@ -15,6 +15,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os
 from typing import Any
 
 import jax
@@ -334,13 +335,10 @@ def simulate_charge_batch(segs: Segments, det_model: DetectorModel,
     n_steps = bucket(int(np.ceil(np.max(host['dx'][valid]) / min_step))
                      * sim.mc_sample_multiplier, lo=8)
 
-    # measure the unique-pixel count to size the unique axis
     with trace.phase('charge/get_pixels'):
       pixels, distances, npix = pixelize.get_pixels(
         segs, det, max_active=max_active, radius=max_radius,
         max_neighboring=max_nb)
-    with trace.phase('charge/npix_sync'):
-      n_unique_cap = bucket(int(np.asarray(npix).sum()), lo=32)
 
     if event_slot is not None:
         # separate per-event pixel-id spaces (events never share waveforms)
@@ -353,6 +351,17 @@ def simulate_charge_batch(segs: Segments, det_model: DetectorModel,
                           * n_pix_total, -1)
     else:
         keyed = pixels
+
+    # size the static unique axis from the *exact* on-device unique count
+    # (one stacked pull; ~4-7x tighter than the additive npix.sum() bound,
+    # which shrinks sum_pixel_signals/FEE/fractions proportionally).  The
+    # env opt-out restores the old additive sizing for on-hardware A/B.
+    with trace.phase('charge/npix_sync'):
+        counts = np.asarray(accumulate.batch_pixel_counts(keyed, npix))
+        if os.environ.get('LARNDSIM_UNIQUE_CAP_SUM', '0') == '1':
+            n_unique_cap = bucket(int(counts[0]), lo=32)
+        else:
+            n_unique_cap = bucket(int(counts[1]), lo=32)
 
     with trace.phase('charge/prep'):
       uniq, n_unique, pix_idx, track_map, slot, overflow, px, py, \

@@ -42,6 +42,32 @@ def unique_pixels(pixels: jnp.ndarray, max_unique: int):
 
 
 @jax.jit
+def batch_pixel_counts(pixels: jnp.ndarray, npix: jnp.ndarray):
+    """Fused host-sync payload: [total active entries, exact unique count].
+
+    The exact unique count sizes the static unique-pixel axis far tighter
+    than the reference's additive bound (cli/simulate_pixels.py:1012 sizes
+    by the per-segment sum; shared pixels make the true count ~4-7x
+    smaller), shrinking every downstream (U, ...) op.  Stacked into one
+    int32 pair so the host pays a single device round trip.
+
+    Args:
+        pixels: (S, P) int32 pixel keys (event-offset ok), -1 padding.
+        npix: (S,) per-segment active-pixel counts (pixelize.get_pixels).
+
+    Returns:
+        (2,) int32: [npix.sum(), n_unique(pixels)].
+    """
+    flat = pixels.reshape(-1)
+    flat = jnp.where(flat < 0, _INT_MAX, flat)
+    s = jnp.sort(flat)
+    first = jnp.concatenate([jnp.array([True]), s[1:] != s[:-1]])
+    first &= s != _INT_MAX
+    return jnp.stack([npix.sum().astype(jnp.int32),
+                      first.sum().astype(jnp.int32)])
+
+
+@jax.jit
 def pixel_index_map(pixels: jnp.ndarray, uniq: jnp.ndarray):
     """Index of each (segment, pixel) entry in the unique array.
 

@@ -124,12 +124,17 @@ def build_workload():
     pixels, distances, npix = pixelize.get_pixels(
         segs, det, max_active=max_active, radius=max_radius,
         max_neighboring=max_nb)
-    n_unique_cap = mc.bucket(int(np.asarray(npix).sum()), lo=32)
     nx, ny = det.n_pixels
     n_pix_total = nx * ny * det.n_tpcs
     keyed = jnp.where(pixels >= 0,
                       pixels + jnp.asarray(slot_ev)[:, None] * n_pix_total,
                       -1)
+    # exact-unique cap, mirroring simulate_charge_batch (same env opt-out)
+    from larndsim_tpu.ops import accumulate
+    counts = np.asarray(accumulate.batch_pixel_counts(keyed, npix))
+    cap_src = 0 if os.environ.get('LARNDSIM_UNIQUE_CAP_SUM', '0') == '1' \
+        else 1
+    n_unique_cap = mc.bucket(int(counts[cap_src]), lo=32)
     uniq, n_unique, pix_idx, track_map, slot, overflow, px, py, \
         track_starts = mc._prep_stage(
             keyed, distances, segs, det, n_unique_cap=n_unique_cap,
