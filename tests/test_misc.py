@@ -175,3 +175,25 @@ class TestDumpTreeHelpers:
         monkeypatch.setenv('ARCUBE_ACTIVE_VOLUME', 'myVol')
         assert passes_active_volume(['myVol'], False)
         assert not passes_active_volume(['volTPCActive'], False)
+
+
+class TestBatchPixelCounts:
+    def test_matches_numpy_unique(self):
+        """batch_pixel_counts sizes the static unique axis: element [1]
+        must equal the true unique count (cap >= actual is the invariant
+        simulate_charge_batch relies on) and [0] the additive bound."""
+        from larndsim_tpu.ops.accumulate import batch_pixel_counts
+        rng = np.random.default_rng(7)
+        pixels = rng.integers(-1, 40, size=(13, 6)).astype(np.int32)
+        npix = (pixels >= 0).sum(axis=1).astype(np.int32)
+        counts = np.asarray(batch_pixel_counts(pixels, npix))
+        real = pixels[pixels >= 0]
+        assert counts[0] == len(real)
+        assert counts[1] == len(np.unique(real))
+
+    def test_all_padding(self):
+        from larndsim_tpu.ops.accumulate import batch_pixel_counts
+        pixels = np.full((4, 3), -1, np.int32)
+        counts = np.asarray(batch_pixel_counts(
+            pixels, np.zeros(4, np.int32)))
+        assert counts.tolist() == [0, 0]
