@@ -30,6 +30,7 @@ VMEM:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -50,10 +51,18 @@ def _round_up(x: int, m: int) -> int:
 #: every distance check fails
 FAR = jnp.float32(1e9)
 
-#: VMEM budget for the response slab (v5e VMEM is 16 MiB; the output
-#: block takes ~1 MiB at default block sizes — a 12.9 MiB slab with
-#: t_blk=1024 runs in practice)
-SLAB_BUDGET_BYTES = 14 * 2 ** 20
+#: VMEM budget for the response slab + output block.  v5e VMEM is
+#: 128 MiB/core; Mosaic's *default* scoped-vmem cap is 16 MiB, so the
+#: pallas_call below raises its own limit (`_VMEM_LIMIT_BYTES`) and the
+#: slab budget is tunable for A/B sweeps.  14 MiB is the measured
+#: sweet spot at bench shapes; bigger slabs admit larger tick blocks.
+SLAB_BUDGET_BYTES = int(float(
+    os.environ.get('LARNDSIM_PALLAS_VMEM_MB', '14')) * 2 ** 20)
+
+#: Mosaic scoped-VMEM cap for this kernel: generous (the real footprint
+#: is bounded by SLAB_BUDGET_BYTES + double-buffering overhead) but well
+#: under the 128 MiB physical VMEM.
+_VMEM_LIMIT_BYTES = 100 * 2 ** 20
 
 
 @functools.partial(jax.jit,
@@ -440,6 +449,11 @@ def _kernel_fn(s_pad, P, t_sig_p, n_steps_p, s_blk, t_blk,
             slab_shape,
             pltpu.SemaphoreType.DMA,
         ],
+        # Mosaic's default scoped-VMEM cap is 16 MiB, which the slab +
+        # double-buffered output block can exceed on some tunnels even
+        # when the physical 128 MiB VMEM has ample room
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES),
         interpret=interpret,
     )
     return jax.jit(call)
@@ -509,9 +523,9 @@ def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
     if variant is None:
         variant = os.environ.get('LARNDSIM_PALLAS_VARIANT', 'rows')
     if pix_grp is None:
-        pix_grp = int(os.environ.get(
-            'LARNDSIM_PALLAS_PIXGRP',
-            '8' if variant.startswith('folded') else '4'))
+        # rows:8 measured 1.05x over rows:4 on v5e at bench shapes,
+        # bit-identical output (see BENCHMARKS.md kernel matrix)
+        pix_grp = int(os.environ.get('LARNDSIM_PALLAS_PIXGRP', '8'))
     if slab_dtype is None:
         slab_dtype = os.environ.get('LARNDSIM_PALLAS_SLAB_DTYPE', 'f32')
     assert slab_dtype in ('f32', 'bf16'), slab_dtype
@@ -525,6 +539,14 @@ def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
     # modes) fall through to the interpreter instead of erroring
     if not interpret and jax.default_backend() != 'tpu':
         interpret = True
+    if variant.startswith('folded') and not interpret and \
+            not os.environ.get('LARNDSIM_PALLAS_ALLOW_FOLDED'):
+        # The folded layouts currently fault the Mosaic TPU worker
+        # (2026-08-18 v5e, see BENCHMARKS.md kernel matrix); refuse with
+        # a clear error instead of crashing the whole JAX client.
+        raise NotImplementedError(
+            f'variant={variant!r} faults on real TPUs; run in interpret '
+            'mode, or set LARNDSIM_PALLAS_ALLOW_FOLDED=1 to debug')
     resp_np = np.asarray(response)
     nx_r, ny_r, nt_r = resp_np.shape
     dt = float(det.time_sampling)

@@ -54,8 +54,13 @@ def main():
     results = []
     for combo in combos.split(','):
         variant, grp, dtype = parse(combo)
-        ms = timed(current_pallas, *args, variant=variant, pix_grp=grp,
-                   slab_dtype=dtype, reps=reps, **kw)
+        try:
+            ms = timed(current_pallas, *args, variant=variant, pix_grp=grp,
+                       slab_dtype=dtype, reps=reps, **kw)
+        except Exception as exc:  # one OOM combo must not kill the sweep
+            print(f'{combo:>16}: FAILED ({type(exc).__name__}: '
+                  f'{str(exc)[:120]})', flush=True)
+            continue
         if baseline is None:
             baseline = ms
         results.append((combo, ms))
