@@ -54,10 +54,11 @@ FAR = jnp.float32(1e9)
 #: VMEM budget for the response slab + output block.  v5e VMEM is
 #: 128 MiB/core; Mosaic's *default* scoped-vmem cap is 16 MiB, so the
 #: pallas_call below raises its own limit (`_VMEM_LIMIT_BYTES`) and the
-#: slab budget is tunable for A/B sweeps.  14 MiB is the measured
-#: sweet spot at bench shapes; bigger slabs admit larger tick blocks.
+#: slab budget is tunable for A/B sweeps.  40 MiB admits t_blk=2048
+#: (single tick block at bench shapes) — measured 1.6x over the old
+#: 14 MiB / t_blk=1024 default (BENCHMARKS.md kernel matrix).
 SLAB_BUDGET_BYTES = int(float(
-    os.environ.get('LARNDSIM_PALLAS_VMEM_MB', '14')) * 2 ** 20)
+    os.environ.get('LARNDSIM_PALLAS_VMEM_MB', '40')) * 2 ** 20)
 
 #: Mosaic scoped-VMEM cap for this kernel: generous (the real footprint
 #: is bounded by SLAB_BUDGET_BYTES + double-buffering overhead) but well
@@ -523,9 +524,10 @@ def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
     if variant is None:
         variant = os.environ.get('LARNDSIM_PALLAS_VARIANT', 'rows')
     if pix_grp is None:
-        # rows:8 measured 1.05x over rows:4 on v5e at bench shapes,
-        # bit-identical output (see BENCHMARKS.md kernel matrix)
-        pix_grp = int(os.environ.get('LARNDSIM_PALLAS_PIXGRP', '8'))
+        # rows:16 measured 1.17x over rows:8 (1.23x over rows:4) on v5e
+        # at bench shapes, bit-identical output; 32 spills registers and
+        # is 0.55x (see BENCHMARKS.md kernel matrix)
+        pix_grp = int(os.environ.get('LARNDSIM_PALLAS_PIXGRP', '16'))
     if slab_dtype is None:
         slab_dtype = os.environ.get('LARNDSIM_PALLAS_SLAB_DTYPE', 'f32')
     assert slab_dtype in ('f32', 'bf16'), slab_dtype
@@ -604,12 +606,15 @@ def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
     n_rows = _round_up(resp_np.shape[0] * resp_np.shape[1] * ratio + 1, 8)
     if t_blk is None:
         # bigger tick blocks amortize the per-(segment, pixel, step) scalar
-        # work across fewer grid passes (~8% at bench shapes); take the
-        # largest block whose slab still fits the VMEM budget (256 is
-        # ~1.9x slower than 512 but still far faster than the XLA
-        # fallback — needed e.g. for ndlar's 50 ns response sampling,
-        # whose phase split doubles the slab rows)
-        for t_blk in (1024, 512, 256):
+        # work across fewer grid passes; covering the whole tick range in
+        # ONE block (t_blk = t_sig rounded up, capped at 2048) measured
+        # 1.36x over 1024 at bench shapes.  Take the largest block whose
+        # slab still fits the VMEM budget (256 is ~1.9x slower than 512
+        # but still far faster than the XLA fallback — needed e.g. for
+        # ndlar's 50 ns response sampling, whose phase split doubles the
+        # slab rows)
+        t_one = min(max(_round_up(t_sig, 128), 256), 2048)
+        for t_blk in (t_one, 1024, 512, 256):
             out_blk = s_blk * P * t_blk * 4  # output VMEM block
             if n_rows * _round_up(t_blk + span + 1 + 256, 128) * slab_isz \
                     + out_blk <= SLAB_BUDGET_BYTES + 2 * 2 ** 20:
