@@ -509,8 +509,10 @@ def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
     (nx, ny, nt) LUT (host numpy or device array).  Pass ``shift_band``
     (from :func:`host_shift_band`) to avoid the per-batch device sync.
 
-    ``variant`` selects the kernel inner-loop formulation ('rows' |
-    'folded' | 'foldedT', default from $LARNDSIM_PALLAS_VARIANT) and
+    ``variant`` selects the kernel inner-loop formulation ('auto' |
+    'rows' | 'folded' | 'foldedT', default from
+    $LARNDSIM_PALLAS_VARIANT; 'auto' picks folded when its aligned slab
+    fits VMEM, else rows) and
     ``pix_grp`` the pixel group width (default from
     $LARNDSIM_PALLAS_PIXGRP); all variants produce identical results —
     the knobs exist for per-platform tuning (see BENCHMARKS.md).
@@ -522,33 +524,36 @@ def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
     """
     import os
     if variant is None:
-        variant = os.environ.get('LARNDSIM_PALLAS_VARIANT', 'rows')
+        variant = os.environ.get('LARNDSIM_PALLAS_VARIANT', 'auto')
     if pix_grp is None:
-        # rows:16 measured 1.17x over rows:8 (1.23x over rows:4) on v5e
-        # at bench shapes, bit-identical output; 32 spills registers and
-        # is 0.55x (see BENCHMARKS.md kernel matrix)
+        # folded:16 measured 1.30x over rows:16 (2.2x over the original
+        # rows:4 @1024) on v5e at bench shapes, bit-identical output;
+        # rows:32 spills registers (see BENCHMARKS.md kernel matrix)
         pix_grp = int(os.environ.get('LARNDSIM_PALLAS_PIXGRP', '16'))
     if slab_dtype is None:
         slab_dtype = os.environ.get('LARNDSIM_PALLAS_SLAB_DTYPE', 'f32')
     assert slab_dtype in ('f32', 'bf16'), slab_dtype
     slab_isz = 2 if slab_dtype == 'bf16' else 4
-    assert variant in ('rows', 'folded', 'foldedT'), variant
-    if variant.startswith('folded'):
-        if t_blk is not None and t_blk % 128:
-            raise ValueError(
-                f'folded variants need t_blk % 128 == 0, got {t_blk}')
+    assert variant in ('auto', 'rows', 'folded', 'foldedT'), variant
     # Mosaic kernels only compile for TPU; on CPU (tests, tools' smoke
     # modes) fall through to the interpreter instead of erroring
     if not interpret and jax.default_backend() != 'tpu':
         interpret = True
-    if variant.startswith('folded') and not interpret and \
-            not os.environ.get('LARNDSIM_PALLAS_ALLOW_FOLDED'):
-        # The folded layouts currently fault the Mosaic TPU worker
-        # (2026-08-18 v5e, see BENCHMARKS.md kernel matrix); refuse with
-        # a clear error instead of crashing the whole JAX client.
-        raise NotImplementedError(
-            f'variant={variant!r} faults on real TPUs; run in interpret '
-            'mode, or set LARNDSIM_PALLAS_ALLOW_FOLDED=1 to debug')
+    # the folded slab DMA slices the middle (sublane-tiled) axis of a 3D
+    # HBM ref: Mosaic faults unless the offset and size are both multiples
+    # of the 8-sublane tile (tools/probe_folded.py cases f/g, v5e
+    # 2026-08-18) — so on real TPUs the tick block must cover whole
+    # 8-q-block groups (1024 ticks) and the slab width is rounded likewise
+    # below.  The interpreter has no tiling, so tests may use smaller
+    # blocks there.  'auto' resolves to 'folded' once the slab geometry
+    # is known (it needs the shift span), falling back to 'rows' when the
+    # 1024-aligned folded slab would not fit the VMEM budget.
+    folded_aligned = variant.startswith('folded') and not interpret
+    if variant.startswith('folded') and t_blk is not None:
+        quant = 1024 if folded_aligned else 128
+        if t_blk % quant:
+            raise ValueError(
+                f'folded variants need t_blk % {quant} == 0, got {t_blk}')
     resp_np = np.asarray(response)
     nx_r, ny_r, nt_r = resp_np.shape
     dt = float(det.time_sampling)
@@ -604,6 +609,18 @@ def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
     shift = jnp.clip(shift, K0 - span, K0)
 
     n_rows = _round_up(resp_np.shape[0] * resp_np.shape[1] * ratio + 1, 8)
+    if variant == 'auto':
+        # folded:16 is 1.30x rows:16 on v5e (bit-identical); it needs a
+        # 1024-aligned tick block + slab, so fall back to rows when that
+        # slab would blow the VMEM budget (e.g. phase-split-heavy
+        # responses) or when the caller pinned an unaligned t_blk
+        w1024 = _round_up(1024 + span + 1 + 256, 1024)
+        fits = (n_rows * w1024 * slab_isz + s_blk * P * 1024 * 4
+                <= SLAB_BUDGET_BYTES + 2 * 2 ** 20)
+        aligned_ok = t_blk is None or \
+            t_blk % (128 if interpret else 1024) == 0
+        variant = 'folded' if fits and aligned_ok else 'rows'
+        folded_aligned = variant == 'folded' and not interpret
     if t_blk is None:
         # bigger tick blocks amortize the per-(segment, pixel, step) scalar
         # work across fewer grid passes; covering the whole tick range in
@@ -613,8 +630,17 @@ def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
         # but still far faster than the XLA fallback — needed e.g. for
         # ndlar's 50 ns response sampling, whose phase split doubles the
         # slab rows)
-        t_one = min(max(_round_up(t_sig, 128), 256), 2048)
-        for t_blk in (t_one, 1024, 512, 256):
+        if folded_aligned:
+            t_one = min(max(_round_up(t_sig, 1024), 1024), 2048)
+            candidates = (t_one, 1024)
+        elif variant.startswith('folded'):
+            t_one = min(max(_round_up(t_sig, 128), 256), 2048)
+            candidates = tuple(t for t in (t_one, 1024, 512, 256)
+                               if t % 128 == 0)
+        else:
+            t_one = min(max(_round_up(t_sig, 128), 256), 2048)
+            candidates = (t_one, 1024, 512, 256)
+        for t_blk in candidates:
             out_blk = s_blk * P * t_blk * 4  # output VMEM block
             if n_rows * _round_up(t_blk + span + 1 + 256, 128) * slab_isz \
                     + out_blk <= SLAB_BUDGET_BYTES + 2 * 2 ** 20:
@@ -622,8 +648,12 @@ def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
 
     t_sig_p = _round_up(t_sig, t_blk)
     # +256: aligned-window read (t_blk + 128 wide) starting at the
-    # 128-aligned floor of the largest offset must stay in bounds
-    slab_w = _round_up(t_blk + span + 1 + 256, 128)
+    # 128-aligned floor of the largest offset must stay in bounds.
+    # Folded variants round the slab to whole 8-q-block (1024-tick)
+    # groups: the slab DMA's middle-axis offset/size must be 8-sublane
+    # aligned (see the alignment note above / tools/probe_folded.py)
+    slab_quant = 1024 if folded_aligned else 128
+    slab_w = _round_up(t_blk + span + 1 + 256, slab_quant)
 
     # VMEM guard: the slab must fit on chip.  The shift band scales with
     # the *per-segment* drift extent (sub-cm for real edep-sim segments,
@@ -657,7 +687,7 @@ def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
                 min_step=min_step))
         return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
 
-    total_cols = _round_up((t_sig_p - t_blk) + slab_w, 128)
+    total_cols = _round_up((t_sig_p - t_blk) + slab_w, slab_quant)
     padded_dev = _padded_response(response, ratio, K0, total_cols,
                                   slab_dtype)
     if variant.startswith('folded'):

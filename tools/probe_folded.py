@@ -10,6 +10,15 @@ kills only the child:
   b. same with q0 8-aligned
   c. pltpu.roll on the minor axis of a 3D (grp, n_q, 128) block
   d. sublane-axis roll pltpu.roll(x, dq, axis=0) with dynamic dq
+  e. double-dynamic slab slice slab[pl.ds(row, 1), pl.ds(q0, n_q), :]
+     with BOTH row and q0 dynamic (the folded kernel's window read)
+  f. async DMA of a dynamic middle-axis slice of a 3D ANY-space ref
+     into a 3D VMEM scratch (the folded kernel's slab load)
+  g. same DMA with the offset and size both 8-sublane-aligned
+
+2026-08-18 result on v5e: a-e OK, f FAULTS, g OK — the folded slab
+DMA faults only when the middle-axis offset/size are not multiples of
+the 8-sublane tile.  Fix: align the folded slab window to 8 q-blocks.
 
 Usage: python tools/probe_folded.py            # run all in subprocesses
        python tools/probe_folded.py a          # run one case inline
@@ -23,7 +32,7 @@ import sys
 _HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _HERE)
 
-CASES = ('a', 'b', 'c', 'd')
+CASES = ('a', 'b', 'c', 'd', 'e', 'f', 'g')
 
 
 def run_case(case: str) -> None:
@@ -47,8 +56,8 @@ def run_case(case: str) -> None:
             kern,
             grid=(1,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                      pl.BlockSpec(memory_space=pltpu.ANY)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((n_q, 128), jnp.float32),
         )(q0, jnp.asarray(slab3))
         q = 3 if case == 'a' else 8
@@ -66,11 +75,57 @@ def run_case(case: str) -> None:
             kern,
             grid=(1,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                      pl.BlockSpec(memory_space=pltpu.ANY)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((grp, n_q, 128), jnp.float32),
         )(rem, x)
         ref = np.roll(np.asarray(x), 128 - 37, axis=2)
+        np.testing.assert_array_equal(np.asarray(out), ref)
+
+    elif case == 'e':
+        def kern(q_ref, x_ref, o_ref):
+            row = q_ref[0]
+            q0 = q_ref[1]
+            o_ref[...] = x_ref[pl.ds(row, 1), pl.ds(q0, n_q), :][0]
+
+        idx = jnp.array([5, 3], jnp.int32)
+        out = pl.pallas_call(
+            kern,
+            grid=(1,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n_q, 128), jnp.float32),
+        )(idx, jnp.asarray(slab3))
+        ref = slab3[5, 3:3 + n_q, :]
+        np.testing.assert_array_equal(np.asarray(out), ref)
+
+    elif case in ('f', 'g'):
+        q_sz = 16 if case == 'g' else n_q
+        q_step = 8 if case == 'g' else 2
+
+        def kern(x_hbm, o_ref, slab, sem):
+            jt = pl.program_id(0)
+            dma = pltpu.make_async_copy(
+                x_hbm.at[:, pl.ds(jt * q_step, q_sz), :], slab, sem)
+            dma.start()
+            dma.wait()
+            o_ref[0] = slab[...]
+
+        out = pl.pallas_call(
+            kern,
+            grid=(2,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((1, n_rows, q_sz, 128),
+                                   lambda i: (i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((2, n_rows, q_sz, 128),
+                                           jnp.float32),
+            scratch_shapes=[pltpu.VMEM((n_rows, q_sz, 128), jnp.float32),
+                            pltpu.SemaphoreType.DMA],
+        )(jnp.asarray(slab3))
+        ref = np.stack([slab3[:, 0:q_sz, :],
+                        slab3[:, q_step:q_step + q_sz, :]])
         np.testing.assert_array_equal(np.asarray(out), ref)
 
     elif case == 'd':
@@ -84,8 +139,8 @@ def run_case(case: str) -> None:
             kern,
             grid=(1,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                      pl.BlockSpec(memory_space=pltpu.ANY)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((n_sub, 128), jnp.float32),
         )(dq, x)
         ref = np.roll(np.asarray(x), 5, axis=0)
