@@ -1,17 +1,29 @@
 """edep-sim ROOT -> HDF5 converter.
 
 Counterpart of the reference converter (cli/dumpTree.py:171-474): reads
-`EDepSimEvents` TTrees (+ optional event spill maps) and writes the
-`segments` / `trajectories` / `vertices` HDF5 schema this framework (and
-the reference) consume.  Pure host tooling — requires PyROOT and the
-edep-sim event classes, which are upstream dependencies outside this
-framework (the reference takes the same position, README.md:17).  The
-output dtypes live in assets/make_input.py and are shared with the
-synthetic input generator.
+`EDepSimEvents` TTrees (+ optional `event_spill_map` TMap and
+`spillPeriod_s` TParameter) and writes the `segments` / `trajectories` /
+`vertices` HDF5 schema this framework (and the reference) consume.
+Pure host tooling — requires PyROOT and the edep-sim event classes,
+which are upstream dependencies outside this framework (the reference
+takes the same position, README.md:17); `tests/test_dump_tree.py`
+executes it against a fake-ROOT shim.  The output dtypes live in
+assets/make_input.py and are shared with the synthetic input generator.
 
-Unit conventions (cli/dumpTree.py:45-46): positions mm -> cm, times
-ns -> us; spill time = spillCounter * spillPeriod * 1e6 us
-(cli/dumpTree.py:228-237).
+Reference semantics preserved:
+- unit conversions mm -> cm, ns -> us (dumpTree.py:45-46);
+- spill time = spillCounter * spillPeriod_s * 1e6 us, written ONLY to
+  the vertices' `t_event` (dumpTree.py:228-237, :285); segment t0 stays
+  the raw edep-sim hit time (:441);
+- event filter: require a segment container named
+  $ARCUBE_ACTIVE_VOLUME (default 'volTPCActive') unless keep_all_dets
+  (:255-262), and only that container's hits are dumped (:362-365);
+- trajectories dumped = primaries + the ancestor lines of segment
+  contributors, with full kinematics (:299-340, :388-423); every
+  trajectory consumes a `file_traj_id` whether dumped or not (:300-302);
+- segment `vertex_id`/`file_vertex_id`/`pdg_id` resolve through the
+  first contributor's primary ancestor (:370-386, :424-425, :455);
+- chunked HDF5 appends every ~1000 trajectories (:240-249).
 """
 from __future__ import annotations
 
@@ -46,19 +58,78 @@ class SpillTimer:
         return self._counter * self.spill_period_s * 1e6
 
 
+def active_volume_name() -> str:
+    return os.environ.get('ARCUBE_ACTIVE_VOLUME', 'volTPCActive')
+
+
 def passes_active_volume(container_names, keep_all_dets: bool) -> bool:
-    """Event filter (dumpTree.py:255-262): with keep_all_dets, keep any
+    """Event filter (dumpTree.py:253-262): with keep_all_dets, keep any
     event that has segment detectors at all; otherwise require a container
     named $ARCUBE_ACTIVE_VOLUME (default 'volTPCActive')."""
     names = list(container_names)
     if keep_all_dets:
         return len(names) > 0
-    active = os.environ.get('ARCUBE_ACTIVE_VOLUME', 'volTPCActive')
+    active = active_volume_name()
     return any(name == active for name in names)
 
 
+def _traj_row(trajectory, ev_id, vertex_id, file_vertex_id, file_traj_id):
+    """One trajectory record with full kinematics (dumpTree.py:299-340)."""
+    row = np.zeros(1, TRAJECTORIES_DTYPE)
+    start_pt = trajectory.Points[0]
+    end_pt = trajectory.Points[-1]
+    row['event_id'] = ev_id
+    row['vertex_id'] = vertex_id
+    row['file_vertex_id'] = file_vertex_id
+    row['traj_id'] = trajectory.GetTrackId()
+    row['file_traj_id'] = file_traj_id
+    row['parent_id'] = trajectory.GetParentId()
+    row['primary'] = trajectory.GetParentId() == -1
+    mass = trajectory.GetInitialMomentum().M()
+    p_start = (start_pt.GetMomentum().X(), start_pt.GetMomentum().Y(),
+               start_pt.GetMomentum().Z())
+    p_end = (end_pt.GetMomentum().X(), end_pt.GetMomentum().Y(),
+             end_pt.GetMomentum().Z())
+    row['pxyz_start'] = p_start
+    row['pxyz_end'] = p_end
+    row['xyz_start'] = tuple(start_pt.GetPosition().__getattribute__(ax)()
+                             * EDEP2CM for ax in 'XYZ')
+    row['xyz_end'] = tuple(end_pt.GetPosition().__getattribute__(ax)()
+                           * EDEP2CM for ax in 'XYZ')
+    row['E_start'] = np.sqrt(np.sum(np.square(p_start)) + mass ** 2)
+    row['E_end'] = np.sqrt(np.sum(np.square(p_end)) + mass ** 2)
+    row['t_start'] = start_pt.GetPosition().T() * EDEP2US
+    row['t_end'] = end_pt.GetPosition().T() * EDEP2US
+    row['start_process'] = start_pt.GetProcess()
+    row['start_subprocess'] = start_pt.GetSubprocess()
+    row['end_process'] = end_pt.GetProcess()
+    row['end_subprocess'] = end_pt.GetSubprocess()
+    row['pdg_id'] = trajectory.GetPDGCode()
+    dist = 0.0
+    pts = trajectory.Points
+    for i in range(len(pts) - 1):
+        a, b = pts[i].GetPosition(), pts[i + 1].GetPosition()
+        dist += np.sqrt((a.X() - b.X()) ** 2 + (a.Y() - b.Y()) ** 2
+                        + (a.Z() - b.Z()) ** 2) * EDEP2CM
+    row['dist_travel'] = dist
+    return row
+
+
+def _append(f, name, rows, dtype):
+    data = (np.concatenate(rows) if rows else np.zeros(0, dtype))
+    if name not in f:
+        f.create_dataset(name, data=data, maxshape=(None,))
+    else:
+        d = f[name]
+        n0 = d.shape[0]
+        d.resize((n0 + data.shape[0],))
+        if data.shape[0]:
+            d[n0:] = data
+
+
 def dump(input_file: str, output_file: str,
-         n_events: int | None = None, keep_all_dets: bool = False):
+         n_events: int | None = None, keep_all_dets: bool = False,
+         write_batch: int = 1000):
     """Convert an edep-sim ROOT file to the segments HDF5 schema.
 
     Args:
@@ -66,12 +137,16 @@ def dump(input_file: str, output_file: str,
             optional `event_spill_map` TMap and `spillPeriod_s` TParameter,
             dumpTree.py:198-205).
         output_file: HDF5 output path.
-        keep_all_dets: keep events with hits in any detector container
-            instead of requiring $ARCUBE_ACTIVE_VOLUME (dumpTree.py:255).
+        n_events: stop after this many tree entries (None = all).
+        keep_all_dets: keep events with hits in any detector container —
+            and dump every container's hits — instead of requiring (and
+            dumping only) $ARCUBE_ACTIVE_VOLUME (dumpTree.py:255, :362).
+        write_batch: append to the HDF5 file whenever this many
+            trajectory rows have accumulated (dumpTree.py:240-249).
     """
     try:
         from ROOT import TFile, TG4Event  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - needs ROOT
+    except ImportError as exc:
         raise ImportError(
             'dump_tree requires PyROOT with edep-sim event classes; '
             'install the upstream edep-sim toolchain, or produce inputs '
@@ -90,83 +165,141 @@ def dump(input_file: str, output_file: str,
     event_spill_map = root_file.Get('event_spill_map')
     timer = SpillTimer(float(root_file.Get('spillPeriod_s').GetVal())
                        if event_spill_map else None)
+    active = active_volume_name()
 
-    segments, trajectories, vertices = [], [], []
+    seg_rows, traj_rows, vert_rows = [], [], []
+    pending_traj = 0
     segment_id = 0
-    file_traj = 0
-    for ientry in range(int(n)):
-        tree.GetEntry(ientry)
-        event = tree.Event
-        ev_id = event.EventId
-        if event_spill_map:
-            spill_tobj = event_spill_map.GetValue(
-                f'{event.RunId} {event.EventId}')
-            t_spill = timer.t_spill(int(spill_tobj.GetName()))
-        else:
-            t_spill = timer.t_spill(None)
+    file_vertex_counter = 0
+    track_counter = 0   # unique-in-file trajectory ids (dumpTree.py:216)
+    out = h5py.File(output_file, 'w')
+    try:
+        for ientry in range(int(n)):
+            tree.GetEntry(ientry)
+            event = tree.Event
+            ev_id = event.EventId
+            if event_spill_map:
+                spill_tobj = event_spill_map.GetValue(
+                    f'{event.RunId} {event.EventId}')
+                t_spill = timer.t_spill(int(spill_tobj.GetName()))
+            else:
+                t_spill = timer.t_spill(None)
 
-        if not passes_active_volume(
-                (name for name, _hits in event.SegmentDetectors),
-                keep_all_dets):
-            continue
+            if pending_traj >= write_batch:
+                _append(out, 'segments', seg_rows, SEGMENTS_DTYPE)
+                _append(out, 'trajectories', traj_rows, TRAJECTORIES_DTYPE)
+                _append(out, 'vertices', vert_rows, VERTICES_DTYPE)
+                seg_rows, traj_rows, vert_rows = [], [], []
+                pending_traj = 0
 
-        for primaries in event.Primaries:
-            vrow = np.zeros(1, VERTICES_DTYPE)
-            vrow['event_id'] = ev_id
-            vrow['vertex_id'] = primaries.GetInteractionNumber()
-            pos = primaries.GetPosition()
-            vrow['x_vert'] = pos.X() * EDEP2CM
-            vrow['y_vert'] = pos.Y() * EDEP2CM
-            vrow['z_vert'] = pos.Z() * EDEP2CM
-            vrow['t_vert'] = pos.T() * EDEP2US
-            vertices.append(vrow)
+            if not passes_active_volume(
+                    (name for name, _hits in event.SegmentDetectors),
+                    keep_all_dets):
+                continue
 
-        for traj in event.Trajectories:
-            trow = np.zeros(1, TRAJECTORIES_DTYPE)
-            trow['event_id'] = ev_id
-            trow['traj_id'] = traj.GetTrackId()
-            trow['file_traj_id'] = file_traj
-            trow['parent_id'] = traj.GetParentId()
-            trow['pdg_id'] = traj.GetPDGCode()
-            trajectories.append(trow)
-            file_traj += 1
+            # vertex maps: primary-particle track id -> vertex ids
+            # (dumpTree.py:270-291)
+            vertex_map, file_vertex_map = {}, {}
+            for ivtx, primaries in enumerate(event.Primaries):
+                vrow = np.zeros(1, VERTICES_DTYPE)
+                vrow['event_id'] = ev_id
+                vrow['vertex_id'] = ivtx
+                vrow['file_vertex_id'] = file_vertex_counter
+                pos = primaries.GetPosition()
+                vrow['x_vert'] = pos.X() * EDEP2CM
+                vrow['y_vert'] = pos.Y() * EDEP2CM
+                vrow['z_vert'] = pos.Z() * EDEP2CM
+                vrow['t_vert'] = pos.T() * EDEP2US
+                vrow['t_event'] = t_spill
+                vert_rows.append(vrow)
+                for par in primaries.Particles:
+                    vertex_map[par.GetTrackId()] = ivtx
+                    file_vertex_map[par.GetTrackId()] = file_vertex_counter
+                file_vertex_counter += 1
 
-        for det_name, hits in event.SegmentDetectors:
-            for hit in hits:
-                row = np.zeros(1, SEGMENTS_DTYPE)
-                row['event_id'] = ev_id
-                row['segment_id'] = segment_id
-                row['traj_id'] = hit.GetPrimaryId()
-                start, stop = hit.GetStart(), hit.GetStop()
-                row['x_start'] = start.X() * EDEP2CM
-                row['y_start'] = start.Y() * EDEP2CM
-                row['z_start'] = start.Z() * EDEP2CM
-                row['x_end'] = stop.X() * EDEP2CM
-                row['y_end'] = stop.Y() * EDEP2CM
-                row['z_end'] = stop.Z() * EDEP2CM
-                row['x'] = 0.5 * (row['x_start'] + row['x_end'])
-                row['y'] = 0.5 * (row['y_start'] + row['y_end'])
-                row['z'] = 0.5 * (row['z_start'] + row['z_end'])
-                row['t0_start'] = start.T() * EDEP2US + t_spill
-                row['t0_end'] = stop.T() * EDEP2US + t_spill
-                row['t0'] = 0.5 * (row['t0_start'] + row['t0_end'])
-                row['dE'] = hit.GetEnergyDeposit()
-                dx = np.sqrt((row['x_end'] - row['x_start']) ** 2
-                             + (row['y_end'] - row['y_start']) ** 2
-                             + (row['z_end'] - row['z_start']) ** 2)
-                row['dx'] = dx
-                row['dEdx'] = row['dE'] / dx if dx > 0 else 0
-                row['pdg_id'] = 13
-                segments.append(row)
-                segment_id += 1
+            # every trajectory consumes a file id; primaries are dumped
+            # up front, descendants lazily when a segment needs their
+            # line (dumpTree.py:297-340, :388-423)
+            track_map, traj_by_id, dumped = {}, {}, set()
+            for traj in event.Trajectories:
+                track_map[traj.GetTrackId()] = track_counter
+                traj_by_id[traj.GetTrackId()] = traj
+                track_counter += 1
+            for traj in event.Trajectories:
+                tid = traj.GetTrackId()
+                if traj.GetParentId() == -1 and tid in vertex_map:
+                    traj_rows.append(_traj_row(
+                        traj, ev_id, vertex_map[tid], file_vertex_map[tid],
+                        track_map[tid]))
+                    dumped.add(tid)
+                    pending_traj += 1
 
-    with h5py.File(output_file, 'w') as f:
-        f.create_dataset('segments', data=np.concatenate(segments)
-                         if segments else np.zeros(0, SEGMENTS_DTYPE))
-        f.create_dataset('trajectories', data=np.concatenate(trajectories)
-                         if trajectories else np.zeros(0, TRAJECTORIES_DTYPE))
-        f.create_dataset('vertices', data=np.concatenate(vertices)
-                         if vertices else np.zeros(0, VERTICES_DTYPE))
+            def ancestor_line(tid):
+                """contributor -> ... -> primary (dumpTree.py:341-361)."""
+                line = []
+                while True:
+                    line.append(tid)
+                    parent = traj_by_id[tid].GetParentId()
+                    if parent == -1 or parent not in traj_by_id:
+                        return line
+                    tid = parent
+
+            for det_name, hits in event.SegmentDetectors:
+                if (not keep_all_dets) and det_name != active:
+                    continue   # dumpTree.py:362-365
+                for hit in hits:
+                    row = np.zeros(1, SEGMENTS_DTYPE)
+                    row['event_id'] = ev_id
+                    row['segment_id'] = segment_id
+                    segment_id += 1
+                    contrib = int(hit.Contrib[0])
+                    row['traj_id'] = contrib
+                    row['file_traj_id'] = track_map[contrib]
+                    # resolve the contributor's primary ancestor and dump
+                    # any undumped trajectories along the line
+                    line = ancestor_line(contrib)
+                    primary_tid = next(
+                        (t for t in line if t in vertex_map), line[-1])
+                    vtx = vertex_map.get(primary_tid, 0)
+                    fvtx = file_vertex_map.get(primary_tid, 0)
+                    for tid in reversed(line):
+                        if tid not in dumped:
+                            traj_rows.append(_traj_row(
+                                traj_by_id[tid], ev_id, vtx, fvtx,
+                                track_map[tid]))
+                            dumped.add(tid)
+                            pending_traj += 1
+                    row['vertex_id'] = vtx
+                    row['file_vertex_id'] = fvtx
+                    start, stop = hit.GetStart(), hit.GetStop()
+                    row['x_start'] = start.X() * EDEP2CM
+                    row['y_start'] = start.Y() * EDEP2CM
+                    row['z_start'] = start.Z() * EDEP2CM
+                    row['x_end'] = stop.X() * EDEP2CM
+                    row['y_end'] = stop.Y() * EDEP2CM
+                    row['z_end'] = stop.Z() * EDEP2CM
+                    row['x'] = 0.5 * (row['x_start'] + row['x_end'])
+                    row['y'] = 0.5 * (row['y_start'] + row['y_end'])
+                    row['z'] = 0.5 * (row['z_start'] + row['z_end'])
+                    # raw edep hit times: t_spill lives in vertices'
+                    # t_event only (dumpTree.py:441, :285)
+                    row['t0_start'] = start.T() * EDEP2US
+                    row['t0_end'] = stop.T() * EDEP2US
+                    row['t0'] = 0.5 * (row['t0_start'] + row['t0_end'])
+                    row['dE'] = hit.GetEnergyDeposit()
+                    dx = np.sqrt((row['x_end'] - row['x_start']) ** 2
+                                 + (row['y_end'] - row['y_start']) ** 2
+                                 + (row['z_end'] - row['z_start']) ** 2)
+                    row['dx'] = dx
+                    row['dEdx'] = row['dE'] / dx if dx > 0 else 0
+                    row['pdg_id'] = traj_by_id[contrib].GetPDGCode()
+                    seg_rows.append(row)
+
+        _append(out, 'segments', seg_rows, SEGMENTS_DTYPE)
+        _append(out, 'trajectories', traj_rows, TRAJECTORIES_DTYPE)
+        _append(out, 'vertices', vert_rows, VERTICES_DTYPE)
+    finally:
+        out.close()
     print(f'wrote {segment_id} segments to {output_file}')
 
 
