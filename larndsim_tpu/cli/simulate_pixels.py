@@ -880,6 +880,14 @@ def run_simulation(input_filename: str,
                                                    + sim.batch_size]))
                     process_group()
             else:
+                # the group is also capped by TOTAL segments: one compute
+                # group materializes an (S, P, T) signals tensor on
+                # device, and the reference never exceeds sim.BATCH_SIZE
+                # segments per launch either (cli:902) — at high
+                # occupancy an event-count-only cap would OOM HBM
+                pending = sum(len(ix) for _, ix in group)
+                if group and pending + len(track_subset) > sim.batch_size:
+                    process_group()
                 group.append((ievd, batch_idx_global))
                 if len(group) >= group_cap:
                     process_group()

@@ -215,22 +215,51 @@ def sum_light_signals(segs: Segments, voxels, n_photons_det, op_channel,
 
     if lut_smearing:
         nprof = lut_time_dist.shape[4]
-        prof = lut_time_dist[voxels[:, 0], voxels[:, 1],
-                             voxels[:, 2]][:, lut_idx, :]       # (S, C, nprof)
-        # profile bin iprof arrives at track_time + iprof * 1ns
-        # (light_sim.py:101: assumes 1 ns profile bins)
-        t_arr = (track_time[:, None]
-                 + jnp.arange(nprof)[None, :] * 1e-3)           # (S, nprof)
-        tick_f = (t_arr - start_time) / tick
-        itick = jnp.ceil(tick_f).astype(jnp.int32) - 1
-        # strict (start_tick_time, end_tick_time) interval as in reference
-        ok = (tick_f > itick) & (itick >= 0) & (itick < n_ticks)
-        photons = (n_photons_det[:, :, None] * prof / tick
-                   * ok[:, None, :])
-        rows = jnp.broadcast_to(det_rows[:, :, None], photons.shape)
-        cols = jnp.broadcast_to(jnp.where(ok, itick, 0)[:, None, :],
-                                photons.shape)
-        out = out.at[rows, cols].add(photons, mode='drop')
+        # The tick index is per-(segment, profile-bin) — CHANNEL-
+        # INDEPENDENT — so scatter whole channel rows with a (S*nprof,)
+        # index vector instead of broadcasting (S, C, nprof) index
+        # tensors (whose iota/select temporaries were 3x 4.7 GB at
+        # ndlar-scale occupancy).  Segments are processed in fixed-size
+        # chunks under lax.scan so the (chunk, C, nprof) value tensor
+        # bounds live memory at any occupancy.
+        CH = min(512, S)
+        n_chunks = -(-S // CH)
+        S_pad = n_chunks * CH
+        if S_pad != S:
+            # zero-photon padding contributes nothing (vox 0 is a valid
+            # LUT cell; its profile is multiplied by 0 photons)
+            zpad = lambda x: jnp.concatenate(
+                [x, jnp.zeros((S_pad - S,) + x.shape[1:], x.dtype)])
+            voxels_p, nd_p, tt_p = (zpad(voxels), zpad(n_photons_det),
+                                    zpad(track_time))
+        else:
+            voxels_p, nd_p, tt_p = voxels, n_photons_det, track_time
+        j_arr = jnp.arange(nprof, dtype=jnp.float32)[None, :] * 1e-3
+
+        def chunk_body(acc, xs):
+            vox_c, nd_c, tt_c = xs
+            prof = lut_time_dist[vox_c[:, 0], vox_c[:, 1],
+                                 vox_c[:, 2]][:, lut_idx, :]  # (CH, C, nprof)
+            # profile bin iprof arrives at track_time + iprof * 1ns
+            # (light_sim.py:101: assumes 1 ns profile bins)
+            t_arr = tt_c[:, None] + j_arr                      # (CH, nprof)
+            tick_f = (t_arr - start_time) / tick
+            itick = jnp.ceil(tick_f).astype(jnp.int32) - 1
+            # strict (start_tick_time, end_tick_time) interval as in the
+            # reference
+            ok = (tick_f > itick) & (itick >= 0) & (itick < n_ticks)
+            photons = (nd_c[:, :, None] * prof / tick
+                       * ok[:, None, :])                       # (CH, C, nprof)
+            upd = photons.transpose(0, 2, 1).reshape(CH * nprof, C)
+            idx = jnp.where(ok, itick, n_ticks).reshape(CH * nprof)
+            return acc.at[idx].add(upd, mode='drop'), None
+
+        xs = (voxels_p.reshape(n_chunks, CH, 3),
+              nd_p.reshape(n_chunks, CH, C),
+              tt_p.reshape(n_chunks, CH))
+        acc0 = jnp.zeros((n_ticks, C), jnp.float32)
+        acc, _ = jax.lax.scan(chunk_body, acc0, xs)
+        out = acc.T
     else:
         t0_avg = lut_t0_avg[voxels[:, 0], voxels[:, 1],
                             voxels[:, 2]][:, lut_idx]           # (S, C)
