@@ -12,6 +12,7 @@ output schema.  Differences by design:
 """
 from __future__ import annotations
 
+import contextlib
 import logging
 import os
 import threading
@@ -404,6 +405,22 @@ def run_simulation(input_filename: str,
         pending_truth: deque = deque()
         h5_lock = threading.Lock()
 
+        @contextlib.contextmanager
+        def locked_phase(label):
+            """h5_lock + trace.phase with honest attribution: time spent
+            WAITING for the lock (another thread writing the same file)
+            is reported as `<label>_h5wait`, not as the write itself —
+            otherwise lock contention masquerades as IO cost in the
+            phase table (the round-1 'export shows 81 s against 32 s
+            elapsed' confusion)."""
+            with trace.phase(label + '_h5wait'):
+                h5_lock.acquire()
+            try:
+                with trace.phase(label):
+                    yield
+            finally:
+                h5_lock.release()
+
         # ---- multi-chip contexts ----
         # one committed copy of the module's device-resident inputs per
         # chip; a group dispatched with ctx d's params executes on chip d
@@ -454,7 +471,7 @@ def run_simulation(input_filename: str,
                 else:
                     truth = export.truth_sparse_to_records(truth, ievd_t,
                                                            trig_t)
-            with trace.phase('truth/h5'), h5_lock:
+            with locked_phase('truth/h5'):
                 export.export_light_truth_to_hdf5(
                     output_filename, truth,
                     compression=truth_compression)
@@ -520,7 +537,7 @@ def run_simulation(input_filename: str,
                     light_trig_modules = np.ones(len(uniq_events))
                     light_trigger_times = np.zeros_like(uniq_event_times)
                     light_trigger_event_ids = uniq_events
-                with trace.phase('export/packets'), h5_lock:
+                with locked_phase('export/packets'):
                     export.export_to_hdf5(
                         res['event_pix'], res['hit_row'], res['hit_adc'],
                         res['hit_ticks'], res['hit_frac'],
@@ -544,7 +561,7 @@ def run_simulation(input_filename: str,
                             res['light_trigger_idx'],
                             res['light_op_channel_idx'], output_filename,
                             times_l, det_model, light)
-                with trace.phase('export/light_wvfm'), h5_lock:
+                with locked_phase('export/light_wvfm'):
                     export.export_light_wvfm_to_hdf5(
                         res['light_event_id'], res['light_waveforms'],
                         output_filename, sim, light, i_mod=i_mod)
