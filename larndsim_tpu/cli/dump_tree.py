@@ -18,9 +18,14 @@ Reference semantics preserved:
 - event filter: require a segment container named
   $ARCUBE_ACTIVE_VOLUME (default 'volTPCActive') unless keep_all_dets
   (:255-262), and only that container's hits are dumped (:362-365);
-- trajectories dumped = primaries + the ancestor lines of segment
-  contributors, with full kinematics (:299-340, :388-423); every
-  trajectory consumes a `file_traj_id` whether dumped or not (:300-302);
+- trajectories dumped = primaries + (on the first hit from a
+  not-yet-dumped contributor) the contributor's entire family — every
+  trajectory sharing its primary ancestor, contributing or not — with
+  full kinematics (:299-340, :341-361 family merge, :388-423); every
+  trajectory consumes a `file_traj_id` whether dumped or not (:300-302).
+  Row order within a family follows event-trajectory order (the
+  reference emits the reversed ancestor-walk order; consumers join by
+  ids, not row order);
 - segment `vertex_id`/`file_vertex_id`/`pdg_id` resolve through the
   first contributor's primary ancestor (:370-386, :424-425, :455);
 - chunked HDF5 appends every ~1000 trajectories (:240-249).
@@ -28,6 +33,7 @@ Reference semantics preserved:
 from __future__ import annotations
 
 import os
+import warnings
 
 import numpy as np
 
@@ -175,7 +181,12 @@ def dump(input_file: str, output_file: str,
     out = h5py.File(output_file, 'w')
     try:
         for ientry in range(int(n)):
-            tree.GetEntry(ientry)
+            nb = tree.GetEntry(ientry)
+            if nb is not None and nb <= 0:
+                # failed/empty read: skip, as the reference does
+                # (dumpTree.py:251-252) — proceeding would reprocess the
+                # previous entry's stale event object
+                continue
             event = tree.Event
             ev_id = event.EventId
             if event_spill_map:
@@ -234,15 +245,25 @@ def dump(input_file: str, output_file: str,
                     dumped.add(tid)
                     pending_traj += 1
 
-            def ancestor_line(tid):
-                """contributor -> ... -> primary (dumpTree.py:341-361)."""
-                line = []
+            def primary_of(tid):
+                """contributor -> its primary ancestor's track id
+                (dumpTree.py:341-361 walk, :383-386 vertex search)."""
                 while True:
-                    line.append(tid)
+                    if tid in vertex_map:
+                        return tid
                     parent = traj_by_id[tid].GetParentId()
                     if parent == -1 or parent not in traj_by_id:
-                        return line
+                        return tid
                     tid = parent
+
+            # family lists: primary track id -> every trajectory whose
+            # ancestor walk reaches it (the reference's merged `daughters`
+            # lists, dumpTree.py:341-361) — dumped wholesale on the first
+            # hit from a not-yet-dumped contributor (:388)
+            family: dict = {}
+            for traj in event.Trajectories:
+                family.setdefault(primary_of(traj.GetTrackId()),
+                                  []).append(traj.GetTrackId())
 
             for det_name, hits in event.SegmentDetectors:
                 if (not keep_all_dets) and det_name != active:
@@ -255,20 +276,25 @@ def dump(input_file: str, output_file: str,
                     contrib = int(hit.Contrib[0])
                     row['traj_id'] = contrib
                     row['file_traj_id'] = track_map[contrib]
-                    # resolve the contributor's primary ancestor and dump
-                    # any undumped trajectories along the line
-                    line = ancestor_line(contrib)
-                    primary_tid = next(
-                        (t for t in line if t in vertex_map), line[-1])
+                    primary_tid = primary_of(contrib)
+                    if primary_tid not in vertex_map:
+                        # rootless family (no registered primary particle):
+                        # the reference would leave the row's vertex fields
+                        # at their np.empty garbage after an IndexError
+                        # print (dumpTree.py:427-433); be explicit instead
+                        warnings.warn(
+                            f'event {ev_id}: contributor {contrib} has no '
+                            'primary-vertex ancestor; vertex ids set to 0')
                     vtx = vertex_map.get(primary_tid, 0)
                     fvtx = file_vertex_map.get(primary_tid, 0)
-                    for tid in reversed(line):
-                        if tid not in dumped:
-                            traj_rows.append(_traj_row(
-                                traj_by_id[tid], ev_id, vtx, fvtx,
-                                track_map[tid]))
-                            dumped.add(tid)
-                            pending_traj += 1
+                    if contrib not in dumped:
+                        for tid in family.get(primary_tid, [contrib]):
+                            if tid not in dumped:
+                                traj_rows.append(_traj_row(
+                                    traj_by_id[tid], ev_id, vtx, fvtx,
+                                    track_map[tid]))
+                                dumped.add(tid)
+                                pending_traj += 1
                     row['vertex_id'] = vtx
                     row['file_vertex_id'] = fvtx
                     start, stop = hit.GetStart(), hit.GetStop()

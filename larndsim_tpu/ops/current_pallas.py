@@ -609,18 +609,28 @@ def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
     shift = jnp.clip(shift, K0 - span, K0)
 
     n_rows = _round_up(resp_np.shape[0] * resp_np.shape[1] * ratio + 1, 8)
+    budget = SLAB_BUDGET_BYTES + 2 * 2 ** 20
+
+    def vmem_fit(t, quant):
+        """Whole-kernel VMEM footprint check for a candidate tick block
+        — the SAME math as the final guard below, so a (variant, t_blk)
+        choice made here can never trip that guard afterwards."""
+        w = _round_up(t + span + 1 + 256, quant)
+        return n_rows * w * slab_isz + s_blk * P * t * 4 <= budget
+
     if variant == 'auto':
         # folded:16 is 1.30x rows:16 on v5e (bit-identical); it needs a
-        # 1024-aligned tick block + slab, so fall back to rows when that
-        # slab would blow the VMEM budget (e.g. phase-split-heavy
-        # responses) or when the caller pinned an unaligned t_blk
-        w1024 = _round_up(1024 + span + 1 + 256, 1024)
-        fits = (n_rows * w1024 * slab_isz + s_blk * P * 1024 * 4
-                <= SLAB_BUDGET_BYTES + 2 * 2 ** 20)
-        aligned_ok = t_blk is None or \
-            t_blk % (128 if interpret else 1024) == 0
+        # 1024-aligned tick block + slab, so fall back to rows when no
+        # aligned tick block fits the VMEM budget (e.g. phase-split-heavy
+        # responses) or when the caller pinned an unaligned t_blk.  The
+        # fit is evaluated at the t_blk that folded would actually use:
+        # the pinned one, else the smallest default candidate (1024).
+        fq = 128 if interpret else 1024
+        aligned_ok = t_blk is None or t_blk % fq == 0
+        fits = vmem_fit(1024 if t_blk is None else t_blk, fq)
         variant = 'folded' if fits and aligned_ok else 'rows'
         folded_aligned = variant == 'folded' and not interpret
+    slab_quant = 1024 if folded_aligned else 128
     if t_blk is None:
         # bigger tick blocks amortize the per-(segment, pixel, step) scalar
         # work across fewer grid passes; covering the whole tick range in
@@ -633,26 +643,20 @@ def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
         if folded_aligned:
             t_one = min(max(_round_up(t_sig, 1024), 1024), 2048)
             candidates = (t_one, 1024)
-        elif variant.startswith('folded'):
-            t_one = min(max(_round_up(t_sig, 128), 256), 2048)
-            candidates = tuple(t for t in (t_one, 1024, 512, 256)
-                               if t % 128 == 0)
         else:
             t_one = min(max(_round_up(t_sig, 128), 256), 2048)
             candidates = (t_one, 1024, 512, 256)
         for t_blk in candidates:
-            out_blk = s_blk * P * t_blk * 4  # output VMEM block
-            if n_rows * _round_up(t_blk + span + 1 + 256, 128) * slab_isz \
-                    + out_blk <= SLAB_BUDGET_BYTES + 2 * 2 ** 20:
+            if vmem_fit(t_blk, slab_quant):
                 break
 
     t_sig_p = _round_up(t_sig, t_blk)
     # +256: aligned-window read (t_blk + 128 wide) starting at the
     # 128-aligned floor of the largest offset must stay in bounds.
     # Folded variants round the slab to whole 8-q-block (1024-tick)
-    # groups: the slab DMA's middle-axis offset/size must be 8-sublane
-    # aligned (see the alignment note above / tools/probe_folded.py)
-    slab_quant = 1024 if folded_aligned else 128
+    # groups (slab_quant=1024): the slab DMA's middle-axis offset/size
+    # must be 8-sublane aligned (see the alignment note above /
+    # tools/probe_folded.py)
     slab_w = _round_up(t_blk + span + 1 + 256, slab_quant)
 
     # VMEM guard: the slab must fit on chip.  The shift band scales with

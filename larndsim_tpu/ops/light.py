@@ -213,6 +213,8 @@ def sum_light_signals(segs: Segments, voxels, n_photons_det, op_channel,
     out = jnp.zeros((C, n_ticks), jnp.float32)
     det_rows = jnp.broadcast_to(jnp.arange(C)[None, :], (S, C))
 
+    if S == 0:
+        return out
     if lut_smearing:
         nprof = lut_time_dist.shape[4]
         # The tick index is per-(segment, profile-bin) — CHANNEL-

@@ -194,14 +194,19 @@ def _mk_events():
         Point(V4(100, 200, 0, 20), mom), Point(V4(100, 200, 50, 25), mom)])
     t2 = Trajectory(2, 1, 22, [
         Point(V4(100, 200, 50, 25), mom), Point(V4(110, 200, 50, 30), mom)])
-    # an unrelated secondary that contributes no segments: never dumped
+    # a non-contributing relative IN the contributor's family: the
+    # reference dumps the whole family on the first contributing hit
     t3 = Trajectory(3, 0, 2112, [
         Point(V4(0, 0, 0, 0), mom), Point(V4(0, 0, 1, 1), mom)])
+    # a rootless family (parent -1 but not a registered primary particle)
+    # with no segments: never dumped
+    t4 = Trajectory(4, -1, 211, [
+        Point(V4(0, 0, 0, 0), mom), Point(V4(0, 0, 2, 2), mom)])
     hit_act = Hit(V4(100, 200, 50, 1000), V4(110, 200, 50, 1200),
                   dE=2.5, contrib=[2])
     hit_cry = Hit(V4(0, 0, 0, 0), V4(10, 0, 0, 1), dE=9.0, contrib=[0])
     ev7 = Event(1, 7, [PrimaryVertex(V4(11, 22, 33, 44), [0])],
-                [t0, t1, t2, t3],
+                [t0, t1, t2, t3, t4],
                 [('volTPCActive', [hit_act]), ('volCryostat', [hit_cry])])
     ev8 = Event(1, 8, [PrimaryVertex(V4(0, 0, 0, 0), [0])],
                 [Trajectory(0, -1, 13, [Point(V4(0, 0, 0, 0), mom),
@@ -254,14 +259,17 @@ class TestDumpTree:
         assert s['vertex_id'] == 0
         assert s['file_vertex_id'] == 0
 
-        # trajectories: primary 0 + the contributor line (1, 2); the
-        # uninvolved secondary 3 is NOT dumped but still consumed a
-        # file id; event 8 was filtered before its trajectories
-        assert sorted(trajs['traj_id'].tolist()) == [0, 1, 2]
+        # trajectories: primary 0 + the contributor's ENTIRE family
+        # (1, 2, and the non-contributing relative 3 — dumpTree.py:388
+        # dumps the merged family list on the first contributing hit);
+        # the rootless non-contributing trajectory 4 is NOT dumped but
+        # still consumed a file id; event 8 was filtered entirely
+        assert sorted(trajs['traj_id'].tolist()) == [0, 1, 2, 3]
         byid = {int(r['traj_id']): r for r in trajs}
         assert bool(byid[0]['primary']) and not bool(byid[1]['primary'])
         assert byid[2]['file_traj_id'] == 2
         assert byid[1]['parent_id'] == 0
+        assert byid[3]['vertex_id'] == 0   # family vertex, no segments
         # kinematics of the primary: positions mm->cm, E from |p| & mass
         np.testing.assert_allclose(byid[0]['xyz_start'], [0, 0, 0])
         np.testing.assert_allclose(byid[0]['xyz_end'], [10, 20, 0])
@@ -317,7 +325,7 @@ class TestDumpTree:
         dump_tree.dump('in4.root', str(out), n_events=1, write_batch=1)
         with h5py.File(out) as f:
             assert len(f['segments']) == 1
-            assert len(f['trajectories']) == 3
+            assert len(f['trajectories']) == 4
 
     def test_missing_root_import_error(self, monkeypatch):
         monkeypatch.setitem(sys.modules, 'ROOT', None)
