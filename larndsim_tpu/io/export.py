@@ -555,13 +555,17 @@ def export_light_truth_to_hdf5(filename, truth_data: np.ndarray,
                                compression: str = 'lzf'):
     """Append light_wvfm_mc_assn records.
 
-    compression: 'lzf' (default) or 'none'.  The truth dataset is the
-    output's dominant volume (~300 MB/spill at production thresholds)
-    and this host's sustained buffered-write rate is ~50 MB/s, so the
-    shuffle+lzf filter (>3x on these records: small-int columns +
-    f8 pe_current with f32-zero mantissa tails) trades ~150 MB/s of CPU
-    for most of the write-back stall.  h5py reads it transparently;
-    the dtype/schema is unchanged."""
+    compression: 'lzf' (default) or 'none' (the reference creates
+    light_wvfm_mc_assn with no filter, light_sim.py:710).  The truth
+    dataset is the output's dominant volume (~300 MB/spill at production
+    thresholds) and shuffle+lzf shrinks it >3x (small-int columns + f8
+    pe_current with f32-zero mantissa tails) at ~0.7 s CPU per 128 MB.
+    Measured end-to-end A/B on the bench host (4 interleaved reps each,
+    2026-08): lzf 16-23 s/8 spills vs uncompressed 21-31 s — writing 3x
+    the bytes costs MORE wall-clock than the compression CPU here (page
+    cache absorbs the appends, but virtio writeback of the extra ~1.7 GB
+    steals the single core), so lzf is also the performance default.
+    h5py reads either transparently; the dtype/schema is unchanged."""
     if truth_data.shape[0] == 0:
         return
     with h5py.File(filename, 'a') as f:
