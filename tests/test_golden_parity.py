@@ -1110,3 +1110,44 @@ class TestLightExportGolden:
         for field in ref_out.dtype.names:
             np.testing.assert_array_equal(my_out[field], ref_out[field],
                                           err_msg=field)
+
+
+class TestServicePacketsGolden:
+    """fee.export_sync_to_hdf5 / export_timestamp_trigger_to_hdf5
+    (fee.py:361-497) vs io/export on identical inputs: packet words and
+    the null mc_packets_assn rows, field-exact."""
+
+    def _compare(self, f_ref, f_my):
+        import h5py
+        with h5py.File(f_ref) as fr, h5py.File(f_my) as fm:
+            pr, pm = np.asarray(fr['packets']), np.asarray(fm['packets'])
+            ar = np.asarray(fr['mc_packets_assn'])
+            am = np.asarray(fm['mc_packets_assn'])
+        assert len(pr) == len(pm) > 0
+        for field in pr.dtype.names:
+            np.testing.assert_array_equal(pm[field], pr[field],
+                                          err_msg=f'packets[{field}]')
+        assert len(ar) == len(am)
+        for field in ar.dtype.names:
+            np.testing.assert_array_equal(am[field], ar[field],
+                                          err_msg=f'assn[{field}]')
+
+    def test_sync_packets(self, tmp_path, ref, det_model, sim_params):
+        from larndsim_tpu.io import export as my_export
+        # module0 reset period = 1 s of 0.1 us ticks; three PPS edges
+        sync_times = np.array([0.0, 1.0e6, 2.0e6])
+        f_ref, f_my = str(tmp_path / 'ref.h5'), str(tmp_path / 'my.h5')
+        ref.fee.export_sync_to_hdf5(f_ref, sync_times)
+        my_export.export_sync_to_hdf5(f_my, sync_times, det_model,
+                                      sim_params)
+        self._compare(f_ref, f_my)
+
+    def test_timestamp_trigger_packets(self, tmp_path, ref, det_model,
+                                       sim_params, my_light):
+        from larndsim_tpu.io import export as my_export
+        event_start_times = np.array([0.45e6, 2.31e6, 2.34e6])
+        f_ref, f_my = str(tmp_path / 'ref.h5'), str(tmp_path / 'my.h5')
+        ref.fee.export_timestamp_trigger_to_hdf5(f_ref, event_start_times)
+        my_export.export_timestamp_trigger_to_hdf5(
+            f_my, event_start_times, det_model, my_light, sim_params)
+        self._compare(f_ref, f_my)
