@@ -1,0 +1,181 @@
+// Native shuffle + LZF chunk compressor for HDF5 direct-chunk writes.
+//
+// The light-truth dataset (light_wvfm_mc_assn) is the output file's
+// dominant volume (~300 MB/spill at production thresholds) and h5py's
+// generic shuffle+lzf filter pipeline runs at ~190-290 MB/s on the bench
+// host — the single biggest CPU consumer of the whole simulation once the
+// device chain is sub-second.  This module produces byte-streams readable
+// by the *standard* h5py lzf filter (H5Z filter 32000, same on-disk format
+// as liblzf) but compresses record chunks in one cache-friendly pass:
+// byte-plane shuffle of fixed-size records followed by a greedy
+// hash-chain LZF encode tuned for the long runs the shuffle produces.
+//
+// The encoder was written from the LZF stream format:
+//   ctrl < 0x20           : literal run of (ctrl+1) bytes follows
+//   ctrl >= 0x20, len < 9 : ((len-2)<<5) | ((dist-1)>>8), (dist-1)&0xff
+//   ctrl >= 0x20, len >= 9: (7<<5) | ((dist-1)>>8), len-9, (dist-1)&0xff
+// with dist in [1, 8192] and match length in [3, 264].  Output is
+// validated against h5py's own decompressor in tests/test_h5_direct.py.
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+constexpr int kHashLog = 16;
+constexpr int kHashSize = 1 << kHashLog;
+constexpr int kMaxDist = 8192;
+constexpr int kMaxMatch = 264;   // 2 + 7 + 255
+constexpr int kMaxLit = 32;
+
+inline uint32_t read32(const uint8_t* p) {
+    uint32_t v;
+    std::memcpy(&v, p, 4);
+    return v;
+}
+
+inline uint64_t read64(const uint8_t* p) {
+    uint64_t v;
+    std::memcpy(&v, p, 8);
+    return v;
+}
+
+inline uint32_t hash3(const uint8_t* p) {
+    // hash the full 4-byte window (match verification still only needs 3
+    // bytes); measured both faster AND a hair better ratio than the
+    // 3-byte hash on shuffled truth records — fewer collisions
+    return (read32(p) * 2654435761u) >> (32 - kHashLog);
+}
+
+// Greedy LZF encode of in[0..n) into out (capacity out_cap).
+// Returns compressed size, or 0 if the output would not fit (caller then
+// stores the shuffled-raw chunk with the lzf filter bit masked out).
+int lzf_encode(const uint8_t* in, int n, uint8_t* out, int out_cap) {
+    if (n <= 0) return 0;
+    int32_t htab[kHashSize];
+    for (int i = 0; i < kHashSize; ++i) htab[i] = -1;
+
+    int ip = 0, op = 0;
+    int lit_start = 0;  // first byte of the pending literal run
+
+    auto flush_literals = [&](int end) -> bool {
+        int len = end - lit_start;
+        while (len > 0) {
+            int take = len < kMaxLit ? len : kMaxLit;
+            if (op + 1 + take > out_cap) return false;
+            out[op++] = uint8_t(take - 1);
+            std::memcpy(out + op, in + lit_start, take);
+            op += take;
+            lit_start += take;
+            len -= take;
+        }
+        return true;
+    };
+
+    // skip-acceleration: after repeated probe misses advance faster
+    // through incompressible regions (costs a little ratio on borderline
+    // data, big speedup on the float-mantissa byte planes)
+    int misses = 0;
+    // stop 4 bytes from the end: hash3 loads a full 4-byte window (a
+    // trailing 3-byte match is forfeited; the tail flushes as literals)
+    while (ip < n - 3) {
+        uint32_t h = hash3(in + ip);
+        int32_t ref = htab[h];
+        htab[h] = ip;
+        if (ref >= 0 && ip - ref <= kMaxDist &&
+            (read32(in + ref) & 0xffffffu) == (read32(in + ip) & 0xffffffu)) {
+            misses = 0;
+            // extend the match 8 bytes at a time
+            int len = 3;
+            int max_len = n - ip;
+            if (max_len > kMaxMatch) max_len = kMaxMatch;
+            while (len + 8 <= max_len) {
+                uint64_t diff = read64(in + ref + len) ^ read64(in + ip + len);
+                if (diff) {
+                    len += __builtin_ctzll(diff) >> 3;
+                    goto extended;
+                }
+                len += 8;
+            }
+            while (len < max_len && in[ref + len] == in[ip + len]) ++len;
+        extended:
+            if (!flush_literals(ip)) return 0;
+            int dist = ip - ref - 1;          // stored distance - 1
+            int l = len - 2;
+            if (l < 7) {
+                if (op + 2 > out_cap) return 0;
+                out[op++] = uint8_t((l << 5) | (dist >> 8));
+                out[op++] = uint8_t(dist & 0xff);
+            } else {
+                if (op + 3 > out_cap) return 0;
+                out[op++] = uint8_t((7 << 5) | (dist >> 8));
+                out[op++] = uint8_t(l - 7);
+                out[op++] = uint8_t(dist & 0xff);
+            }
+            // seed the table inside the match (every other byte: cheap,
+            // keeps long-run chains findable)
+            int stop = ip + len - 2;
+            if (stop > n - 4) stop = n - 4;
+            for (int j = ip + 1; j <= stop; j += 2)
+                htab[hash3(in + j)] = j;
+            ip += len;
+            lit_start = ip;
+        } else {
+            ip += 1 + (misses >> 4);
+            ++misses;
+        }
+    }
+    if (!flush_literals(n)) return 0;
+    return op;
+}
+
+// Byte-plane shuffle: records of `rec` bytes; out[plane*n_rec + i] =
+// in[i*rec + plane] (HDF5 shuffle filter layout).
+void shuffle(const uint8_t* in, int nbytes, int rec, uint8_t* out) {
+    int n_rec = nbytes / rec;
+    for (int plane = 0; plane < rec; ++plane) {
+        const uint8_t* src = in + plane;
+        uint8_t* dst = out + plane * n_rec;
+        for (int i = 0; i < n_rec; ++i) dst[i] = src[int64_t(i) * rec];
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Compress `n_chunks` consecutive chunks of `chunk_bytes` each from `in`
+// (shuffle with record size `rec`, then LZF).  Scratch must hold
+// chunk_bytes.  out must hold n_chunks*chunk_bytes.  sizes[i] receives the
+// compressed size of chunk i, or chunk_bytes with flags[i]=1 when the
+// chunk is stored shuffled-raw (lzf bit masked).  Output for chunk i
+// starts at out + i*chunk_bytes.
+void shuffle_lzf_chunks(const uint8_t* in, int64_t n_chunks,
+                        int chunk_bytes, int rec, uint8_t* scratch,
+                        uint8_t* out, int32_t* sizes, uint8_t* flags) {
+    for (int64_t c = 0; c < n_chunks; ++c) {
+        const uint8_t* src = in + c * chunk_bytes;
+        uint8_t* dst = out + c * chunk_bytes;
+        shuffle(src, chunk_bytes, rec, scratch);
+        // require at least 1 byte of savings, like the HDF5 pipeline
+        int sz = lzf_encode(scratch, chunk_bytes, dst, chunk_bytes - 1);
+        if (sz > 0) {
+            sizes[c] = sz;
+            flags[c] = 0;
+        } else {
+            std::memcpy(dst, scratch, chunk_bytes);
+            sizes[c] = chunk_bytes;
+            flags[c] = 1;
+        }
+    }
+}
+
+// Single-chunk variant for the stitched head chunk / padded tail chunk.
+// `in` holds exactly chunk_bytes of record data (caller pads).
+int32_t shuffle_lzf_one(const uint8_t* in, int chunk_bytes, int rec,
+                        uint8_t* scratch, uint8_t* out, uint8_t* flag) {
+    int32_t size;
+    shuffle_lzf_chunks(in, 1, chunk_bytes, rec, scratch, out, &size, flag);
+    return size;
+}
+
+}  // extern "C"
