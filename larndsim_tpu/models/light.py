@@ -337,6 +337,31 @@ def _transfer_table_host(light: LightParams, conv_ticks: int, n_ticks: int,
     return T
 
 
+_TRANSFER_NZ0: dict = {}
+
+
+def _transfer_first_col(T: np.ndarray) -> np.ndarray:
+    """Suffix-min of each row's first nonzero column of the transfer
+    table: fc[t] = min_{t' >= t} argmin_s(T[t', s] != 0).
+
+    The light chain is causal — a photon arriving at tick t cannot touch
+    digitizer samples earlier than its own time — so T's rows lead with
+    zeros that grow with t.  A GEMM block bucketed at window start t_lo
+    can therefore skip output columns < fc[t_lo] entirely (roughly half
+    the FLOPs for arrival times uniform over the beam window).  The
+    suffix min makes the bound safe even if a kernel were acausal."""
+    hit = _TRANSFER_NZ0.get(id(T))
+    if hit is not None and hit[0] is T:
+        return hit[1]
+    nz = T != 0
+    first = np.where(nz.any(axis=1), nz.argmax(axis=1), T.shape[1])
+    fc = np.minimum.accumulate(first[::-1])[::-1].astype(np.int32)
+    if len(_TRANSFER_NZ0) > 8:
+        _TRANSFER_NZ0.clear()
+    _TRANSFER_NZ0[id(T)] = (T, fc)
+    return fc
+
+
 def _staged_truth_res(ph_rows: np.ndarray, it_rows: np.ndarray,
                       light: LightParams, threshold: float,
                       conv_ticks: int, n_ticks: int, digit_samples: int,
@@ -601,6 +626,7 @@ def _host_smeared_truth_sparse(ids_dev, contrib_dev, t0_dev, vox_dev,
         win = max(win, nprof + 2)   # narrower never advances the block loop
         order = np.argsort(row_lo, kind='stable')
         res = _scratch2d('res', rows.size, digit_samples, np.float32)
+        first_col = _transfer_first_col(T)
         i = 0
         while i < rows.size:
             t_lo = int(row_lo[order[i]])
@@ -616,7 +642,15 @@ def _host_smeared_truth_sparse(ids_dev, contrib_dev, t0_dev, vox_dev,
                       (np.repeat(np.arange(len(blk)), nprof),
                        (it_c[blk] - t_lo).reshape(-1)),
                       ph_all[blk].reshape(-1))
-            res[blk] = ph_blk @ T[t_lo:t_hi]
+            # causality: this block's rows cannot reach output samples
+            # before first_col[t_lo] — skip those columns of the GEMM
+            # (T[t_lo:t_hi, s0:] stays BLAS-able: lda = digit_samples)
+            s0 = int(first_col[t_lo])
+            if s0 > 0:
+                res[blk, :s0] = 0.0
+                res[blk, s0:] = ph_blk @ T[t_lo:t_hi, s0:]
+            else:
+                res[blk] = ph_blk @ T[t_lo:t_hi]
             i = jend
     _mark('gemm')
     return _emit_truth(res, rows, ids, op_channel, C, K, threshold,
