@@ -111,12 +111,16 @@ int lzf_encode(const uint8_t* in, int n, uint8_t* out, int out_cap) {
                 out[op++] = uint8_t(l - 7);
                 out[op++] = uint8_t(dist & 0xff);
             }
-            // seed the table inside the match (every other byte: cheap,
-            // keeps long-run chains findable)
+            // seed only the match edges: long-run data re-finds runs from
+            // the trailing seed, and skipping the interior beat denser
+            // seeding on BOTH speed and ratio in the recorded A/B
+            // (BENCHMARKS.md: edge 869-959 MB/s vs every-other-byte
+            // 712-752 MB/s, ratio 14.1 vs 13.8 on real truth records)
             int stop = ip + len - 2;
             if (stop > n - 4) stop = n - 4;
-            for (int j = ip + 1; j <= stop; j += 2)
-                htab[hash3(in + j)] = j;
+            if (ip + 1 <= stop) htab[hash3(in + ip + 1)] = ip + 1;
+            if (ip + 2 <= stop) htab[hash3(in + ip + 2)] = ip + 2;
+            if (stop > ip + 2) htab[hash3(in + stop)] = stop;
             ip += len;
             lit_start = ip;
         } else {
