@@ -452,22 +452,49 @@ def run_simulation(input_filename: str,
                             response=response_dev, lut=lut)]
         compute_pool = ThreadPoolExecutor(max_workers=n_dev) \
             if n_dev > 1 else None
+        # fused truth path: assembly workers compress HDF5 chunks in
+        # place of a second writer-thread pass over the ~300 MB/spill
+        # record block.  Needs the worker-claim order to equal the write
+        # order, which holds for the single-device inline dispatch only
+        # (multi-chip dispatch threads could claim out of order), and the
+        # native compressor.  LARNDSIM_FUSED_TRUTH=0 kills it.
+        truth_ledger = None
+        if (truth_executor is not None and n_dev == 1
+                and truth_compression == 'lzf'
+                and os.environ.get('LARNDSIM_FUSED_TRUTH', '1') != '0'
+                and export._native_h5lzf() is not None):
+            # seed with the dataset's current length: the executor (and
+            # ledger) are per-module, and earlier modules' truth appends
+            # have fully drained by this point (per-module shutdowns)
+            start0 = 0
+            if os.path.exists(output_filename):
+                import h5py
+                with h5py.File(output_filename, 'r') as _fh:
+                    if 'light_wvfm_mc_assn' in _fh:
+                        start0 = int(_fh['light_wvfm_mc_assn'].shape[0])
+            truth_ledger = light_model.TruthLedger(start0)
         #: ordered stream of pending work: ('job', payload-or-Future) for
         #: group compute, ('call', fn) for ordered file writes / flushes —
         #: drained FIFO so the output stream is identical for any n_dev
         actions: deque = deque()
 
-        def write_truth(ievd_t, trig_t, fut):
+        def write_truth(ievd_t, trig_t, fut, stamped=False):
             # runs on the single writer thread; blocks until the assembly
             # pool resolves fut (compute shows up under 'truth/worker')
             truth = fut.result()
+            if isinstance(truth, light_model.FusedTruthChunks):
+                # worker already compressed the chunks (trigger_id was
+                # stamped at emit via the TrigBox); just store them
+                with locked_phase('truth/h5'):
+                    export.export_light_truth_chunks(output_filename, truth)
+                light_model.recycle_chunk_buffer(truth.comp)
+                return
             with trace.phase('truth/stamp'):
                 if isinstance(truth, np.ndarray):
-                    # worker assembled TRUTH_DTYPE records with event_id
-                    # already threaded in (free during the cache-resident
-                    # per-channel fill); only the running trigger offset
-                    # is unknown at assembly-submission time
-                    truth['trigger_id'] = trig_t
+                    if not stamped:
+                        # worker assembled TRUTH_DTYPE records but had no
+                        # trigger offset (no trig_box): one extra pass
+                        truth['trigger_id'] = trig_t
                 else:
                     truth = export.truth_sparse_to_records(truth, ievd_t,
                                                            trig_t)
@@ -615,11 +642,17 @@ def run_simulation(input_filename: str,
                         output_filename, truth,
                         compression=truth_compression)
             elif lres.truth_future is not None:
+                if lres.trig_box is not None:
+                    # hand the worker its trigger offset BEFORE enqueueing
+                    # the ordered write (any later drain of that write can
+                    # then never deadlock on an unfilled box), so the
+                    # records arrive pre-stamped
+                    lres.trig_box.set(i_light_trig)
                 # ordered writer: FIFO keeps record order identical to
                 # inline writes for any assembly parallelism
                 pending_truth.append(truth_writer.submit(
                     write_truth, int(ievd_l), i_light_trig,
-                    lres.truth_future))
+                    lres.truth_future, stamped=lres.trig_box is not None))
             i_light_trig += ntrig
 
         def compute_group(group_local, gseq, light_plan, ctx):
@@ -674,7 +707,8 @@ def run_simulation(input_filename: str,
                             segs_g, det_model_c, light_c, sim, inc_g, vox_g,
                             lut_c, light_noise, key_mod, ev_ids,
                             op_channel_sim,
-                            truth_executor=truth_executor)
+                            truth_executor=truth_executor,
+                            truth_ledger=truth_ledger)
                     for (ievd_l, _), lres in zip(grouped, lres_list):
                         light_payloads.append((int(ievd_l), lres))
 
@@ -696,7 +730,8 @@ def run_simulation(input_filename: str,
                             key_l, i_subbatch=i_sub,
                             op_channel=op_channel_sim, t0_det=t0_batch,
                             truth_executor=truth_executor,
-                            event_id=int(ievd_l))
+                            event_id=int(ievd_l),
+                            truth_ledger=truth_ledger)
                     light_payloads.append((int(ievd_l), lres))
 
             with trace.phase('charge_batch'):

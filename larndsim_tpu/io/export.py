@@ -600,11 +600,13 @@ def _append_direct_lzf(ds, new: np.ndarray, lib):
     # shuffle filter is pipeline index 0, lzf index 1; a set bit skips
     # that filter for the chunk (we always shuffle, skip lzf when the
     # chunk is incompressible — same policy as the HDF5 pipeline)
+    out_mv = memoryview(out)
+
     def _write_one(buf_ptr, chunk_idx):
         lib.shuffle_lzf_chunks(buf_ptr, 1, cb, rec, scratch, out,
                                size1, flag1)
         ds.id.write_direct_chunk((chunk_idx * chunk,),
-                                 ctypes.string_at(out, size1[0]),
+                                 out_mv[:size1[0]],
                                  filter_mask=2 if flag1[0] else 0)
 
     pos = 0                      # consumed rows of `new`
@@ -634,9 +636,9 @@ def _append_direct_lzf(ds, new: np.ndarray, lib):
             k = min(slab, n_full - s0)
             lib.shuffle_lzf_chunks(body.ctypes.data + s0 * cb, k, cb, rec,
                                    scratch, outs, sizes, flags)
-            base = ctypes.addressof(outs)
+            mv = memoryview(outs)
             for j in range(k):
-                data = ctypes.string_at(base + j * cb, sizes[j])
+                data = mv[j * cb: j * cb + sizes[j]]
                 mask = 2 if flags[j] else 0
                 ds.id.write_direct_chunk(((i_chunk + s0 + j) * chunk,),
                                          data, filter_mask=mask)
@@ -682,6 +684,48 @@ def export_light_truth_to_hdf5(filename, truth_data: np.ndarray,
             _append_direct_lzf(ds, truth_data, lib)
         else:
             _append_dataset(f, 'light_wvfm_mc_assn', truth_data)
+
+
+def export_light_truth_chunks(filename, fused) -> None:
+    """Store worker-precompressed truth chunks (models.light
+    FusedTruthChunks): raw head records stitch the dataset's current
+    partial chunk, the LZF'd full chunks go down via write_direct_chunk
+    untouched, and raw tail records form the new partial.  The dataset is
+    identical byte-for-byte to the unfused append path (same chunking,
+    same filters, plain-h5py readable)."""
+    if fused.total == 0:
+        return
+    lib = _native_h5lzf()
+    if lib is None:
+        raise RuntimeError('fused truth chunks require the native '
+                           'compressor (enable gate should prevent this)')
+    with h5py.File(filename, 'a') as f:
+        if 'light_wvfm_mc_assn' not in f:
+            f.create_dataset('light_wvfm_mc_assn',
+                             shape=(0,), dtype=fused.head.dtype,
+                             maxshape=(None,), chunks=(_TRUTH_CHUNK,),
+                             compression='lzf', shuffle=True)
+        ds = f['light_wvfm_mc_assn']
+        if ds.shape[0] != fused.start_offset:
+            raise RuntimeError(
+                f'truth ledger desync: dataset has {ds.shape[0]} rows, '
+                f'worker compressed for offset {fused.start_offset}')
+        if len(fused.head):
+            _append_direct_lzf(ds, fused.head, lib)
+        if fused.n_chunks:
+            n0 = ds.shape[0]
+            assert n0 % _TRUTH_CHUNK == 0, 'head did not align the chunk'
+            ds.resize(n0 + fused.n_chunks * _TRUTH_CHUNK, axis=0)
+            mv = memoryview(np.ascontiguousarray(fused.comp))
+            stride = fused.comp_stride
+            for j in range(fused.n_chunks):
+                o = j * stride
+                ds.id.write_direct_chunk(
+                    (n0 + j * _TRUTH_CHUNK,),
+                    mv[o:o + int(fused.sizes[j])],
+                    filter_mask=2 if fused.flags[j] else 0)
+        if len(fused.tail):
+            _append_direct_lzf(ds, fused.tail, lib)
 
 
 def export_light_wvfm_to_hdf5(event_id, waveforms, filename,

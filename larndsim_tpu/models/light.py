@@ -45,6 +45,102 @@ class LightBatchResult:
     # thread; the caller drains completed futures and writes on its own
     # thread to keep HDF5 access single-threaded)
     truth_future: object | None = None
+    # one-slot box the orchestrator fills with the event's running light
+    # trigger offset (set in accumulate order, before the ordered write is
+    # enqueued); the truth worker blocks on it just before record emission
+    # so trigger_id is written once at assembly instead of by a second
+    # full pass over the ~300 MB record block on the writer thread
+    trig_box: "TrigBox | None" = None
+
+
+class TruthLedger:
+    """Ordered chain of truth-dataset row offsets across fused workers.
+
+    The fused truth path compresses HDF5 chunks *inside* the assembly
+    worker, which requires knowing where this event's records land in the
+    dataset (chunk boundaries are global).  Each submission claims a
+    sequence number; the worker waits for its predecessor's published end
+    offset, emits, and publishes its own.  With the default single worker
+    thread the wait is always already satisfied; with N workers the FIFO
+    pool keeps the chain deadlock-free (a predecessor is always running
+    or finished).  Counts publish right after the count pass, before the
+    heavy emit, so successors overlap."""
+
+    def __init__(self, start: int = 0):
+        self._cv = threading.Condition()
+        self._offsets: dict[int, int] = {0: int(start)}
+        self._seq = 0
+        self._poisoned = False
+
+    def claim(self) -> int:
+        with self._cv:
+            s = self._seq
+            self._seq += 1
+            return s
+
+    def wait_prev(self, seq: int, timeout: float = 120.0) -> int:
+        with self._cv:
+            ok = self._cv.wait_for(
+                lambda: seq in self._offsets or self._poisoned, timeout)
+            if self._poisoned:
+                raise RuntimeError('truth ledger poisoned by an earlier '
+                                   'worker failure')
+            if not ok:
+                raise RuntimeError('truth ledger predecessor never '
+                                   'published (worker chain broke)')
+            off = self._offsets[seq]
+            self._offsets.pop(seq - 1, None)   # keep the dict tiny
+            return off
+
+    def publish(self, seq: int, end: int) -> None:
+        with self._cv:
+            self._offsets[seq + 1] = int(end)
+            self._cv.notify_all()
+
+    def poison(self) -> None:
+        with self._cv:
+            self._poisoned = True
+            self._cv.notify_all()
+
+
+@dataclasses.dataclass
+class FusedTruthChunks:
+    """Worker-compressed truth records: raw head/tail partials + LZF'd
+    full chunks, ready for write_direct_chunk at start_offset."""
+    start_offset: int
+    total: int
+    head: np.ndarray          # TRUTH_DTYPE records completing the
+                              # dataset's current partial chunk
+    comp: np.ndarray          # (n_chunks * comp_stride,) uint8
+    comp_stride: int
+    sizes: np.ndarray         # (n_chunks,) int32 compressed bytes
+    flags: np.ndarray         # (n_chunks,) uint8, 1 = stored shuffled-raw
+    n_chunks: int
+    tail: np.ndarray          # TRUTH_DTYPE records of the new partial
+
+
+class TrigBox:
+    """One-slot handoff of the running trigger offset to a truth worker."""
+    __slots__ = ('_ev', '_val')
+
+    def __init__(self):
+        self._ev = threading.Event()
+        self._val = 0
+
+    def set(self, value: int) -> None:
+        self._val = int(value)
+        self._ev.set()
+
+    def get(self, timeout: float = 120.0) -> int:
+        # the orchestrator sets the box on the accumulate path for every
+        # submitted worker, normally well under a second after submission;
+        # a timeout means that invariant broke (e.g. the orchestrator died
+        # between submit and accumulate) — raise so the worker thread
+        # exits instead of wedging executor shutdown
+        if not self._ev.wait(timeout):
+            raise RuntimeError('trigger offset was never provided to the '
+                               'truth worker (orchestrator invariant broke)')
+        return self._val
 
 
 
@@ -513,7 +609,9 @@ def _host_smeared_truth_sparse(ids_dev, contrib_dev, t0_dev, vox_dev,
                                _force_slow: bool = False,
                                as_records: bool = False,
                                staged: bool = False,
-                               event_id: int = 0):
+                               event_id: int = 0,
+                               trig_get=None,
+                               ledger=None, seq=None):
     """Smeared-truth records recomputed on the host worker thread.
 
     Only (C, K)-sized contributor metadata crosses the device->host link
@@ -569,6 +667,8 @@ def _host_smeared_truth_sparse(ids_dev, contrib_dev, t0_dev, vox_dev,
     act = photons.any(axis=-1).reshape(C * K)
     rows = np.nonzero(act)[0]
     if rows.size == 0:
+        if ledger is not None:           # keep the offset chain moving
+            ledger.publish(seq, ledger.wait_prev(seq))
         if as_records:
             from ..io.export import TRUTH_DTYPE
             return np.empty(0, TRUTH_DTYPE)
@@ -594,7 +694,9 @@ def _host_smeared_truth_sparse(ids_dev, contrib_dev, t0_dev, vox_dev,
         _mark('gemm')
         return _emit_truth(res, rows, ids, op_channel, C, K, threshold,
                            as_records, digit_samples, _mark, prof_t,
-                           keep_override=keep_st, event_id=event_id)
+                           keep_override=keep_st, event_id=event_id,
+                           trigger_id=trig_get() if trig_get else 0,
+                           ledger=ledger, seq=seq)
 
     T = _transfer_table_host(light, conv_ticks, n_ticks, digit_samples,
                              pad_front, n_ticks + pad_front + pad_back)
@@ -653,9 +755,14 @@ def _host_smeared_truth_sparse(ids_dev, contrib_dev, t0_dev, vox_dev,
                 res[blk] = ph_blk @ T[t_lo:t_hi]
             i = jend
     _mark('gemm')
+    # resolve the running trigger offset as late as possible: the box is
+    # filled on the accumulate path, which by now has long since run for
+    # this event (the GEMM above takes ~100x the dispatch->accumulate gap)
     return _emit_truth(res, rows, ids, op_channel, C, K, threshold,
                        as_records, digit_samples, _mark, prof_t,
-                       event_id=event_id)
+                       event_id=event_id,
+                       trigger_id=trig_get() if trig_get else 0,
+                       ledger=ledger, seq=seq)
 
 
 _TRUTH_EMIT_LIB = None
@@ -682,13 +789,132 @@ def _truth_emit_lib():
             lib.truth_count.argtypes = [ctypes.c_void_p, i64, i64, f64]
             lib.truth_emit.restype = None
             lib.truth_emit.argtypes = [ctypes.c_void_p] * 5 \
-                + [i64, i64, i64, f64, i32, ctypes.c_void_p]
+                + [i64, i64, i64, f64, i32, i32, ctypes.c_void_p]
         _TRUTH_EMIT_LIB = (lib,)
     return _TRUTH_EMIT_LIB[0]
 
 
+_TRUTH_CHUNKS_LIB = None
+_CHUNKBUF_POOL: list = []
+
+
+def _truth_chunks_lib():
+    """ctypes handle to native/truth_chunks.cpp (None: unfused path)."""
+    global _TRUTH_CHUNKS_LIB
+    if _TRUTH_CHUNKS_LIB is None:
+        import ctypes
+        from ..io.export import TRUTH_DTYPE
+        from ..native import load_library
+        lib = load_library('truth_chunks')
+        expected = {'trigger_id': 0, 'op_channel_id': 4, 'tick': 8,
+                    'event_id': 12, 'segment_id': 16, 'pe_current': 24}
+        if TRUTH_DTYPE.itemsize != 32 or any(
+                TRUTH_DTYPE.fields[k][1] != v for k, v in expected.items()):
+            lib = None
+        if lib is not None:
+            i64, i32, f64 = (ctypes.c_int64, ctypes.c_int32,
+                             ctypes.c_double)
+            lib.truth_chunks_count.restype = i64
+            lib.truth_chunks_count.argtypes = [ctypes.c_void_p, i64, i64,
+                                               f64]
+            lib.truth_emit_chunks.restype = None
+            lib.truth_emit_chunks.argtypes = (
+                [ctypes.c_void_p] * 5 + [i64, i64, i64, f64, i32, i32,
+                                         i64, i64, i64]
+                + [ctypes.c_void_p] * 4
+                + [ctypes.c_void_p, i64, ctypes.c_void_p, ctypes.c_void_p])
+        _TRUTH_CHUNKS_LIB = (lib,)
+    return _TRUTH_CHUNKS_LIB[0]
+
+
+def _chunkbuf_take(n: int) -> np.ndarray:
+    """Pooled uint8 buffer for worker-compressed chunk output (same
+    page-fault economics as _rec_take: fresh large mmaps fault slowly
+    under CPU steal, warm buffers don't)."""
+    if n <= 0:
+        return np.empty(0, np.uint8)
+    with _REC_LOCK:
+        best = -1
+        for i, b in enumerate(_CHUNKBUF_POOL):
+            if b.shape[0] >= n and (best < 0
+                                    or b.shape[0]
+                                    < _CHUNKBUF_POOL[best].shape[0]):
+                best = i
+        if best >= 0:
+            return _CHUNKBUF_POOL.pop(best)[:n]
+    return np.empty(max(int(n * 1.25), 1 << 20), np.uint8)[:n]
+
+
+def recycle_chunk_buffer(arr: np.ndarray) -> None:
+    """Return a fused-chunk output buffer once its writer is done."""
+    if arr.size == 0:
+        return
+    base = arr.base if isinstance(arr.base, np.ndarray) else arr
+    if base.dtype == np.uint8 and base.flags.owndata:
+        with _REC_LOCK:
+            _CHUNKBUF_POOL.append(base)
+            while len(_CHUNKBUF_POOL) > _REC_POOL_BOUND[0]:
+                _CHUNKBUF_POOL.sort(key=lambda b: b.shape[0])
+                _CHUNKBUF_POOL.pop(0)
+
+
+def _emit_truth_chunks_native(res, rows_k, c_starts, op_channel, ids, C, K,
+                              digit_samples, threshold, event_id,
+                              trigger_id, ledger, seq):
+    """Fused emit+shuffle+LZF in the worker (native/truth_chunks.cpp).
+
+    The ~300 MB/spill record block never materializes: records stream
+    through a 1 MiB staging chunk that is compressed as it fills, and the
+    writer thread only stores the precompressed chunks
+    (io/export.export_light_truth_chunks).  Returns None when the native
+    toolchain is unavailable (caller falls back to plain records and is
+    then responsible for the ledger handshake)."""
+    from ..io.export import TRUTH_DTYPE, _TRUTH_CHUNK
+    lib = _truth_chunks_lib()
+    if lib is None:
+        return None
+    res_c = np.ascontiguousarray(res, np.float32)
+    rows_k = np.ascontiguousarray(rows_k, np.int32)
+    c_starts = np.ascontiguousarray(c_starts, np.int64)
+    op_c = np.ascontiguousarray(op_channel, np.int32)
+    ids_c = np.ascontiguousarray(ids, np.int64)
+    total = int(lib.truth_chunks_count(res_c.ctypes.data, res_c.shape[0],
+                                       digit_samples, float(threshold)))
+    off = ledger.wait_prev(seq)
+    chunk = _TRUTH_CHUNK
+    start_mod = off % chunk
+    head_cap = min(total, (chunk - start_mod) % chunk)
+    n_chunks = (total - head_cap) // chunk
+    tail_n = total - head_cap - n_chunks * chunk
+    cb = chunk * TRUTH_DTYPE.itemsize
+    head = np.empty(head_cap, TRUTH_DTYPE)
+    tail = np.empty(tail_n, TRUTH_DTYPE)
+    staging = _scratch2d('chunk_stage', chunk, TRUTH_DTYPE.itemsize,
+                         np.uint8)
+    shuf = _scratch2d('chunk_shuf', chunk, TRUTH_DTYPE.itemsize, np.uint8)
+    comp = _chunkbuf_take(n_chunks * cb)
+    sizes = np.empty(max(n_chunks, 1), np.int32)
+    flags = np.empty(max(n_chunks, 1), np.uint8)
+    # publish before the heavy emit: successors only need the offset, and
+    # a failure below poisons the ledger via _worker_smeared_truth anyway
+    ledger.publish(seq, off + total)
+    if total:
+        lib.truth_emit_chunks(
+            res_c.ctypes.data, rows_k.ctypes.data, c_starts.ctypes.data,
+            op_c.ctypes.data, ids_c.ctypes.data, C, K, digit_samples,
+            float(threshold), int(event_id), int(trigger_id),
+            head_cap, n_chunks, chunk,
+            head.ctypes.data, tail.ctypes.data, staging.ctypes.data,
+            shuf.ctypes.data, comp.ctypes.data, cb,
+            sizes.ctypes.data, flags.ctypes.data)
+    return FusedTruthChunks(
+        start_offset=off, total=total, head=head, comp=comp,
+        comp_stride=cb, sizes=sizes[:n_chunks], flags=flags[:n_chunks],
+        n_chunks=n_chunks, tail=tail)
+
+
 def _emit_truth_native(res, rows_k, c_starts, op_channel, ids, C, K,
-                       digit_samples, threshold, event_id):
+                       digit_samples, threshold, event_id, trigger_id):
     """One-pass fused threshold+emit via native/truth_emit.cpp.
 
     Replaces the per-channel transpose + nonzero + per-field strided
@@ -712,14 +938,15 @@ def _emit_truth_native(res, rows_k, c_starts, op_channel, ids, C, K,
         lib.truth_emit(res_c.ctypes.data, rows_k.ctypes.data,
                        c_starts.ctypes.data, op_c.ctypes.data,
                        ids_c.ctypes.data, C, K, digit_samples,
-                       float(threshold), int(event_id),
+                       float(threshold), int(event_id), int(trigger_id),
                        out_rec.ctypes.data)
     return out_rec
 
 
 def _emit_truth(res, rows, ids, op_channel, C, K, threshold, as_records,
                 digit_samples, _mark, prof_t, keep_override=None,
-                event_id: int = 0):
+                event_id: int = 0, trigger_id: int = 0,
+                ledger=None, seq=None):
     """Zero-suppress (rows, S) truth values into records/dict output.
 
     Record order is (channel, tick, contributor) major — no lexsort:
@@ -730,12 +957,27 @@ def _emit_truth(res, rows, ids, op_channel, C, K, threshold, as_records,
     if as_records:
         rows_k = (rows % K).astype(np.int32)
         c_starts = np.searchsorted(rows // K, np.arange(C + 1))
+        if keep_override is None and ledger is not None:
+            fused = _emit_truth_chunks_native(
+                res, rows_k, c_starts, op_channel, ids, C, K,
+                digit_samples, threshold, event_id, trigger_id,
+                ledger, seq)
+            if fused is not None:
+                _mark('records')
+                if prof_t is not None:
+                    print('truth_prof:',
+                          {k: round(v, 3) for k, v in prof_t.items()},
+                          flush=True)
+                return fused
         if keep_override is None:
             native = _emit_truth_native(res, rows_k, c_starts, op_channel,
                                         ids, C, K, digit_samples, threshold,
-                                        event_id)
+                                        event_id, trigger_id)
             if native is not None:
                 _mark('records')
+                if ledger is not None:   # unfused fallback keeps the chain
+                    ledger.publish(seq, ledger.wait_prev(seq)
+                                   + native.shape[0])
                 if prof_t is not None:
                     print('truth_prof:',
                           {k: round(v, 3) for k, v in prof_t.items()},
@@ -765,12 +1007,14 @@ def _emit_truth(res, rows, ids, op_channel, C, K, threshold, as_records,
             keep_c = np.ascontiguousarray(keep_all[i0:i1].T)
             s_i, k_i = np.nonzero(keep_c)
             view = out_rec[o0:o1]
-            view['trigger_id'] = 0
+            view['trigger_id'] = trigger_id
             view['op_channel_id'] = op_channel[c]
             view['tick'] = s_i
             view['event_id'] = event_id
             view['segment_id'] = ids[c, rows_k[i0:i1][k_i]]
             view['pe_current'] = sub_t[s_i, k_i]
+        if ledger is not None:           # unfused fallback keeps the chain
+            ledger.publish(seq, ledger.wait_prev(seq) + out_rec.shape[0])
         _mark('records')
         if prof_t is not None:
             print('truth_prof:', {k: round(v, 3) for k, v in prof_t.items()},
@@ -799,9 +1043,16 @@ def _emit_truth(res, rows, ids, op_channel, C, K, threshold, as_records,
 def _worker_smeared_truth(*args, **kw):
     """Truth-worker entry: phase-labeled so the wall-clock table attributes
     the host recompute to 'truth/worker' instead of whichever main-thread
-    phase blocks on it."""
-    with trace.phase('truth/worker'):
-        return _host_smeared_truth_sparse(*args, **kw)
+    phase blocks on it.  A failure poisons the offset ledger so successor
+    workers fail fast instead of waiting out the chain timeout."""
+    try:
+        with trace.phase('truth/worker'):
+            return _host_smeared_truth_sparse(*args, **kw)
+    except BaseException:
+        ledger = kw.get('ledger')
+        if ledger is not None:
+            ledger.poison()
+        raise
 
 
 def _tight_bucket(n: int, lo: int = 16384) -> int:
@@ -899,7 +1150,9 @@ def simulate_light_batch(segs: Segments, det_model: DetectorModel,
                          t0_det=None, max_ticks: int = 50_000,
                          add_noise: bool = True,
                          truth_executor=None,
-                         event_id: int = 0) -> LightBatchResult:
+                         event_id: int = 0,
+                         truth_ledger: TruthLedger | None = None
+                         ) -> LightBatchResult:
     """Run the light chain for one batch.
 
     Args:
@@ -1054,14 +1307,18 @@ def simulate_light_batch(segs: Segments, det_model: DetectorModel,
             truth_ids_dev, amp, itick, kernel, trigger_idx, light,
             digit_samples, op_channel, sim.mc_truth_threshold)
     truth_future = None
+    trig_box = None
     if truth_sparse is None and smear_args is not None:
         # host recompute from tiny contributor metadata, off the
         # orchestration thread (the device work is already enqueued so the
         # main thread can keep dispatching the next batch)
         if truth_executor is not None:
+            trig_box = TrigBox()
+            seq = truth_ledger.claim() if truth_ledger is not None else None
             truth_future = truth_executor.submit(
                 _worker_smeared_truth, *smear_args, as_records=True,
-                staged=sim.ref_exact_truth_staging, event_id=event_id)
+                staged=sim.ref_exact_truth_staging, event_id=event_id,
+                trig_get=trig_box.get, ledger=truth_ledger, seq=seq)
         else:
             truth_sparse = _host_smeared_truth_sparse(
                 *smear_args, staged=sim.ref_exact_truth_staging)
@@ -1087,6 +1344,7 @@ def simulate_light_batch(segs: Segments, det_model: DetectorModel,
         truth_waveforms=None,
         truth_sparse=truth_sparse,
         truth_future=truth_future,
+        trig_box=trig_box,
     )
 
 
@@ -1096,7 +1354,9 @@ def simulate_light_group(segs_g: Segments, det_model: DetectorModel,
                          light_noise, key_mod, event_ids,
                          op_channel: np.ndarray,
                          add_noise: bool = True,
-                         truth_executor=None) -> list[LightBatchResult]:
+                         truth_executor=None,
+                         truth_ledger: TruthLedger | None = None
+                         ) -> list[LightBatchResult]:
     """G independent beam-mode events in ONE device dispatch.
 
     Bit-identical to G solo :func:`simulate_light_batch` calls with
@@ -1186,7 +1446,7 @@ def simulate_light_group(segs_g: Segments, det_model: DetectorModel,
     out = []
     trigger_idx = np.zeros(1, int)
     for g in range(G):
-        truth_sparse = truth_future = truth_ids = None
+        truth_sparse = truth_future = truth_ids = trig_box = None
         if do_truth:
             truth_ids = ids_h[g]
             truth_sparse = _host_truth_sparse(
@@ -1198,10 +1458,14 @@ def simulate_light_group(segs_g: Segments, det_model: DetectorModel,
                     op_channel, light, sim.mc_truth_threshold, conv_ticks,
                     n_ticks, digit_samples, pad_front, pad_back, 0.0)
             if truth_executor is not None:
+                trig_box = TrigBox()
+                seq = (truth_ledger.claim()
+                       if truth_ledger is not None else None)
                 truth_future = truth_executor.submit(
                     _worker_smeared_truth, *args, as_records=True,
                     staged=sim.ref_exact_truth_staging,
-                    event_id=int(np.asarray(event_ids)[g]))
+                    event_id=int(np.asarray(event_ids)[g]),
+                    trig_get=trig_box.get, ledger=truth_ledger, seq=seq)
             else:
                 truth_sparse = _host_smeared_truth_sparse(
                     *args, staged=sim.ref_exact_truth_staging)
@@ -1216,5 +1480,6 @@ def simulate_light_group(segs_g: Segments, det_model: DetectorModel,
             truth_waveforms=None,
             truth_sparse=truth_sparse,
             truth_future=truth_future,
+            trig_box=trig_box,
         ))
     return out

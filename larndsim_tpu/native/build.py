@@ -5,6 +5,7 @@ import ctypes
 import hashlib
 import os
 import pathlib
+import re
 import subprocess
 
 _DIR = pathlib.Path(__file__).parent
@@ -17,7 +18,16 @@ def load_library(name: str) -> ctypes.CDLL | None:
         return _CACHE[name]
     src = _DIR / f'{name}.cpp'
     code = src.read_bytes()
-    tag = hashlib.sha1(code).hexdigest()[:12]
+    # the cache tag must cover local headers too, or edits to a shared
+    # #include "x.h" would silently keep serving the stale .so
+    h = hashlib.sha1(code)
+    for inc in sorted(set(
+            m.decode() for m in
+            re.findall(rb'#include\s+"([^"]+)"', code))):
+        inc_path = _DIR / inc
+        if inc_path.exists():
+            h.update(inc_path.read_bytes())
+    tag = h.hexdigest()[:12]
     build_dir = _DIR / 'build'
     so_path = build_dir / f'{name}-{tag}.so'
     lib = None

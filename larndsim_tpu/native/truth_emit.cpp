@@ -8,8 +8,9 @@
 // sequentially does the same work in one pass over the output.
 //
 // Record layout must match io/export.TRUTH_DTYPE (packed, 32 bytes):
-//   [0]  int32  trigger_id   (always 0 here; the writer thread stamps the
-//                             running trigger offset)
+//   [0]  int32  trigger_id   (the running trigger offset when the worker
+//                             resolved it pre-emit; 0 otherwise, and the
+//                             writer thread stamps it afterwards)
 //   [4]  int32  op_channel_id
 //   [8]  int32  tick
 //   [12] int32  event_id
@@ -38,7 +39,8 @@ extern "C" void truth_emit(const float* res, const int32_t* rows_k,
                            const int64_t* c_starts,
                            const int32_t* op_channel, const int64_t* ids,
                            int64_t C, int64_t K, int64_t S,
-                           double threshold, int32_t event_id, char* out) {
+                           double threshold, int32_t event_id,
+                           int32_t trigger_id, char* out) {
     const float thr = (float)threshold;
     char* p = out;
     for (int64_t c = 0; c < C; ++c) {
@@ -50,7 +52,7 @@ extern "C" void truth_emit(const float* res, const int32_t* rows_k,
             for (int64_t r = r0; r < r1; ++r) {
                 const float v = res[r * S + s];
                 if (std::fabs(v) > thr) {
-                    *(int32_t*)(p + 0) = 0;
+                    *(int32_t*)(p + 0) = trigger_id;
                     *(int32_t*)(p + 4) = oc;
                     *(int32_t*)(p + 8) = (int32_t)s;
                     *(int32_t*)(p + 12) = event_id;

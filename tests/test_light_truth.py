@@ -346,3 +346,67 @@ class TestNativeEmit:
     def test_all_suppressed(self):
         nat, ref = self._emit_both(threshold=1e9)
         assert len(nat) == len(ref) == 0
+
+
+class TestFusedChunks:
+    """native/truth_chunks.cpp fused emit+compress vs the record path.
+
+    Drives multiple events through the ledger so the second event starts
+    mid-chunk (head stitching), with enough records to cross several full
+    1 MiB chunk boundaries, and validates the stored dataset byte-for-byte
+    against plain-record appends read back by stock h5py."""
+
+    def _make_event(self, seed, n_rows=96, S=1024, C=8, K=16):
+        rng = np.random.default_rng(seed)
+        rows = np.sort(rng.choice(C * K, size=n_rows, replace=False))
+        res = rng.normal(0, 1, (rows.size, S)).astype(np.float32)
+        ids = rng.integers(0, 10 ** 6, (C, K)).astype(np.int64)
+        op = (np.arange(C) * 3).astype(np.int64)
+        return res, rows, ids, op, C, K, S
+
+    def test_fused_dataset_identical(self, tmp_path):
+        from larndsim_tpu.io import export
+        from larndsim_tpu.models import light as lm
+        if lm._truth_chunks_lib() is None:
+            pytest.skip('no native toolchain')
+        threshold = 0.05            # keeps ~96% -> ~94k records/event
+        f_fused = str(tmp_path / 'fused.h5')
+        f_plain = str(tmp_path / 'plain.h5')
+        ledger = lm.TruthLedger(0)
+        for ev, seed in enumerate((3, 4, 5)):
+            res, rows, ids, op, C, K, S = self._make_event(seed)
+            args = (res, rows, ids, op, C, K, threshold, True, S,
+                    lambda n: None, None)
+            seq = ledger.claim()
+            fused = lm._emit_truth(*args, event_id=ev, trigger_id=ev + 7,
+                                   ledger=ledger, seq=seq)
+            assert isinstance(fused, lm.FusedTruthChunks)
+            if ev > 0:
+                # the running offset is never chunk-aligned here, so head
+                # stitching is exercised
+                assert fused.start_offset % export._TRUTH_CHUNK != 0
+            assert fused.n_chunks >= 2      # full-chunk compress covered
+            export.export_light_truth_chunks(f_fused, fused)
+            recs = lm._emit_truth(*args, event_id=ev, trigger_id=ev + 7)
+            assert len(recs) == fused.total
+            export.export_light_truth_to_hdf5(f_plain, recs,
+                                              compression='lzf')
+        import h5py
+        with h5py.File(f_fused) as ff, h5py.File(f_plain) as fp:
+            a = np.array(ff['light_wvfm_mc_assn'])
+            b = np.array(fp['light_wvfm_mc_assn'])
+            assert len(a) == len(b) > 2 * export._TRUTH_CHUNK
+            np.testing.assert_array_equal(a, b)
+
+    def test_ledger_desync_raises(self, tmp_path):
+        from larndsim_tpu.io import export
+        from larndsim_tpu.models import light as lm
+        if lm._truth_chunks_lib() is None:
+            pytest.skip('no native toolchain')
+        res, rows, ids, op, C, K, S = self._make_event(9, n_rows=8, S=64)
+        ledger = lm.TruthLedger(500)    # wrong: file starts empty
+        fused = lm._emit_truth(res, rows, ids, op, C, K, 0.05, True, S,
+                               lambda n: None, None, event_id=0,
+                               ledger=ledger, seq=ledger.claim())
+        with pytest.raises(RuntimeError, match='desync'):
+            export.export_light_truth_chunks(str(tmp_path / 'x.h5'), fused)

@@ -46,6 +46,55 @@ def test_truth_workers_byte_identical(tmp_path):
         t2 = np.array(f2['light_wvfm_mc_assn'])
         assert t1.shape == t2.shape and len(t1) > 0
         np.testing.assert_array_equal(t1, t2)
+        # beam mode: one light trigger per event, so each record's
+        # trigger_id is its event's rank in the light-trigger stream
+        # (pins the worker-side stamping via TrigBox — fee.py-independent)
+        ev_rank = {ev: i for i, ev in enumerate(np.unique(t1['event_id']))}
+        np.testing.assert_array_equal(
+            t1['trigger_id'],
+            np.vectorize(ev_rank.get)(t1['event_id']))
         p1 = np.array(f1['packets'])
         p2 = np.array(f2['packets'])
         np.testing.assert_array_equal(p1, p2)
+
+
+@pytest.mark.slow
+def test_fused_truth_chunks_byte_identical(tmp_path, monkeypatch):
+    """The fused path (workers emit+shuffle+LZF whole HDF5 chunks,
+    writer stores them via write_direct_chunk) must produce a truth
+    dataset byte-identical to the unfused path (workers emit records,
+    writer compresses on append)."""
+    from larndsim_tpu.models import light as light_model
+    if light_model._truth_chunks_lib() is None:
+        pytest.skip('native truth_chunks unavailable')
+    geo = load_detector(DETPROP, PIXEL)
+    in_file = str(tmp_path / 'in.h5')
+    write_input(in_file, geo.tpc_borders, n_events=2,
+                tracks_per_event=6, segments_per_track=8, dEdx=10.0,
+                seed=21)
+    outs = {}
+    for fused in ('0', '1'):
+        monkeypatch.setenv('LARNDSIM_FUSED_TRUTH', fused)
+        out = str(tmp_path / f'out_f{fused}.h5')
+        run_simulation(
+            in_file, out, config='2x2_no_modvar',
+            detector_properties=DETPROP, pixel_layout=PIXEL,
+            simulation_properties=SIMPROP,
+            response_file='__missing__.npy',
+            light_lut_filename='__missing__.npz',
+            light_det_noise_filename='__missing__.npy',
+            rand_seed=17, step_scale=16.0, event_group_size=2,
+            truth_workers=1)
+        outs[fused] = out
+
+    with h5py.File(outs['0']) as f0, h5py.File(outs['1']) as f1:
+        t0 = np.array(f0['light_wvfm_mc_assn'])
+        t1 = np.array(f1['light_wvfm_mc_assn'])
+        assert len(t1) > 0
+        np.testing.assert_array_equal(t0, t1)
+        # the fused dataset must keep the standard filter pipeline so
+        # plain h5py (no native lib) reads it
+        ds = f1['light_wvfm_mc_assn']
+        assert ds.compression == 'lzf' and ds.shuffle
+        np.testing.assert_array_equal(np.array(f0['packets']),
+                                      np.array(f1['packets']))
