@@ -436,26 +436,36 @@ def _transfer_table_host(light: LightParams, conv_ticks: int, n_ticks: int,
 _TRANSFER_NZ0: dict = {}
 
 
-def _transfer_first_col(T: np.ndarray) -> np.ndarray:
-    """Suffix-min of each row's first nonzero column of the transfer
-    table: fc[t] = min_{t' >= t} argmin_s(T[t', s] != 0).
+def _transfer_col_bounds(T: np.ndarray) -> tuple:
+    """Per-tick nonzero column bounds of the transfer table.
 
-    The light chain is causal — a photon arriving at tick t cannot touch
-    digitizer samples earlier than its own time — so T's rows lead with
-    zeros that grow with t.  A GEMM block bucketed at window start t_lo
-    can therefore skip output columns < fc[t_lo] entirely (roughly half
-    the FLOPs for arrival times uniform over the beam window).  The
-    suffix min makes the bound safe even if a kernel were acausal."""
+    fc[t] = min_{t' >= t} (first nonzero column of row t') — the light
+    chain is causal, so a photon arriving at tick t cannot touch
+    digitizer samples earlier than its own time: T's rows lead with
+    zeros that grow with t, and a GEMM block bucketed at window start
+    t_lo can skip output columns < fc[t_lo] entirely.
+
+    lc[t] = max_{t' <= t} (last nonzero column of row t') — the kernel
+    support is finite, so a photon at tick t cannot reach samples later
+    than its time plus the combined-kernel length: a block whose last
+    occupied tick is t_hi-1 can skip columns > lc[t_hi-1] too.  Together
+    the two bounds shrink each block's GEMM to the ~kernel-support-wide
+    output band its rows can actually reach (FLOPs ∝ band width, not
+    digit_samples).  The suffix-min / prefix-max make the bounds safe
+    even if a kernel were acausal or rows were unsorted within a block."""
     hit = _TRANSFER_NZ0.get(id(T))
     if hit is not None and hit[0] is T:
-        return hit[1]
+        return hit[1], hit[2]
     nz = T != 0
-    first = np.where(nz.any(axis=1), nz.argmax(axis=1), T.shape[1])
+    any_row = nz.any(axis=1)
+    first = np.where(any_row, nz.argmax(axis=1), T.shape[1])
     fc = np.minimum.accumulate(first[::-1])[::-1].astype(np.int32)
+    last = np.where(any_row, T.shape[1] - 1 - nz[:, ::-1].argmax(axis=1), -1)
+    lc = np.maximum.accumulate(last).astype(np.int32)
     if len(_TRANSFER_NZ0) > 8:
         _TRANSFER_NZ0.clear()
-    _TRANSFER_NZ0[id(T)] = (T, fc)
-    return fc
+    _TRANSFER_NZ0[id(T)] = (T, fc, lc)
+    return fc, lc
 
 
 def _staged_truth_res(ph_rows: np.ndarray, it_rows: np.ndarray,
@@ -728,7 +738,7 @@ def _host_smeared_truth_sparse(ids_dev, contrib_dev, t0_dev, vox_dev,
         win = max(win, nprof + 2)   # narrower never advances the block loop
         order = np.argsort(row_lo, kind='stable')
         res = _scratch2d('res', rows.size, digit_samples, np.float32)
-        first_col = _transfer_first_col(T)
+        first_col, last_col = _transfer_col_bounds(T)
         i = 0
         while i < rows.size:
             t_lo = int(row_lo[order[i]])
@@ -744,13 +754,18 @@ def _host_smeared_truth_sparse(ids_dev, contrib_dev, t0_dev, vox_dev,
                       (np.repeat(np.arange(len(blk)), nprof),
                        (it_c[blk] - t_lo).reshape(-1)),
                       ph_all[blk].reshape(-1))
-            # causality: this block's rows cannot reach output samples
-            # before first_col[t_lo] — skip those columns of the GEMM
-            # (T[t_lo:t_hi, s0:] stays BLAS-able: lda = digit_samples)
+            # causality + finite kernel support: this block's rows can
+            # only reach output samples in [first_col[t_lo],
+            # last_col[t_hi-1]] — skip the rest of the GEMM's columns
+            # (T[t_lo:t_hi, s0:s1] stays BLAS-able: lda = digit_samples)
             s0 = int(first_col[t_lo])
-            if s0 > 0:
+            s1 = int(last_col[t_hi - 1]) + 1
+            if s0 >= s1:
+                res[blk] = 0.0
+            elif s0 > 0 or s1 < digit_samples:
                 res[blk, :s0] = 0.0
-                res[blk, s0:] = ph_blk @ T[t_lo:t_hi, s0:]
+                res[blk, s1:] = 0.0
+                res[blk, s0:s1] = ph_blk @ T[t_lo:t_hi, s0:s1]
             else:
                 res[blk] = ph_blk @ T[t_lo:t_hi]
             i = jend
