@@ -739,6 +739,7 @@ def _host_smeared_truth_sparse(ids_dev, contrib_dev, t0_dev, vox_dev,
         order = np.argsort(row_lo, kind='stable')
         res = _scratch2d('res', rows.size, digit_samples, np.float32)
         first_col, last_col = _transfer_col_bounds(T)
+        _sub = time.perf_counter if prof_t is not None else None
         i = 0
         while i < rows.size:
             t_lo = int(row_lo[order[i]])
@@ -747,6 +748,8 @@ def _host_smeared_truth_sparse(ids_dev, contrib_dev, t0_dev, vox_dev,
             blk = order[i:jend]
             t_hi = min(int(row_hi[blk].max()) + 1, n_ticks)
             width = t_hi - t_lo
+            if _sub:
+                _ts = _sub()
             ph_blk = np.zeros((len(blk), width), np.float32)
             # scatter-add (duplicate clipped ticks sum, matching the
             # device path's .at[].add scatter)
@@ -754,6 +757,10 @@ def _host_smeared_truth_sparse(ids_dev, contrib_dev, t0_dev, vox_dev,
                       (np.repeat(np.arange(len(blk)), nprof),
                        (it_c[blk] - t_lo).reshape(-1)),
                       ph_all[blk].reshape(-1))
+            if _sub:
+                _tm = _sub()
+                prof_t['gemm/scatter'] = (prof_t.get('gemm/scatter', 0.0)
+                                          + (_tm - _ts))
             # causality + finite kernel support: this block's rows can
             # only reach output samples in [first_col[t_lo],
             # last_col[t_hi-1]] — skip the rest of the GEMM's columns
@@ -768,6 +775,13 @@ def _host_smeared_truth_sparse(ids_dev, contrib_dev, t0_dev, vox_dev,
                 res[blk, s0:s1] = ph_blk @ T[t_lo:t_hi, s0:s1]
             else:
                 res[blk] = ph_blk @ T[t_lo:t_hi]
+            if _sub:
+                prof_t['gemm/blas'] = (prof_t.get('gemm/blas', 0.0)
+                                       + (_sub() - _tm))
+                prof_t['gemm/gflop'] = (prof_t.get('gemm/gflop', 0.0)
+                                        + 2e-9 * len(blk) * width
+                                        * max(min(s1, digit_samples)
+                                              - max(s0, 0), 0))
             i = jend
     _mark('gemm')
     # resolve the running trigger offset as late as possible: the box is
