@@ -409,10 +409,18 @@ def simulate_charge_batch(segs: Segments, det_model: DetectorModel,
 
     with trace.phase('charge/fee_sync'):
         # drains the device queue: everything up to the FEE FSM completes
-        # before these scalars land (honest attribution needs this phase)
+        # before these scalars land (honest attribution needs this phase).
+        # The per-pixel track count rides the same pull: its max bounds the
+        # track axis of the two (., max_tracks) pulls below (rows are
+        # front-packed by construction, ops/accumulate.track_pixel_map), so
+        # only the occupied prefix ever crosses the device->host link.
         n_unique_i = int(n_unique)
         n_u = min(bucket(max(n_unique_i, 1), lo=32), n_unique_cap)
-        n_adc_host = np.asarray(fee_res.n_adc[:n_u])
+        t_cnt = (track_map[:n_u] >= 0).sum(axis=1).max()
+        sync_h = np.asarray(jnp.concatenate(
+            [fee_res.n_adc[:n_u],
+             t_cnt[None].astype(fee_res.n_adc.dtype)]))
+        n_adc_host, t_max = sync_h[:-1], int(sync_h[-1])
     max_hits = int(n_adc_host.max()) if n_adc_host.size else 0
     n_slots = frac_scan
     if max_hits > frac_scan:
@@ -426,22 +434,35 @@ def simulate_charge_batch(segs: Segments, det_model: DetectorModel,
 
     # pull only the hit entries off device (the dense fractions tensor
     # alone is ~50 MB at cap size; the hits are ~2-4 MB) and rebuild the
-    # dense per-pixel result arrays host-side
+    # dense per-pixel result arrays host-side.  The track axis is pulled
+    # at its measured occupancy (t_cap <= max_tracks; typically 4-8 at
+    # beam occupancy vs a cap of ~50) and re-padded host-side — the
+    # (n_u, max_tracks) track map is otherwise the single largest pull.
+    K_full = sim.max_tracks_per_pixel
+    t_cap = min(bucket(max(t_max, 1), lo=4), K_full)
     with trace.phase('charge/pull'):
         n_hits = int(n_adc_host.sum())
         h_cap = bucket(max(n_hits, 1), lo=256)
         u_h, a_h, adc_h, ticks_h, integ_h, frac_h = _compact_hits(
             fee_res.n_adc, adc, fee_res.ticks, fee_res.integrals,
-            fractions, h_cap=h_cap, n_u=n_u, a_full=a_full)
+            fractions[:, :, :t_cap], h_cap=h_cap, n_u=n_u, a_full=a_full)
         u_h = np.asarray(u_h)
         ok_h = u_h >= 0
         u_np, a_np = u_h[ok_h], np.asarray(a_h)[ok_h]
+
+        def _pad_tracks(arr_np, fill):
+            if arr_np.shape[1] == K_full:
+                return arr_np
+            out = np.full((arr_np.shape[0], K_full), fill, arr_np.dtype)
+            out[:, :arr_np.shape[1]] = arr_np
+            return out
 
         return ChargeChainResult(
             unique_pix=np.asarray(uniq[:n_u]),
             n_unique=n_unique_i,
             n_adc=n_adc_host,
-            track_pixel_map=np.asarray(track_map[:n_u]),
+            track_pixel_map=_pad_tracks(
+                np.asarray(track_map[:n_u, :t_cap]), -1),
             overflow=bool(np.asarray(overflow).any()),
             segments=segs,
             max_adc_slots=a_full,
@@ -450,5 +471,5 @@ def simulate_charge_batch(segs: Segments, det_model: DetectorModel,
             hit_adc=np.asarray(adc_h)[ok_h],
             hit_ticks=np.asarray(ticks_h)[ok_h],
             hit_integrals=np.asarray(integ_h)[ok_h],
-            hit_fractions=np.asarray(frac_h)[ok_h],
+            hit_fractions=_pad_tracks(np.asarray(frac_h)[ok_h], 0.0),
         )
