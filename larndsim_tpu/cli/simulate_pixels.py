@@ -459,10 +459,21 @@ def run_simulation(input_filename: str,
         # (multi-chip dispatch threads could claim out of order), and the
         # native compressor.  LARNDSIM_FUSED_TRUTH=0 kills it.
         truth_ledger = None
-        if (truth_executor is not None and n_dev == 1
-                and truth_compression == 'lzf'
-                and os.environ.get('LARNDSIM_FUSED_TRUTH', '1') != '0'
-                and export._native_h5lzf() is not None):
+        fused_wanted = (truth_executor is not None and n_dev == 1
+                        and truth_compression == 'lzf'
+                        and os.environ.get('LARNDSIM_FUSED_TRUTH', '1')
+                        != '0')
+        if fused_wanted and (export._native_h5lzf() is None
+                             or light_model._truth_chunks_lib() is None):
+            # without BOTH native libraries every event silently takes the
+            # unfused fallback (extra handshakes per event) — say so once
+            logger.warning(
+                'fused truth path disabled: native compressor unavailable '
+                '(h5lzf=%s, truth_chunks=%s)',
+                export._native_h5lzf() is not None,
+                light_model._truth_chunks_lib() is not None)
+            fused_wanted = False
+        if fused_wanted:
             # seed with the dataset's current length: the executor (and
             # ledger) are per-module, and earlier modules' truth appends
             # have fully drained by this point (per-module shutdowns)
@@ -617,6 +628,13 @@ def run_simulation(input_filename: str,
         group: list = []  # buffered (ievd, global segment indices)
         light_done_events: set = set()
         group_seq = 0  # distinct RNG stream per processed group
+        # unique-pixel guard: the charge chain's (U, ...) tensors are sized
+        # from the group's exact unique-pixel count; a run of dense events
+        # could inflate that axis past HBM comfort (and churn compiles).
+        # Track the measured unique/segment ratio and split groups that
+        # would exceed the cap.  0 disables.
+        uniq_hard_cap = int(os.environ.get('LARNDSIM_UNIQUE_GUARD', '65536'))
+        uniq_ratio = [0.0]  # max measured n_unique / n_segments
 
         def accumulate_light(ievd_l, lres):
             nonlocal i_light_trig
@@ -768,12 +786,15 @@ def run_simulation(input_filename: str,
                                 traj_ids_batch[np.clip(tmap, 0, None)], -1)
             return dict(light=light_payloads, res=res, valid_u=valid_u,
                         event_u=event_u, pid_u=pid_u, tmap_seg=tmap_seg,
-                        tmap_trj=tmap_trj)
+                        tmap_trj=tmap_trj, n_segs=len(cat))
 
         def accumulate_group(p):
             for ievd_l, lres in p['light']:
                 accumulate_light(ievd_l, lres)
             res = p['res']
+            if p['n_segs']:
+                uniq_ratio[0] = max(uniq_ratio[0],
+                                    res.n_unique / p['n_segs'])
             valid_u = p['valid_u']
             # compact accumulation: per-pixel rows + per-hit columns (the
             # dense (U, max_adc[, K]) tensors are never materialized)
@@ -938,7 +959,11 @@ def run_simulation(input_filename: str,
                 # segments per launch either (cli:902) — at high
                 # occupancy an event-count-only cap would OOM HBM
                 pending = sum(len(ix) for _, ix in group)
-                if group and pending + len(track_subset) > sim.batch_size:
+                would = pending + len(track_subset)
+                if group and (would > sim.batch_size
+                              or (uniq_hard_cap and uniq_ratio[0]
+                                  and would * uniq_ratio[0]
+                                  > uniq_hard_cap)):
                     process_group()
                 group.append((ievd, batch_idx_global))
                 if len(group) >= group_cap:

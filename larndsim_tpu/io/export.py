@@ -706,6 +706,17 @@ def export_light_truth_chunks(filename, fused) -> None:
                              maxshape=(None,), chunks=(_TRUTH_CHUNK,),
                              compression='lzf', shuffle=True)
         ds = f['light_wvfm_mc_assn']
+        # the worker compressed against this exact chunk grid + filter
+        # pipeline; a pre-existing dataset from an older run (different
+        # --truth_compression or chunk size) would silently store LZF
+        # streams under the wrong filters and decode garbage on read
+        if ds.chunks != (_TRUTH_CHUNK,) or ds.compression != 'lzf' \
+                or not ds.shuffle:
+            raise RuntimeError(
+                'light_wvfm_mc_assn exists with an incompatible layout '
+                f'(chunks={ds.chunks}, compression={ds.compression}, '
+                f'shuffle={ds.shuffle}); fused truth chunks require '
+                f'chunks=({_TRUTH_CHUNK},) shuffle+lzf')
         if ds.shape[0] != fused.start_offset:
             raise RuntimeError(
                 f'truth ledger desync: dataset has {ds.shape[0]} rows, '

@@ -53,6 +53,15 @@ class LightBatchResult:
     trig_box: "TrigBox | None" = None
 
 
+def _chain_timeout() -> float:
+    """Per-wait bound for the worker-chain handshakes (TruthLedger,
+    TrigBox).  A timeout here converts a slow-but-correct run into a hard
+    failure, and this host class measures 5-20 s page-fault stalls under
+    CPU steal, so the default is generous and env-tunable
+    (LARNDSIM_TRUTH_TIMEOUT seconds)."""
+    return float(os.environ.get('LARNDSIM_TRUTH_TIMEOUT', '600'))
+
+
 class TruthLedger:
     """Ordered chain of truth-dataset row offsets across fused workers.
 
@@ -78,16 +87,29 @@ class TruthLedger:
             self._seq += 1
             return s
 
-    def wait_prev(self, seq: int, timeout: float = 120.0) -> int:
+    def wait_prev(self, seq: int, timeout: float | None = None) -> int:
+        if timeout is None:
+            timeout = _chain_timeout()
+        deadline = time.monotonic() + timeout
         with self._cv:
-            ok = self._cv.wait_for(
-                lambda: seq in self._offsets or self._poisoned, timeout)
-            if self._poisoned:
-                raise RuntimeError('truth ledger poisoned by an earlier '
-                                   'worker failure')
-            if not ok:
-                raise RuntimeError('truth ledger predecessor never '
-                                   'published (worker chain broke)')
+            while True:
+                ok = self._cv.wait_for(
+                    lambda: seq in self._offsets or self._poisoned,
+                    min(timeout, 30.0))
+                if self._poisoned:
+                    raise RuntimeError('truth ledger poisoned by an earlier '
+                                       'worker failure')
+                if ok:
+                    break
+                # retry-with-logging: a slow predecessor (CPU steal, long
+                # charge phase) is not a broken chain until the full bound
+                if time.monotonic() >= deadline:
+                    raise RuntimeError(
+                        'truth ledger predecessor never published within '
+                        f'{timeout:.0f} s (worker chain broke; raise '
+                        'LARNDSIM_TRUTH_TIMEOUT if the host is just slow)')
+                warnings.warn(f'truth ledger seq {seq} still waiting on its '
+                              'predecessor (slow host?)')
             off = self._offsets[seq]
             self._offsets.pop(seq - 1, None)   # keep the dict tiny
             return off
@@ -131,13 +153,14 @@ class TrigBox:
         self._val = int(value)
         self._ev.set()
 
-    def get(self, timeout: float = 120.0) -> int:
+    def get(self, timeout: float | None = None) -> int:
         # the orchestrator sets the box on the accumulate path for every
         # submitted worker, normally well under a second after submission;
         # a timeout means that invariant broke (e.g. the orchestrator died
         # between submit and accumulate) — raise so the worker thread
         # exits instead of wedging executor shutdown
-        if not self._ev.wait(timeout):
+        if not self._ev.wait(_chain_timeout() if timeout is None
+                             else timeout):
             raise RuntimeError('trigger offset was never provided to the '
                                'truth worker (orchestrator invariant broke)')
         return self._val
