@@ -73,6 +73,40 @@ def _as_list(val, n_modules, cfg, id_name, ids=None):
     return val
 
 
+class _WriteGate:
+    """Module-ordered file-write gate.
+
+    With module-axis parallelism (mod2mod + n_devices > 1) every module's
+    compute runs on its own thread/chip, but the output file must receive
+    each module's appends in the same order as the sequential loop —
+    that is what makes the output byte-identical for any n_devices.  Each
+    module submits its writes (already-ordered within the module) to its
+    gate; a closed gate queues them, and the orchestrator opens gates in
+    module order once the previous module has fully finished writing.
+    The per-dataset append order is then exactly the sequential one.
+    """
+
+    def __init__(self, open_now: bool = False):
+        self._lock = threading.Lock()
+        self._open = open_now
+        self._q: deque = deque()
+
+    def submit(self, fn) -> None:
+        with self._lock:
+            if not self._open:
+                self._q.append(fn)
+                return
+        fn()
+
+    def open(self) -> None:
+        # drain-then-open atomically w.r.t. submit: a fn enqueued during
+        # the drain runs inside it; one enqueued after sees the open gate
+        with self._lock:
+            while self._q:
+                self._q.popleft()()
+            self._open = True
+
+
 def enable_jax_compilation_cache():
     """Persist compiled executables across processes.
 
@@ -127,14 +161,18 @@ def run_simulation(input_filename: str,
     (1.0 = reference MIN_STEP_SIZE density); ``event_group_size`` processes
     G independent events per device invocation (charge chain grouped via
     per-event pixel-key offsets -- the on-chip data-parallel axis);
-    ``n_devices`` distributes event groups round-robin over that many
-    chips (module params/LUTs replicated per chip, one dispatch thread per
-    chip, results gathered host-side in submission order).  Because every
-    group runs the same code with the same shapes and the same
-    (module, event, group) RNG key regardless of placement, the output
-    file is byte-identical for any n_devices — the multi-chip axis maps
-    the reference's only parallelism seams (module loop
-    cli/simulate_pixels.py:678 + event batching, SURVEY §2.6 P8/P9).
+    ``n_devices`` distributes the two independent work axes over that many
+    chips: with module variation, MODULES run concurrently (one thread +
+    chip subset per module — the reference's sequential module loop,
+    cli/simulate_pixels.py:678, as spatial parallelism), and within each
+    module (or without mod2mod) EVENT GROUPS round-robin over the
+    module's chips (params/LUTs replicated per chip, one dispatch thread
+    per chip, results gathered in submission order).  Because every group
+    runs the same code with the same shapes and the same (module, event,
+    group) RNG key regardless of placement, and file writes are gated in
+    module order (_WriteGate), the output file is byte-identical for any
+    n_devices — the two axes realize the ('modules', 'events') mesh of
+    parallel/mesh.py in the production path (SURVEY §2.6 P8/P9).
     """
     if not os.path.exists(input_filename):
         raise FileNotFoundError(input_filename)
@@ -263,11 +301,31 @@ def run_simulation(input_filename: str,
     all_mod_traj_ids = inp.trajectory_ids[active_mask]
 
     mod_ids = mod_ids_all if mod2mod_variation else [-1]
-    segments_to_files = None
-    light_sim_dat_acc = []
+    n_dev_total = max(int(n_devices), 1)
+    avail_all = jax.devices()
+    if n_dev_total > len(avail_all):
+        warnings.warn(f'n_devices={n_dev_total} > available '
+                      f'{len(avail_all)}; clamping')
+        n_dev_total = len(avail_all)
+    # module-axis parallelism (SURVEY §2.6 P9, reference module loop
+    # cli/simulate_pixels.py:678-715): mod2mod modules are light-tight and
+    # electronically independent, so with n_devices > 1 each module runs on
+    # its own thread over its own chip subset; the only cross-module
+    # coupling is the ordered output file (write gates) and the truth
+    # dataset's running offset (ledger seed chain)
+    module_parallel = (mod2mod_variation and n_dev_total > 1
+                       and len(mod_ids) > 1)
+    mod_tracks_out: list = [None] * len(mod_ids)
+    light_sim_dat_acc: list = [None] * len(mod_ids)
+    model_slots: list = [None] * len(mod_ids)
 
-    # ---------------- module loop ----------------
-    for i_mod in mod_ids:
+    # ---------------- module body ----------------
+    def _module_body(mod_pos, i_mod, mod_devices, gate, prev_box,
+                     allow_fused=True):
+        """One module's full simulation (the reference loop body,
+        cli:678-1234).  Thread-safe against concurrent sibling modules:
+        all mutable state is local except the gated file writes, the
+        position-indexed output slots, and the seed chain."""
         det_model = load_detector(detector_properties, pixel_layout,
                                   i_module=i_mod)
         det = det_model.params
@@ -379,7 +437,7 @@ def run_simulation(input_filename: str,
             dat['segment_id'] = segment_ids[:, None]
             dat['n_photons_det'] = light_inc[valid]
             dat['t0_det'] = light_inc_t0[valid]
-            light_sim_dat_acc.append(dat)
+            light_sim_dat_acc[mod_pos] = dat
             print(f'Light incidence: {time.time() - t0:.2f} s')
 
         # ---- batching loop ----
@@ -424,13 +482,12 @@ def run_simulation(input_filename: str,
         # ---- multi-chip contexts ----
         # one committed copy of the module's device-resident inputs per
         # chip; a group dispatched with ctx d's params executes on chip d
-        # (computation follows committed inputs)
-        n_dev = max(int(n_devices), 1)
-        avail = jax.devices()
-        if n_dev > len(avail):
-            warnings.warn(f'n_devices={n_dev} > available {len(avail)}; '
-                          'clamping')
-            n_dev = len(avail)
+        # (computation follows committed inputs).  Under module
+        # parallelism mod_devices is this module's chip subset (event
+        # groups round-robin within it — the ('modules', 'events') mesh
+        # axes of parallel/mesh.py realized in the production path).
+        n_dev = len(mod_devices)
+        avail = mod_devices
         if n_dev > 1:
             dev_ctx = []
             for d in avail[:n_dev]:
@@ -459,7 +516,10 @@ def run_simulation(input_filename: str,
         # (multi-chip dispatch threads could claim out of order), and the
         # native compressor.  LARNDSIM_FUSED_TRUTH=0 kills it.
         truth_ledger = None
+        # allow_fused keeps the choice uniform across parallel modules:
+        # the ledger seed chain assumes every module runs the same path
         fused_wanted = (truth_executor is not None and n_dev == 1
+                        and allow_fused
                         and truth_compression == 'lzf'
                         and os.environ.get('LARNDSIM_FUSED_TRUTH', '1')
                         != '0')
@@ -474,16 +534,36 @@ def run_simulation(input_filename: str,
                 light_model._truth_chunks_lib() is not None)
             fused_wanted = False
         if fused_wanted:
-            # seed with the dataset's current length: the executor (and
-            # ledger) are per-module, and earlier modules' truth appends
-            # have fully drained by this point (per-module shutdowns)
-            start0 = 0
-            if os.path.exists(output_filename):
-                import h5py
-                with h5py.File(output_filename, 'r') as _fh:
-                    if 'light_wvfm_mc_assn' in _fh:
-                        start0 = int(_fh['light_wvfm_mc_assn'].shape[0])
-            truth_ledger = light_model.TruthLedger(start0)
+            if prev_box is not None:
+                # module-parallel: this module's dataset offset is the
+                # previous module's final ledger end, unknown until its
+                # assemblies drain — seed asynchronously so this module's
+                # device compute (and truth GEMMs) start immediately; only
+                # the offset-dependent chunk emission blocks on the chain
+                truth_ledger = light_model.TruthLedger(None)
+
+                def _seed(ledger=truth_ledger, box=prev_box):
+                    v = box.get(3600)
+                    if v >= 0:
+                        ledger.seed(v)
+                    else:
+                        # predecessor failed or ran unfused: fail this
+                        # module's fused workers fast instead of wedging
+                        ledger.poison()
+                threading.Thread(target=_seed, daemon=True).start()
+            else:
+                # seed with the dataset's current length: the executor
+                # (and ledger) are per-module, and earlier modules' truth
+                # appends have fully drained by this point (sequential
+                # per-module shutdowns)
+                start0 = 0
+                if os.path.exists(output_filename):
+                    import h5py
+                    with h5py.File(output_filename, 'r') as _fh:
+                        if 'light_wvfm_mc_assn' in _fh:
+                            start0 = int(
+                                _fh['light_wvfm_mc_assn'].shape[0])
+                truth_ledger = light_model.TruthLedger(start0)
         #: ordered stream of pending work: ('job', payload-or-Future) for
         #: group compute, ('call', fn) for ordered file writes / flushes —
         #: drained FIFO so the output stream is identical for any n_dev
@@ -491,14 +571,19 @@ def run_simulation(input_filename: str,
 
         def write_truth(ievd_t, trig_t, fut, stamped=False):
             # runs on the single writer thread; blocks until the assembly
-            # pool resolves fut (compute shows up under 'truth/worker')
+            # pool resolves fut (compute shows up under 'truth/worker').
+            # The actual file write goes through the module gate so
+            # parallel modules land their truth rows in module order.
             truth = fut.result()
             if isinstance(truth, light_model.FusedTruthChunks):
                 # worker already compressed the chunks (trigger_id was
                 # stamped at emit via the TrigBox); just store them
-                with locked_phase('truth/h5'):
-                    export.export_light_truth_chunks(output_filename, truth)
-                light_model.recycle_chunk_buffer(truth.comp)
+                def _w_chunks(truth=truth):
+                    with locked_phase('truth/h5'):
+                        export.export_light_truth_chunks(output_filename,
+                                                         truth)
+                    light_model.recycle_chunk_buffer(truth.comp)
+                gate.submit(_w_chunks)
                 return
             with trace.phase('truth/stamp'):
                 if isinstance(truth, np.ndarray):
@@ -509,14 +594,17 @@ def run_simulation(input_filename: str,
                 else:
                     truth = export.truth_sparse_to_records(truth, ievd_t,
                                                            trig_t)
-            with locked_phase('truth/h5'):
-                export.export_light_truth_to_hdf5(
-                    output_filename, truth,
-                    compression=truth_compression)
-            if isinstance(truth, np.ndarray):
-                # hand the record buffer back to the worker pool (h5py has
-                # copied it; nothing else holds a reference)
-                light_model.recycle_truth_records(truth)
+
+            def _w_records(truth=truth):
+                with locked_phase('truth/h5'):
+                    export.export_light_truth_to_hdf5(
+                        output_filename, truth,
+                        compression=truth_compression)
+                if isinstance(truth, np.ndarray):
+                    # hand the record buffer back to the worker pool (h5py
+                    # has copied it; nothing else holds a reference)
+                    light_model.recycle_truth_records(truth)
+            gate.submit(_w_records)
 
         def drain_truth(block=False):
             while pending_truth and (block or pending_truth[0].done()):
@@ -575,17 +663,24 @@ def run_simulation(input_filename: str,
                     light_trig_modules = np.ones(len(uniq_events))
                     light_trigger_times = np.zeros_like(uniq_event_times)
                     light_trigger_event_ids = uniq_events
-                with locked_phase('export/packets'):
-                    export.export_to_hdf5(
-                        res['event_pix'], res['hit_row'], res['hit_adc'],
-                        res['hit_ticks'], res['hit_frac'],
-                        res['unique_pix'],
-                        res['track_pixel_map'], res['traj_pixel_map'],
-                        output_filename, uniq_event_times, det_model, light,
-                        sim, light_trigger_times=light_trigger_times,
-                        light_trigger_event_id=light_trigger_event_ids,
-                        light_trigger_modules=light_trig_modules,
-                        bad_channels=bad_channels, i_mod=i_mod)
+                def _w_packets(res=res, uniq_event_times=uniq_event_times,
+                               light_trigger_times=light_trigger_times,
+                               light_trigger_event_ids=
+                               light_trigger_event_ids,
+                               light_trig_modules=light_trig_modules):
+                    with locked_phase('export/packets'):
+                        export.export_to_hdf5(
+                            res['event_pix'], res['hit_row'],
+                            res['hit_adc'], res['hit_ticks'],
+                            res['hit_frac'], res['unique_pix'],
+                            res['track_pixel_map'], res['traj_pixel_map'],
+                            output_filename, uniq_event_times, det_model,
+                            light, sim,
+                            light_trigger_times=light_trigger_times,
+                            light_trigger_event_id=light_trigger_event_ids,
+                            light_trigger_modules=light_trig_modules,
+                            bad_channels=bad_channels, i_mod=i_mod)
+                gate.submit(_w_packets)
             if light.light_simulated and len(res.get('light_event_id', [])):
                 if light.light_trig_mode == 0:
                     # times aligned to the LIGHT rows' unique events (a
@@ -593,16 +688,23 @@ def run_simulation(input_filename: str,
                     # charge rows, e.g. empty batches)
                     uniq_l = np.unique(res['light_event_id'])
                     times_l = event_times[uniq_l % sim.max_events_per_file]
-                    with h5_lock:
-                        export.export_light_trig_to_hdf5(
-                            res['light_event_id'], res['light_start_time'],
-                            res['light_trigger_idx'],
-                            res['light_op_channel_idx'], output_filename,
-                            times_l, det_model, light)
-                with locked_phase('export/light_wvfm'):
-                    export.export_light_wvfm_to_hdf5(
-                        res['light_event_id'], res['light_waveforms'],
-                        output_filename, sim, light, i_mod=i_mod)
+
+                    def _w_ltrig(res=res, times_l=times_l):
+                        with h5_lock:
+                            export.export_light_trig_to_hdf5(
+                                res['light_event_id'],
+                                res['light_start_time'],
+                                res['light_trigger_idx'],
+                                res['light_op_channel_idx'],
+                                output_filename, times_l, det_model, light)
+                    gate.submit(_w_ltrig)
+
+                def _w_wvfm(res=res):
+                    with locked_phase('export/light_wvfm'):
+                        export.export_light_wvfm_to_hdf5(
+                            res['light_event_id'], res['light_waveforms'],
+                            output_filename, sim, light, i_mod=i_mod)
+                gate.submit(_w_wvfm)
             i_trig += 1
             results_acc = defaultdict(list)
 
@@ -623,8 +725,13 @@ def run_simulation(input_filename: str,
             # every in-flight group's truth assemblies (one group per
             # chip's dispatch thread) queue before any buffer recycles
             # back to the worker pool
-            light_model.set_rec_pool_bound(group_cap * n_dev
-                                           + max(int(truth_workers), 1) + 2)
+            # scale the pool to every CONCURRENT module's in-flight depth:
+            # gated (deferred) writes hold record buffers until the
+            # module's turn, so parallel modules multiply the bound
+            n_conc = len(mod_ids) if module_parallel else 1
+            light_model.set_rec_pool_bound(
+                (group_cap * n_dev + max(int(truth_workers), 1) + 2)
+                * n_conc)
         group: list = []  # buffered (ievd, global segment indices)
         light_done_events: set = set()
         group_seq = 0  # distinct RNG stream per processed group
@@ -655,10 +762,13 @@ def run_simulation(input_filename: str,
             if lres.truth_sparse is not None:
                 truth = export.truth_sparse_to_records(
                     lres.truth_sparse, int(ievd_l), i_light_trig)
-                with h5_lock:
-                    export.export_light_truth_to_hdf5(
-                        output_filename, truth,
-                        compression=truth_compression)
+
+                def _w_sparse(truth=truth):
+                    with h5_lock:
+                        export.export_light_truth_to_hdf5(
+                            output_filename, truth,
+                            compression=truth_compression)
+                gate.submit(_w_sparse)
             elif lres.truth_future is not None:
                 if lres.trig_box is not None:
                     # hand the worker its trigger offset BEFORE enqueueing
@@ -893,18 +1003,22 @@ def run_simulation(input_filename: str,
                     if len(sync_times):
                         def write_sync(payload=np.full(sync_times.shape,
                                                        period_us)):
-                            with h5_lock:
-                                export.export_sync_to_hdf5(
-                                    output_filename, payload,
-                                    det_model, sim, i_mod)
+                            def _w(payload=payload):
+                                with h5_lock:
+                                    export.export_sync_to_hdf5(
+                                        output_filename, payload,
+                                        det_model, sim, i_mod)
+                            gate.submit(_w)
                         actions.append(('call', write_sync))
                         sync_start = sync_times[-1] + period_us
                 if i_mod == trig_module or i_mod == -1:
                     def write_trig(t_ev=this_event_time):
-                        with h5_lock:
-                            export.export_timestamp_trigger_to_hdf5(
-                                output_filename, [t_ev], det_model,
-                                light, sim, i_mod)
+                        def _w(t_ev=t_ev):
+                            with h5_lock:
+                                export.export_timestamp_trigger_to_hdf5(
+                                    output_filename, [t_ev], det_model,
+                                    light, sim, i_mod)
+                        gate.submit(_w)
                     actions.append(('call', write_trig))
 
             if len(track_subset) == 0:
@@ -987,10 +1101,71 @@ def run_simulation(input_filename: str,
             truth_writer.shutdown(wait=True)
         memlog.archive(f'loop_mod{i_mod}')
 
-        if segments_to_files is None:
-            segments_to_files = tracks_mod
+        mod_tracks_out[mod_pos] = tracks_mod
+        model_slots[mod_pos] = (det_model, light)
+        if truth_ledger is not None:
+            try:
+                return truth_ledger.end()
+            except Exception:
+                return -1
+        return -1
+
+    # ---------------- module loop ----------------
+    if module_parallel:
+        M = len(mod_ids)
+        if n_dev_total >= M:
+            dev_lists = [avail_all[(p * n_dev_total) // M:
+                                   ((p + 1) * n_dev_total) // M]
+                         for p in range(M)]
         else:
-            segments_to_files = np.append(segments_to_files, tracks_mod)
+            dev_lists = [[avail_all[p % n_dev_total]] for p in range(M)]
+        # the fused-truth offset chain assumes a uniform path: only allow
+        # it when every module runs single-chip (claim order == submission
+        # order within each module)
+        allow_fused = all(len(d) == 1 for d in dev_lists)
+        gates = [_WriteGate(open_now=(p == 0)) for p in range(M)]
+        boxes = [light_model.TrigBox() for _ in range(M - 1)]
+        excs: list = [None] * M
+
+        def _runner(pos, i_mod):
+            end_val = -1
+            try:
+                # thread-local default device: module-level arrays
+                # (quench/drift inputs, LUT uploads) land on this
+                # module's first chip without explicit device_puts
+                with jax.default_device(dev_lists[pos][0]):
+                    end_val = _module_body(
+                        pos, i_mod, dev_lists[pos], gates[pos],
+                        boxes[pos - 1] if pos else None,
+                        allow_fused=allow_fused)
+            except BaseException as exc:  # surfaced after the join loop
+                excs[pos] = exc
+            finally:
+                if pos < M - 1:
+                    boxes[pos].set(end_val)
+
+        threads = [threading.Thread(target=_runner, args=(p, m),
+                                    name=f'module-{m}')
+                   for p, m in enumerate(mod_ids)]
+        for t in threads:
+            t.start()
+        for pos, t in enumerate(threads):
+            t.join()
+            # module pos has submitted (and, with its gate open, executed)
+            # every write; its successor's queued writes may now land
+            if pos + 1 < M:
+                gates[pos + 1].open()
+        first_exc = next((e for e in excs if e is not None), None)
+        if first_exc is not None:
+            raise first_exc
+    else:
+        gate0 = _WriteGate(open_now=True)
+        for pos, i_mod in enumerate(mod_ids):
+            _module_body(pos, i_mod, avail_all[:n_dev_total], gate0, None)
+
+    segments_to_files = (mod_tracks_out[0] if len(mod_tracks_out) == 1
+                         else np.concatenate(mod_tracks_out))
+    det_model, light = model_slots[-1]
 
     # ---------------- truth + final exports ----------------
     if sim.is_spill_sim:

@@ -75,11 +75,27 @@ class TruthLedger:
     or finished).  Counts publish right after the count pass, before the
     heavy emit, so successors overlap."""
 
-    def __init__(self, start: int = 0):
+    def __init__(self, start: int | None = 0):
+        """start=None builds an UNSEEDED ledger: the first worker blocks in
+        wait_prev(0) until seed() supplies the dataset offset — used by the
+        module-parallel orchestrator, where module i's offset is module
+        i-1's final end and is not known at module start."""
         self._cv = threading.Condition()
-        self._offsets: dict[int, int] = {0: int(start)}
+        self._offsets: dict[int, int] = \
+            {} if start is None else {0: int(start)}
         self._seq = 0
         self._poisoned = False
+
+    def seed(self, start: int) -> None:
+        with self._cv:
+            self._offsets.setdefault(0, int(start))
+            self._cv.notify_all()
+
+    def end(self) -> int:
+        """Final published offset — valid once every claimed seq has
+        published (after the worker pool drained)."""
+        with self._cv:
+            return self._offsets[self._seq]
 
     def claim(self) -> int:
         with self._cv:

@@ -124,3 +124,74 @@ class TestMultiDeviceCLI:
                                                   err_msg=f'{name}[{col}]')
             else:
                 np.testing.assert_array_equal(b, a, err_msg=name)
+
+
+@pytest.mark.slow
+class TestModuleParallelCLI:
+    """Module-axis parallelism in the production CLI (SURVEY §2.6 P9,
+    reference module loop cli/simulate_pixels.py:678-715): with mod2mod
+    variation and n_devices > 1 modules run concurrently on their own
+    chips; file writes are gated in module order, so the output file must
+    be byte-identical for n_devices in {1, 4, 8} on the virtual mesh."""
+
+    @pytest.fixture(scope='class')
+    def files(self, tmp_path_factory):
+        from larndsim_tpu.cli.simulate_pixels import run_simulation
+        from larndsim_tpu.params import load_detector
+        from larndsim_tpu.assets.make_input import write_input
+        ref = '/root/reference/larndsim'
+        detprop = f'{ref}/detector_properties/2x2.yaml'
+        pixels = [f'{ref}/pixel_layouts/multi_tile_layout-2.4.16.yaml',
+                  f'{ref}/pixel_layouts/multi_tile_layout-2.5.16.yaml']
+        simprop = f'{ref}/simulation_properties/2x2_NuMI_sim.yaml'
+        tmp = tmp_path_factory.mktemp('cli_modpar')
+        in_file = str(tmp / 'input.h5')
+        dm = load_detector(detprop, pixels[0])
+        write_input(in_file, dm.tpc_borders, n_events=2,
+                    tracks_per_event=4, segments_per_track=6, dEdx=15.0,
+                    seed=5)
+        outs = {}
+        for n_dev in (1, 4, 8):
+            out = str(tmp / f'out_nd{n_dev}.h5')
+            run_simulation(
+                in_file, out, config='2x2',
+                detector_properties=detprop,
+                pixel_layout=[pixels[0], pixels[1]],
+                simulation_properties=simprop,
+                response_file=['__missing_a__.npy', '__missing_b__.npy'],
+                light_lut_filename=['__missing__.npz', '__missing__.npz'],
+                light_det_noise_filename='__missing__.npy',
+                mod2mod_variation=True, rand_seed=99, step_scale=32.0,
+                event_group_size=2, n_devices=n_dev)
+            outs[n_dev] = out
+        return outs
+
+    def test_byte_identical_across_n_devices(self, files):
+        import h5py
+
+        def collect(path):
+            data = {}
+            with h5py.File(path) as f:
+                def visit(name, obj):
+                    if isinstance(obj, h5py.Dataset):
+                        data[name] = np.asarray(obj)
+                f.visititems(visit)
+            return data
+
+        base = collect(files[1])
+        assert 'packets' in base and len(base['packets']) > 0
+        assert any(n.startswith('light_wvfm') for n in base)
+        for n_dev in (4, 8):
+            other = collect(files[n_dev])
+            assert set(base) == set(other), n_dev
+            for name in sorted(base):
+                a, b = base[name], other[name]
+                assert a.shape == b.shape, (n_dev, name)
+                if a.dtype.names:
+                    for col in a.dtype.names:
+                        np.testing.assert_array_equal(
+                            b[col], a[col],
+                            err_msg=f'nd{n_dev}:{name}[{col}]')
+                else:
+                    np.testing.assert_array_equal(
+                        b, a, err_msg=f'nd{n_dev}:{name}')
