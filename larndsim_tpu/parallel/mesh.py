@@ -103,26 +103,54 @@ def make_sharded_sim_step(mesh: Mesh, light_params, op_channel, *,
                           max_adc: int, max_tracks: int,
                           n_ticks: int, conv_ticks: int,
                           digit_samples: int, pad_front: int,
-                          pad_back: int):
+                          pad_back: int, add_noise: bool = False,
+                          k_truth: int = 0, trig_mode: int = 1,
+                          max_trig: int = 4, group_threshold=None):
     """Full sharded simulation step: charge chain + light chain per
-    (module, event) mesh cell.
+    (module, event) mesh cell — the production device pipeline as one
+    SPMD program.
 
     Layout matches make_sharded_charge_step for the charge inputs; the
     light LUT arrays carry a leading module axis sharded over 'modules'
     (per-module LUTs are the mod2mod light variation), and light params
     are replicated traced leaves.  Per cell: charge_step, then
-    visibility -> scintillation/Poisson/SiPM -> beam-trigger digitization
-    (light_sim.py pipeline, fixed trigger at tick 0, noise off).
+    visibility -> scintillation/Poisson/SiPM -> triggering ->
+    noise + digitization (light_sim.py:545-619 semantics) -> top-K truth
+    contributor selection (the metadata the production host workers
+    consume, models/light._host_smeared_truth_sparse).
+
+    Args:
+        add_noise: inject FFT-spectrum detector noise (a (C, n_fft) noise
+            row table rides as an extra replicated input).
+        k_truth: >0 selects per-channel top-K truth contributor metadata
+            (ids, photons, t0, voxels) per cell — the exact device-side
+            output of the production truth path.
+        trig_mode: 1 = beam (one forced trigger at tick 0,
+            light_sim.py:444-451); 0 = threshold self-trigger: per-cell
+            grouped-sum threshold scan + dead-time walk
+            (light_sim.py:394-443) with up to ``max_trig`` triggers
+            digitized (invalid slots masked to zero).
+        group_threshold: (n_grp,) per-trigger-group thresholds
+            (trig_mode 0 only).
 
     Returns a jitted function
-        (segs, det_stack, response, vis, t0, time_dist, t0_avg, keys)
-        -> (adc, waveforms, n_hits_total).
+        (segs, det_stack, response, vis, t0, time_dist, t0_avg,
+         [noise_rows,] keys)
+        -> dict(adc, waveforms, trigger_idx, n_triggers, truth_ids,
+                truth_contrib, n_hits_total)
     """
     from ..models import light as light_model
     from ..ops import light as light_ops
 
     op_channel = jnp.asarray(op_channel)
     light = light_params
+    if trig_mode == 0:
+        assert group_threshold is not None, \
+            'mode-0 needs per-group thresholds'
+        group_threshold = jnp.asarray(group_threshold, jnp.float32)
+        digit_ticks = int(np.ceil((light.light_trig_window[1]
+                                   + light.light_trig_window[0])
+                                  / light.light_tick_size))
 
     step = functools.partial(
         charge_model.charge_step,
@@ -131,13 +159,13 @@ def make_sharded_sim_step(mesh: Mesh, light_params, op_channel, *,
         max_tracks=max_tracks)
 
     def per_shard(segs: Segments, det: DetectorParams, resp,
-                  vis, t0, time_dist, t0_avg, key):
+                  vis, t0, time_dist, t0_avg, noise_rows, key):
         segs = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), segs)
         det = jax.tree.map(lambda x: x[0], det)
         vis, t0 = vis[0], t0[0]
         time_dist, t0_avg = time_dist[0], t0_avg[0]
-        ks = jax.random.split(key.reshape(2), 2)
-        k_charge, k_light = ks[0], ks[1]
+        ks = jax.random.split(key.reshape(2), 3)
+        k_charge, k_light, k_noise = ks[0], ks[1], ks[2]
         uniq, n_unique, adc, fee_res, fractions, track_map, overflow = step(
             segs, det, resp, k_charge)
 
@@ -149,24 +177,74 @@ def make_sharded_sim_step(mesh: Mesh, light_params, op_channel, *,
             jnp.float32(0.0), gains, k_light, light,
             n_ticks=n_ticks, conv_ticks=conv_ticks,
             lut_smearing=light.enable_lut_smearing)
+
+        # triggers: forced beam trigger, or the mode-0 threshold scan
+        # (grouped-sum compare + dead-time walk, light_sim.py:394-443)
+        if trig_mode == 0:
+            sample_factor = round(light.light_digit_sample_spacing
+                                  / light.light_tick_size)
+            above = light_ops.group_above_threshold(
+                response_sig, group_threshold,
+                per_trig=light.op_channel_per_trig,
+                sample_factor=sample_factor)
+            module_above = above.any(axis=0, keepdims=True)   # one module
+            idx, counts = light_ops.dead_time_trigger_scan(
+                module_above, digit_ticks=digit_ticks, max_trig=max_trig)
+            trig_idx = idx[0]                                 # (max_trig,)
+            n_trig = counts[0]
+        else:
+            trig_idx = jnp.zeros((max_trig,), jnp.int32) \
+                .at[1:].set(-1)                               # beam @ 0
+            n_trig = jnp.int32(1)
+
         signal = jnp.pad(response_sig, ((0, 0), (pad_front, pad_back)))
+        if add_noise:
+            noise = light_ops.gen_light_detector_noise(
+                signal.shape, noise_rows[0], k_noise, light)
+            signal = signal + noise
         wv = light_ops.digitize_signal(
-            signal, jnp.asarray([pad_front]), light,
+            signal, jnp.maximum(trig_idx, 0) + pad_front, light,
             digit_samples=digit_samples)
+        wv = wv * (trig_idx >= 0).astype(wv.dtype)[:, None, None]
+
+        if k_truth > 0:
+            truth_ids, truth_contrib, truth_t0, truth_vox = \
+                light_ops.light_truth_select(segs, vox, n_det,
+                                             k_truth=k_truth)
+        else:
+            truth_ids = jnp.zeros((op_channel.shape[0], 1), jnp.int32) - 1
+            truth_contrib = jnp.zeros_like(truth_ids, jnp.float32)
 
         hits = (fee_res.n_adc > 0).sum()
         n_hits_total = jax.lax.psum(jax.lax.psum(hits, 'events'), 'modules')
-        return adc[None, None], wv[None, None], n_hits_total
+        return (adc[None, None], wv[None, None], trig_idx[None, None],
+                n_trig[None, None], truth_ids[None, None],
+                truth_contrib[None, None], n_hits_total)
 
+    cell = P('modules', 'events')
     sharded = jax.shard_map(
         per_shard, mesh=mesh,
-        in_specs=(P('modules', 'events'), P('modules'), P(),
+        in_specs=(cell, P('modules'), P(),
                   P('modules'), P('modules'), P('modules'), P('modules'),
-                  P('modules', 'events')),
-        out_specs=(P('modules', 'events'), P('modules', 'events'), P()),
+                  P('modules'), cell),
+        out_specs=(cell, cell, cell, cell, cell, cell, P()),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    jitted = jax.jit(sharded)
+
+    def run(segs, det_stack, response, vis, t0, time_dist, t0_avg, keys,
+            noise_rows=None):
+        if noise_rows is None:
+            n_mod = mesh.shape['modules']
+            noise_rows = jnp.ones((n_mod, op_channel.shape[0], 8),
+                                  jnp.float32)
+        out = jitted(segs, det_stack, response, vis, t0, time_dist,
+                     t0_avg, noise_rows, keys)
+        return dict(adc=out[0], waveforms=out[1], trigger_idx=out[2],
+                    n_triggers=out[3], truth_ids=out[4],
+                    truth_contrib=out[5], n_hits_total=out[6])
+
+    return run
 
 
 def shard_segments(segs_np_list, mesh: Mesh, pad_to: int) -> Segments:
