@@ -418,16 +418,17 @@ def _digit_scalars(light: LightParams) -> tuple:
 
 
 def _digit_geometry(light: LightParams, n_ticks: int, digit_samples: int,
-                    pad_front: int, n_padded: int, dtype=np.float32):
-    """Per-sample interpolation geometry of the beam-trigger digitizer:
-    (i0, frac, in0, in1, edge) — sample s reads ticks i0[s], i0[s]+1 with
-    weight frac[s]; in0/in1/edge are the bounds masks the transfer table
-    bakes in (same semantics as ops/light.digitize_signal).  dtype
-    selects f32 (table parity with the device path) or f64 (the staged
-    reference-exact path: the reference computes sample_tick in double,
-    light_sim.py:499)."""
+                    pad_front: int, n_padded: int, dtype=np.float32,
+                    offset: int = 0):
+    """Per-sample interpolation geometry of the digitizer for a trigger at
+    flat tick ``offset`` (0 = beam): (i0, frac, in0, in1, edge) — sample s
+    reads ticks i0[s], i0[s]+1 with weight frac[s]; in0/in1/edge are the
+    bounds masks the transfer table bakes in (same semantics as
+    ops/light.digitize_signal).  dtype selects f32 (table parity with the
+    device path) or f64 (the staged reference-exact path: the reference
+    computes sample_tick in double, light_sim.py:499)."""
     tick, f, pre = _digit_scalars(light)
-    y = (dtype(-pre)
+    y = (dtype(offset - pre)
          + np.arange(digit_samples, dtype=dtype) * dtype(f))
     i0 = np.floor(y).astype(np.int64)
     frac = (y - i0.astype(dtype)).astype(dtype)
@@ -439,18 +440,22 @@ def _digit_geometry(light: LightParams, n_ticks: int, digit_samples: int,
 
 def _transfer_table_host(light: LightParams, conv_ticks: int, n_ticks: int,
                          digit_samples: int, pad_front: int,
-                         n_padded: int) -> np.ndarray:
-    """Host copy of ops/light.truth_transfer_table for trigger_off == 0
-    (beam trigger), cached per config.  (n_ticks, digit_samples) f32."""
+                         n_padded: int, offset: int = 0) -> np.ndarray:
+    """Host copy of ops/light.truth_transfer_table for one trigger at flat
+    tick ``offset`` (0 = beam), cached per (config, offset).
+    (n_ticks, digit_samples) f32 — mode-0 multi-trigger events build one
+    table per distinct trigger offset (small LRU; a table is
+    n_ticks x digit_samples f32, e.g. 16 MB for module0's 256 samples)."""
     tick, f, pre = _digit_scalars(light)
     key = (conv_ticks, n_ticks, digit_samples, pad_front, n_padded,
-           tick, f, pre, *_kernel_leaf_key(light))
+           tick, f, pre, int(offset), *_kernel_leaf_key(light))
     hit = _TRANSFER_CACHE.get(key)
     if hit is not None:
         return hit
     kernel = _combined_kernel_host(light, conv_ticks).astype(np.float32)
     i0, frac, in0, in1, edge = _digit_geometry(
-        light, n_ticks, digit_samples, pad_front, n_padded)
+        light, n_ticks, digit_samples, pad_front, n_padded,
+        offset=int(offset))
     LK = kernel.shape[0]
 
     # T[j, s] = interp(kernel at i0[s] - j), masked — each column is a
@@ -466,7 +471,7 @@ def _transfer_table_host(light: LightParams, conv_ticks: int, n_ticks: int,
     V1 = W[np.clip(start0 - 1, 0, hi)] * in1[:, None]
     Ts = (V0 + (V1 - V0) * frac[:, None]) * edge[:, None]
     T = np.ascontiguousarray(Ts.T)                       # (n_ticks, S)
-    if len(_TRANSFER_CACHE) > 8:
+    if len(_TRANSFER_CACHE) > 16:
         _TRANSFER_CACHE.clear()
     _TRANSFER_CACHE[key] = T
     return T
@@ -660,7 +665,8 @@ def _host_smeared_truth_sparse(ids_dev, contrib_dev, t0_dev, vox_dev,
                                staged: bool = False,
                                event_id: int = 0,
                                trig_get=None,
-                               ledger=None, seq=None):
+                               ledger=None, seq=None,
+                               trigger_idx=None):
     """Smeared-truth records recomputed on the host worker thread.
 
     Only (C, K)-sized contributor metadata crosses the device->host link
@@ -668,6 +674,12 @@ def _host_smeared_truth_sparse(ids_dev, contrib_dev, t0_dev, vox_dev,
     rebuilds each contributor's result from its own LUT copy through the
     same linear chain the device path uses (exact chain:
     light_sim.py:170-183, :322-336, :480-543).
+
+    ``trigger_idx`` (flat trigger ticks, default [0] = beam) extends the
+    path to mode-0 multi-trigger events: one transfer table per trigger
+    offset (small LRU), records emitted trigger-major — the reference's
+    zero-suppress order (light_sim.py:621-661) — with NO dense
+    (ntrig, C, samples, K) tensor on or off the device.
 
     Fast path: each contributor's profile occupies ``nprof`` *consecutive*
     ticks, so instead of gathering ``nprof`` transfer-table rows per
@@ -691,6 +703,9 @@ def _host_smeared_truth_sparse(ids_dev, contrib_dev, t0_dev, vox_dev,
     contrib = np.asarray(contrib_dev).astype(np.float32)
     t0_sel = np.asarray(t0_dev).astype(np.float32)
     vox = np.asarray(vox_dev)
+    trigger_idx = (np.zeros(1, np.int64) if trigger_idx is None
+                   else np.asarray(trigger_idx, np.int64))
+    ntrig = int(trigger_idx.shape[0])
     _mark('pull')
     C, K = ids.shape
     nprof = lut_td_host.shape[-1]
@@ -706,6 +721,10 @@ def _host_smeared_truth_sparse(ids_dev, contrib_dev, t0_dev, vox_dev,
     j = np.arange(nprof, dtype=np.float32) * np.float32(1e-3)
     t_arr = t0_sel[..., None] + j
     tick_f = (t_arr - np.float32(start_time)) / tick32
+    # padded/invalid contributors carry sentinel (non-finite) t0; the ok
+    # mask below drops them regardless, but cast them to a safely
+    # out-of-range tick first (inf -> int32 is UB and warns)
+    tick_f = np.where(np.isfinite(tick_f), tick_f, np.float32(-2))
     itick = np.ceil(tick_f).astype(np.int32) - 1
     ok = ((tick_f > itick) & (itick >= 0) & (itick < n_ticks)
           & (contrib[..., None] > 0))
@@ -731,6 +750,10 @@ def _host_smeared_truth_sparse(ids_dev, contrib_dev, t0_dev, vox_dev,
     if staged:
         # reference-exact staged thresholds (sim.ref_exact_truth_staging):
         # no transfer table — per-row dense chain with in-stage cuts
+        if ntrig != 1 or int(trigger_idx[0]) != 0:
+            raise NotImplementedError(
+                'ref_exact_truth_staging supports only the beam trigger '
+                '(single trigger at tick 0)')
         if rows.size * n_ticks > 5e7:
             warnings.warn('ref_exact_truth_staging at production scale: '
                           f'{rows.size} rows x {n_ticks} ticks is a '
@@ -747,11 +770,10 @@ def _host_smeared_truth_sparse(ids_dev, contrib_dev, t0_dev, vox_dev,
                            trigger_id=trig_get() if trig_get else 0,
                            ledger=ledger, seq=seq)
 
-    T = _transfer_table_host(light, conv_ticks, n_ticks, digit_samples,
-                             pad_front, n_ticks + pad_front + pad_back)
-    _mark('table')
+    ph_all = photons.reshape(C * K, nprof)[rows]
+    it_c = np.clip(it_all, 0, n_ticks - 1)
 
-    def _row_matmul(ph, it):
+    def _row_matmul(T, ph, it):
         out = np.empty((ph.shape[0], digit_samples), np.float32)
         B = 512
         for i in range(0, ph.shape[0], B):
@@ -761,28 +783,28 @@ def _host_smeared_truth_sparse(ids_dev, contrib_dev, t0_dev, vox_dev,
                                 T[np.clip(it[sl], 0, n_ticks - 1)])[:, 0, :]
         return out
 
-    if _force_slow:
-        res = _row_matmul(photons.reshape(C * K, nprof)[rows], it_all)
-    else:
-        ph_all = photons.reshape(C * K, nprof)[rows]
-        it_c = np.clip(it_all, 0, n_ticks - 1)
-        row_lo = it_c.min(axis=1)                       # per-row span is
-        row_hi = it_c.max(axis=1)                       # <= nprof + 1 ticks
-        # block width ~2x the profile span: each row occupies <= nprof+1
-        # ticks, so wider windows only add zero-padding FLOPs (the old
-        # 1024 floor measured 2.3x slower at nprof=100 — 10x FLOP
-        # overshoot beats BLAS shape efficiency on this host)
-        win = int(os.environ.get('LARNDSIM_TRUTH_WIN', '0')) \
-            or max(2 * nprof + 8, 128)
-        win = max(win, nprof + 2)   # narrower never advances the block loop
-        order = np.argsort(row_lo, kind='stable')
-        res = _scratch2d('res', rows.size, digit_samples, np.float32)
+    row_lo = it_c.min(axis=1)                       # per-row span is
+    row_hi = it_c.max(axis=1)                       # <= nprof + 1 ticks
+    # block width ~2x the profile span: each row occupies <= nprof+1
+    # ticks, so wider windows only add zero-padding FLOPs (the old
+    # 1024 floor measured 2.3x slower at nprof=100 — 10x FLOP
+    # overshoot beats BLAS shape efficiency on this host)
+    win = int(os.environ.get('LARNDSIM_TRUTH_WIN', '0')) \
+        or max(2 * nprof + 8, 128)
+    win = max(win, nprof + 2)   # narrower never advances the block loop
+    order = np.argsort(row_lo, kind='stable')
+    _sub = time.perf_counter if prof_t is not None else None
+
+    def _gemm_into(T, res):
+        """Windowed GEMM of the scattered profiles against contiguous
+        views of one trigger's transfer table (same terms as the naive
+        row matmul; only the summation grouping changes)."""
         first_col, last_col = _transfer_col_bounds(T)
-        _sub = time.perf_counter if prof_t is not None else None
         i = 0
         while i < rows.size:
             t_lo = int(row_lo[order[i]])
-            jend = int(np.searchsorted(row_lo[order], t_lo + win - nprof - 1,
+            jend = int(np.searchsorted(row_lo[order],
+                                       t_lo + win - nprof - 1,
                                        side='right'))
             blk = order[i:jend]
             t_hi = min(int(row_hi[blk].max()) + 1, n_ticks)
@@ -822,15 +844,64 @@ def _host_smeared_truth_sparse(ids_dev, contrib_dev, t0_dev, vox_dev,
                                         * max(min(s1, digit_samples)
                                               - max(s0, 0), 0))
             i = jend
+
+    n_padded = n_ticks + pad_front + pad_back
+    if ntrig == 1:
+        T = _transfer_table_host(light, conv_ticks, n_ticks, digit_samples,
+                                 pad_front, n_padded,
+                                 offset=int(trigger_idx[0]))
+        _mark('table')
+        if _force_slow:
+            res = _row_matmul(T, ph_all, it_all)
+        else:
+            res = _scratch2d('res', rows.size, digit_samples, np.float32)
+            _gemm_into(T, res)
+        _mark('gemm')
+        # resolve the running trigger offset as late as possible: the box
+        # is filled on the accumulate path, which by now has long since
+        # run for this event (the GEMM above takes ~100x the
+        # dispatch->accumulate gap)
+        return _emit_truth(res, rows, ids, op_channel, C, K, threshold,
+                           as_records, digit_samples, _mark, prof_t,
+                           event_id=event_id,
+                           trigger_id=trig_get() if trig_get else 0,
+                           ledger=ledger, seq=seq)
+
+    # --- mode-0 multi-trigger: per-offset tables, trigger-major records
+    # (the reference's zero-suppress record order, light_sim.py:643) ---
+    base = trig_get() if trig_get else 0
+    parts = []
+    res = _scratch2d('res', rows.size, digit_samples, np.float32)
+    for t in range(ntrig):
+        T = _transfer_table_host(light, conv_ticks, n_ticks, digit_samples,
+                                 pad_front, n_padded,
+                                 offset=int(trigger_idx[t]))
+        if _force_slow:
+            res = _row_matmul(T, ph_all, it_all)
+        else:
+            _gemm_into(T, res)
+        part = _emit_truth(res, rows, ids, op_channel, C, K, threshold,
+                           as_records, digit_samples, _mark, None,
+                           event_id=event_id, trigger_id=base + t,
+                           ledger=None, seq=None)
+        if not as_records:
+            part['trig'] = np.full(len(part['tick']), t, np.int32)
+        parts.append(part)
     _mark('gemm')
-    # resolve the running trigger offset as late as possible: the box is
-    # filled on the accumulate path, which by now has long since run for
-    # this event (the GEMM above takes ~100x the dispatch->accumulate gap)
-    return _emit_truth(res, rows, ids, op_channel, C, K, threshold,
-                       as_records, digit_samples, _mark, prof_t,
-                       event_id=event_id,
-                       trigger_id=trig_get() if trig_get else 0,
-                       ledger=ledger, seq=seq)
+    if as_records:
+        from ..io.export import TRUTH_DTYPE
+        out = (np.concatenate(parts) if len(parts) > 1
+               else parts[0].copy()) if parts else np.empty(0, TRUTH_DTYPE)
+        for p in parts:   # pooled per-trigger buffers: h5py never sees them
+            recycle_truth_records(p)
+        if ledger is not None:
+            ledger.publish(seq, ledger.wait_prev(seq) + out.shape[0])
+        _mark('records')
+        return out
+    merged = {k: np.concatenate([p[k] for p in parts])
+              for k in parts[0]}
+    _mark('records')
+    return merged
 
 
 _TRUTH_EMIT_LIB = None
@@ -1308,6 +1379,7 @@ def simulate_light_batch(segs: Segments, det_model: DetectorModel,
                    and trigger_idx.shape[0] == 1 and trigger_idx[0] == 0)
 
     truth_ids_dev = tw_dev = amp = itick = smear_args = None
+    smear_trigger_idx = None
     if beam_single:
         # fused single-dispatch path: pad + noise + digitize + truth points
         wvfms, truth_ids_dev, amp, itick = _beam_digitize_stage(
@@ -1350,14 +1422,24 @@ def simulate_light_batch(segs: Segments, det_model: DetectorModel,
                 op_channel_dev, lut.t0_avg, jnp.float32(start_time), light,
                 k_truth=sim.max_mc_truth_ids)
         elif sim.max_mc_truth_ids > 0:
-            truth_ids_dev, tw_dev = _smeared_truth_stage(
+            # mode-0 / multi-trigger LUT-smearing truth takes the same
+            # host-worker contributor-metadata path as the beam trigger:
+            # the device only selects top-K per channel; the host rebuilds
+            # the linear chain with one transfer table per trigger offset.
+            # No dense (ntrig, C, samples, K) tensor is ever built on (or
+            # pulled from) the device, and there is no keep-count sync.
+            ids_dev, con_dev, t0_dev, vox_dev = light_ops.light_truth_select(
                 segs, jnp.asarray(voxels), jnp.asarray(n_photons_det),
-                op_channel_dev, lut.time_dist, lut.t0_avg,
-                jnp.float32(start_time), padded_trigger_idx, light,
-                n_ticks=n_ticks, conv_ticks=conv_ticks,
-                k_truth=sim.max_mc_truth_ids,
-                digit_samples=digit_samples, pad_front=pad_front,
-                pad_back=pad_back)
+                k_truth=sim.max_mc_truth_ids)
+            truth_ids_dev = ids_dev
+            for a in (ids_dev, con_dev, t0_dev, vox_dev):
+                _stage_host_copy(a)
+            smear_args = (ids_dev, con_dev, t0_dev, vox_dev,
+                          lut.time_dist_host, op_channel, light,
+                          sim.mc_truth_threshold, conv_ticks, n_ticks,
+                          digit_samples, pad_front, pad_back,
+                          float(start_time))
+            smear_trigger_idx = np.asarray(trigger_idx, np.int64)
 
     # --- truth zero-suppression ---
     truth_sparse = None
@@ -1386,10 +1468,12 @@ def simulate_light_batch(segs: Segments, det_model: DetectorModel,
             truth_future = truth_executor.submit(
                 _worker_smeared_truth, *smear_args, as_records=True,
                 staged=sim.ref_exact_truth_staging, event_id=event_id,
-                trig_get=trig_box.get, ledger=truth_ledger, seq=seq)
+                trig_get=trig_box.get, ledger=truth_ledger, seq=seq,
+                trigger_idx=smear_trigger_idx)
         else:
             truth_sparse = _host_smeared_truth_sparse(
-                *smear_args, staged=sim.ref_exact_truth_staging)
+                *smear_args, staged=sim.ref_exact_truth_staging,
+                trigger_idx=smear_trigger_idx)
     elif truth_sparse is None and tw_dev is not None:
         # general multi-trigger path: dense truth pulled packed + decoded
         if truth_executor is not None:

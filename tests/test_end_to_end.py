@@ -101,3 +101,74 @@ class TestOutputSchema:
             for key in ('vdrift', 'long_diff', 'tran_diff', 'lifetime',
                         'drift_length'):
                 assert key in attrs
+
+
+@pytest.mark.slow
+class TestModule0TruthOn:
+    """Mode-0 (module0, threshold self-trigger) end-to-end with LUT-
+    smearing light truth at the production thresholds
+    (max_light_truth_ids: 50, mc_truth_threshold: 0.1 — the 2x2
+    production values, 2x2_NuMI_sim.yaml:10-11).  The multi-trigger truth
+    rides the host contributor-metadata path: no dense
+    (ntrig, C, samples, K) tensor is built on the device (VERDICT r2 #4).
+    Fused and unfused truth writers must agree byte-for-byte."""
+
+    @pytest.fixture(scope='class')
+    def files(self, tmp_path_factory):
+        import shutil
+        tmp = tmp_path_factory.mktemp('mode0_truth')
+        detprop = str(tmp / 'module0_smear.yaml')
+        shutil.copy(DETPROP, detprop)
+        with open(detprop, 'a') as f:
+            f.write('\nenable_lut_smearing: True\n')
+        simprop = str(tmp / 'singles_truth.yaml')
+        shutil.copy(f'{REF}/simulation_properties/singles_sim_no_modvar.yaml',
+                    simprop)
+        with open(simprop, 'a') as f:
+            f.write('\nmax_light_truth_ids: 50\nmc_truth_threshold: 0.1\n')
+
+        det_model = load_detector(detprop, PIXEL)
+        in_file = str(tmp / 'input.h5')
+        write_input(in_file, det_model.tpc_borders, n_events=2,
+                    tracks_per_event=3, segments_per_track=8, dEdx=15.0,
+                    seed=11)
+        outs = {}
+        for tag, env in (('fused', '1'), ('unfused', '0')):
+            out_file = str(tmp / f'out_{tag}.h5')
+            os.environ['LARNDSIM_FUSED_TRUTH'] = env
+            try:
+                run_simulation(in_file, out_file, config='module0',
+                               detector_properties=detprop,
+                               pixel_layout=PIXEL,
+                               simulation_properties=simprop,
+                               response_file='__missing__.npy',
+                               light_lut_filename='__missing__.npz',
+                               light_det_noise_filename='__missing__.npy',
+                               rand_seed=123, step_scale=16.0)
+            finally:
+                os.environ.pop('LARNDSIM_FUSED_TRUTH', None)
+            outs[tag] = out_file
+        return outs
+
+    def test_truth_written_multi_trigger(self, files):
+        with h5py.File(files['fused']) as f:
+            assert 'light_wvfm_mc_assn' in f
+            truth = np.array(f['light_wvfm_mc_assn'])
+            trig = np.array(f['light_trig'])
+        assert truth.shape[0] > 0
+        assert (np.abs(truth['pe_current']) > 0.1).all()
+        assert (truth['segment_id'] >= 0).all()
+        # trigger ids index the light_trig rows (mode-0 can fire several
+        # triggers per event; at minimum every event triggered once)
+        assert truth['trigger_id'].max() < trig.shape[0]
+        assert len(np.unique(truth['event_id'])) == 2
+
+    def test_fused_matches_unfused(self, files):
+        datasets = {}
+        for tag, path in files.items():
+            with h5py.File(path) as f:
+                datasets[tag] = np.array(f['light_wvfm_mc_assn'])
+        a, b = datasets['fused'], datasets['unfused']
+        assert a.shape == b.shape
+        for col in a.dtype.names:
+            np.testing.assert_array_equal(a[col], b[col], err_msg=col)

@@ -410,3 +410,120 @@ class TestFusedChunks:
                                ledger=ledger, seq=ledger.claim())
         with pytest.raises(RuntimeError, match='desync'):
             export.export_light_truth_chunks(str(tmp_path / 'x.h5'), fused)
+
+
+class TestMultiTriggerHostTruth:
+    """Mode-0 / multi-trigger truth through the host contributor-metadata
+    path: one transfer table per trigger offset, records trigger-major —
+    golden against the device dense path (_smeared_truth_stage ->
+    _pull_dense_truth_sparse), which round 2 pinned against the
+    reference's own light chain (light_sim.py:621-661 record order)."""
+
+    def _inputs(self, setup, n=5, k=4):
+        det_model, light, sim, lut = setup
+        segs = drifted_segments(det_model.params, n=n)
+        op_channel = np.arange(light.n_op_channel)
+        n_det, t0_det, vox = light_ops.calculate_light_incidence(
+            segs, det_model.params, light, lut.vis, lut.t0,
+            n_channels=light.n_op_channel)
+        return det_model, light, sim, lut, segs, op_channel, n_det, vox
+
+    def test_multi_trigger_matches_device_dense(self, setup):
+        from larndsim_tpu.models import light as light_model
+        (det_model, light, sim, lut, segs, op_channel, n_det,
+         vox) = self._inputs(setup)
+        n_ticks, conv_ticks, samples = 4096, 2048, 128
+        pad_front, pad_back = 64, 512
+        threshold = 1e-3
+        k = 4
+        trig = np.array([0, 129, 1500])
+
+        ids, con, t0s, voxs = light_ops.light_truth_select(
+            segs, jnp.asarray(vox), n_det, k_truth=k)
+        host = light_model._host_smeared_truth_sparse(
+            ids, con, t0s, voxs, lut.time_dist_host, op_channel, light,
+            threshold, conv_ticks, n_ticks, samples, pad_front, pad_back,
+            0.0, trigger_idx=trig)
+
+        ids2, tw = light_model._smeared_truth_stage(
+            segs, jnp.asarray(vox), n_det, jnp.asarray(op_channel),
+            lut.time_dist, lut.t0_avg, jnp.float32(0.0),
+            jnp.asarray(trig + pad_front), light, n_ticks=n_ticks,
+            conv_ticks=conv_ticks, k_truth=k, digit_samples=samples,
+            pad_front=pad_front, pad_back=pad_back)
+        dev = light_model._pull_dense_truth_sparse(
+            ids2, tw, op_channel, threshold)
+
+        assert len(host['tick']) > 0
+        assert set(np.unique(host['trig']).tolist()) == {0, 1, 2}
+        h_key = np.stack([host['trig'], host['op_channel'], host['tick'],
+                          host['segment_id']])
+        d_key = np.stack([dev['trig'], dev['op_channel'], dev['tick'],
+                          dev['segment_id']])
+        np.testing.assert_array_equal(h_key, d_key)
+        np.testing.assert_allclose(host['pe_current'], dev['pe_current'],
+                                   rtol=1e-4, atol=1e-6)
+
+    def test_multi_trigger_records_match_dict(self, setup):
+        from larndsim_tpu.models import light as light_model
+        (det_model, light, sim, lut, segs, op_channel, n_det,
+         vox) = self._inputs(setup, n=6)
+        trig = np.array([10, 700])
+        ids, con, t0s, voxs = light_ops.light_truth_select(
+            segs, jnp.asarray(vox), n_det, k_truth=4)
+        common = (ids, con, t0s, voxs, lut.time_dist_host, op_channel,
+                  light, 1e-3, 2048, 4096, 128, 64, 512, 0.0)
+        rec = light_model._host_smeared_truth_sparse(
+            *common, as_records=True, trigger_idx=trig, event_id=3,
+            trig_get=lambda: 7)
+        ref = export.truth_sparse_to_records(
+            light_model._host_smeared_truth_sparse(*common,
+                                                   trigger_idx=trig),
+            3, 7)
+        assert rec.shape == ref.shape and rec.shape[0] > 0
+        assert set(np.unique(rec['trigger_id']).tolist()) == {7, 8}
+        for name in rec.dtype.names:
+            np.testing.assert_array_equal(rec[name], ref[name],
+                                          err_msg=name)
+
+    def test_mode0_batch_no_dense_tensor(self, setup):
+        """simulate_light_batch in trig mode 0 with smearing truth routes
+        through the worker path (truth_future), not a dense device pull."""
+        import dataclasses as dc
+        from concurrent.futures import ThreadPoolExecutor
+        from larndsim_tpu.models.light import simulate_light_batch
+        from larndsim_tpu.assets.light_lut import make_light_noise
+        det_model, light, sim, lut = setup
+        light0 = dc.replace(light, light_trig_mode=0,
+                            enable_lut_smearing=True)
+        from larndsim_tpu.params import light as light_params_mod
+        light_params_mod.adopt_host_scalars(light0, light)
+        segs = drifted_segments(det_model.params, n=6)
+        op_channel = np.arange(light0.n_op_channel)
+        n_det, t0_det, vox = light_ops.calculate_light_incidence(
+            segs, det_model.params, light0, lut.vis, lut.t0,
+            n_channels=light0.n_op_channel)
+        # force triggers with a generous threshold
+        light0 = dc.replace(light0, light_trig_threshold=jnp.full_like(
+            jnp.asarray(light0.light_trig_threshold), 1e30))
+        light_params_mod.adopt_host_scalars(light0, light)
+        pool = ThreadPoolExecutor(max_workers=1)
+        try:
+            res = simulate_light_batch(
+                segs, det_model, light0, sim, n_det, vox, lut,
+                make_light_noise(light0.n_op_channel),
+                jax.random.PRNGKey(5), t0_det=t0_det, truth_executor=pool,
+                event_id=2)
+            assert res.trigger_idx.shape[0] >= 1
+            assert res.truth_future is not None     # worker path engaged
+            assert res.truth_sparse is None
+            res.trig_box.set(0)
+            truth = res.truth_future.result()
+            assert isinstance(truth, np.ndarray) and truth.shape[0] > 0
+            assert (truth['event_id'] == 2).all()
+            n_trig = res.trigger_idx.shape[0]
+            # records span several triggers (late triggers can fall below
+            # threshold — the scintillation tail dies off)
+            assert 1 <= truth['trigger_id'].max() <= n_trig - 1
+        finally:
+            pool.shutdown(wait=True)
