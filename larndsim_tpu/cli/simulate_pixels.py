@@ -523,6 +523,13 @@ def run_simulation(input_filename: str,
                         and truth_compression == 'lzf'
                         and os.environ.get('LARNDSIM_FUSED_TRUTH', '1')
                         != '0')
+        if fused_wanted and light is not None \
+                and light.enable_lut_smearing and sim.max_mc_truth_ids > 0 \
+                and light_model.resolve_truth_path() == 'device':
+            # device-pack truth (fast link, resolve_truth_path) returns
+            # sparse dicts, not worker-compressed chunks: the ledger
+            # offset chain would never advance
+            fused_wanted = False
         if fused_wanted and (export._native_h5lzf() is None
                              or light_model._truth_chunks_lib() is None):
             # without BOTH native libraries every event silently takes the

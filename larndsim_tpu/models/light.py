@@ -8,6 +8,7 @@ scintillation smear -> Poisson PE statistics -> SiPM response -> triggers
 from __future__ import annotations
 
 import dataclasses
+import logging
 import math
 import os
 import threading
@@ -25,6 +26,8 @@ from ..params.sim import SimParams
 from ..segments import Segments
 from ..ops import light as light_ops
 from ..utils import trace
+
+logger = logging.getLogger(__name__)
 
 
 @dataclasses.dataclass
@@ -386,6 +389,45 @@ def _stage_host_copy(arr):
     except (AttributeError, RuntimeError):
         pass
     return arr
+
+
+_TRUTH_PATH_CACHE: list = []
+
+
+def resolve_truth_path() -> str:
+    """'host' or 'device': how LUT-smearing truth leaves the device.
+
+    'host' recomputes the linear chain on a worker from (C, K)
+    contributor metadata (~0.5 MB/event pulled); 'device' runs the dense
+    smear + threshold on the TPU and pulls a packed bitmask + values
+    (~10 MB/event).  Which wins is a property of the device->host link:
+    the host recompute was chosen for the axon tunnel's ~12 MB/s
+    (BENCHMARKS.md), while a production TPU host pulls GB/s.  Resolved
+    once per process from $LARNDSIM_TRUTH_PATH (host|device|auto,
+    default auto): auto measures the link (utils.link.pull_mbps) and
+    takes 'device' when it exceeds $LARNDSIM_DEVPACK_MIN_MBPS (default
+    200 — a packed event then pulls in <50 ms, well under the ~450 ms
+    host recompute it replaces).  On non-TPU backends auto is 'host'
+    (the pull is a memcpy; the measurement says nothing about a link).
+    """
+    if _TRUTH_PATH_CACHE:
+        return _TRUTH_PATH_CACHE[0]
+    mode = os.environ.get('LARNDSIM_TRUTH_PATH', 'auto')
+    if mode not in ('host', 'device', 'auto'):
+        raise ValueError(f'LARNDSIM_TRUTH_PATH={mode!r}: '
+                         "use 'host', 'device' or 'auto'")
+    if mode == 'auto':
+        if jax.default_backend() != 'tpu':
+            mode = 'host'
+        else:
+            from ..utils.link import pull_mbps
+            thr = float(os.environ.get('LARNDSIM_DEVPACK_MIN_MBPS', '200'))
+            mbps = pull_mbps()
+            mode = 'device' if mbps >= thr else 'host'
+            logger.info('truth path: %s (device->host pull %.0f MB/s, '
+                        'device-pack threshold %.0f)', mode, mbps, thr)
+    _TRUTH_PATH_CACHE.append(mode)
+    return mode
 
 
 @functools.partial(jax.jit, static_argnames=('k_truth',))
@@ -1290,7 +1332,8 @@ def simulate_light_batch(segs: Segments, det_model: DetectorModel,
                          add_noise: bool = True,
                          truth_executor=None,
                          event_id: int = 0,
-                         truth_ledger: TruthLedger | None = None
+                         truth_ledger: TruthLedger | None = None,
+                         truth_path: str | None = None
                          ) -> LightBatchResult:
     """Run the light chain for one batch.
 
@@ -1300,6 +1343,8 @@ def simulate_light_batch(segs: Segments, det_model: DetectorModel,
         op_channel: (C,) absolute channel ids simulated (defaults to all).
         t0_det: (S, C) first-arrival times (needed for trig mode 0 window).
         max_ticks: cap on simulated ticks (cli:1125: min(nticks, 5e4)).
+        truth_path: 'host' | 'device' route for LUT-smearing truth
+            (default: :func:`resolve_truth_path` — link-adaptive).
     """
     if op_channel is None:
         op_channel = np.asarray(light.tpc_to_op_channel).ravel()
@@ -1375,6 +1420,9 @@ def simulate_light_batch(segs: Segments, det_model: DetectorModel,
 
     noise_rows = noise_cached if add_noise else None
     do_truth = sim.max_mc_truth_ids > 0 and not light.enable_lut_smearing
+    smear_route = 'host'
+    if sim.max_mc_truth_ids > 0 and light.enable_lut_smearing:
+        smear_route = truth_path or resolve_truth_path()
     beam_single = (light.light_trig_mode == 1
                    and trigger_idx.shape[0] == 1 and trigger_idx[0] == 0)
 
@@ -1391,20 +1439,34 @@ def simulate_light_batch(segs: Segments, det_model: DetectorModel,
             k_truth=sim.max_mc_truth_ids if do_truth else 0,
             conv_ticks=conv_ticks)
         if sim.max_mc_truth_ids > 0 and not do_truth:
-            # LUT-smearing truth for the beam trigger at tick 0: device
-            # selects top-K contributors, host worker recomputes the
-            # linear chain (no dense truth tensor on or off the device)
-            ids_dev, con_dev, t0_dev, vox_dev = light_ops.light_truth_select(
-                segs, jnp.asarray(voxels), jnp.asarray(n_photons_det),
-                k_truth=sim.max_mc_truth_ids)
-            truth_ids_dev = ids_dev
-            for a in (ids_dev, con_dev, t0_dev, vox_dev):
-                _stage_host_copy(a)  # worker pull must not queue behind
-            smear_args = (ids_dev, con_dev, t0_dev, vox_dev,
-                          lut.time_dist_host, op_channel, light,
-                          sim.mc_truth_threshold, conv_ticks, n_ticks,
-                          digit_samples, pad_front, pad_back,
-                          float(start_time))
+            if smear_route == 'device':
+                # fast-link route: dense smear + digitize on device, truth
+                # leaves as a packed bitmask + values (resolve_truth_path)
+                truth_ids_dev, tw_dev = _smeared_truth_stage(
+                    segs, jnp.asarray(voxels), jnp.asarray(n_photons_det),
+                    op_channel_dev, lut.time_dist, lut.t0_avg,
+                    jnp.float32(start_time),
+                    jnp.asarray([pad_front]), light, n_ticks=n_ticks,
+                    conv_ticks=conv_ticks, k_truth=sim.max_mc_truth_ids,
+                    digit_samples=digit_samples, pad_front=pad_front,
+                    pad_back=pad_back)
+            else:
+                # LUT-smearing truth for the beam trigger at tick 0: device
+                # selects top-K contributors, host worker recomputes the
+                # linear chain (no dense truth tensor on or off the device)
+                ids_dev, con_dev, t0_dev, vox_dev = \
+                    light_ops.light_truth_select(
+                        segs, jnp.asarray(voxels),
+                        jnp.asarray(n_photons_det),
+                        k_truth=sim.max_mc_truth_ids)
+                truth_ids_dev = ids_dev
+                for a in (ids_dev, con_dev, t0_dev, vox_dev):
+                    _stage_host_copy(a)  # worker pull must not queue behind
+                smear_args = (ids_dev, con_dev, t0_dev, vox_dev,
+                              lut.time_dist_host, op_channel, light,
+                              sim.mc_truth_threshold, conv_ticks, n_ticks,
+                              digit_samples, pad_front, pad_back,
+                              float(start_time))
     else:
         signal = jnp.pad(response, ((0, 0), (pad_front, pad_back)))
         padded_trigger_idx = jnp.asarray(trigger_idx + pad_front)
@@ -1422,24 +1484,38 @@ def simulate_light_batch(segs: Segments, det_model: DetectorModel,
                 op_channel_dev, lut.t0_avg, jnp.float32(start_time), light,
                 k_truth=sim.max_mc_truth_ids)
         elif sim.max_mc_truth_ids > 0:
-            # mode-0 / multi-trigger LUT-smearing truth takes the same
-            # host-worker contributor-metadata path as the beam trigger:
-            # the device only selects top-K per channel; the host rebuilds
-            # the linear chain with one transfer table per trigger offset.
-            # No dense (ntrig, C, samples, K) tensor is ever built on (or
-            # pulled from) the device, and there is no keep-count sync.
-            ids_dev, con_dev, t0_dev, vox_dev = light_ops.light_truth_select(
-                segs, jnp.asarray(voxels), jnp.asarray(n_photons_det),
-                k_truth=sim.max_mc_truth_ids)
-            truth_ids_dev = ids_dev
-            for a in (ids_dev, con_dev, t0_dev, vox_dev):
-                _stage_host_copy(a)
-            smear_args = (ids_dev, con_dev, t0_dev, vox_dev,
-                          lut.time_dist_host, op_channel, light,
-                          sim.mc_truth_threshold, conv_ticks, n_ticks,
-                          digit_samples, pad_front, pad_back,
-                          float(start_time))
-            smear_trigger_idx = np.asarray(trigger_idx, np.int64)
+            if smear_route == 'device':
+                # fast-link route (see resolve_truth_path)
+                truth_ids_dev, tw_dev = _smeared_truth_stage(
+                    segs, jnp.asarray(voxels), jnp.asarray(n_photons_det),
+                    op_channel_dev, lut.time_dist, lut.t0_avg,
+                    jnp.float32(start_time), padded_trigger_idx, light,
+                    n_ticks=n_ticks, conv_ticks=conv_ticks,
+                    k_truth=sim.max_mc_truth_ids,
+                    digit_samples=digit_samples, pad_front=pad_front,
+                    pad_back=pad_back)
+            else:
+                # mode-0 / multi-trigger LUT-smearing truth takes the same
+                # host-worker contributor-metadata path as the beam
+                # trigger: the device only selects top-K per channel; the
+                # host rebuilds the linear chain with one transfer table
+                # per trigger offset.  No dense (ntrig, C, samples, K)
+                # tensor is ever built on (or pulled from) the device, and
+                # there is no keep-count sync.
+                ids_dev, con_dev, t0_dev, vox_dev = \
+                    light_ops.light_truth_select(
+                        segs, jnp.asarray(voxels),
+                        jnp.asarray(n_photons_det),
+                        k_truth=sim.max_mc_truth_ids)
+                truth_ids_dev = ids_dev
+                for a in (ids_dev, con_dev, t0_dev, vox_dev):
+                    _stage_host_copy(a)
+                smear_args = (ids_dev, con_dev, t0_dev, vox_dev,
+                              lut.time_dist_host, op_channel, light,
+                              sim.mc_truth_threshold, conv_ticks, n_ticks,
+                              digit_samples, pad_front, pad_back,
+                              float(start_time))
+                smear_trigger_idx = np.asarray(trigger_idx, np.int64)
 
     # --- truth zero-suppression ---
     truth_sparse = None
@@ -1507,7 +1583,8 @@ def simulate_light_group(segs_g: Segments, det_model: DetectorModel,
                          op_channel: np.ndarray,
                          add_noise: bool = True,
                          truth_executor=None,
-                         truth_ledger: TruthLedger | None = None
+                         truth_ledger: TruthLedger | None = None,
+                         truth_path: str | None = None
                          ) -> list[LightBatchResult]:
     """G independent beam-mode events in ONE device dispatch.
 
@@ -1572,8 +1649,26 @@ def simulate_light_group(segs_g: Segments, det_model: DetectorModel,
     # (_host_smeared_truth_sparse) — no dense truth tensor is ever built
     # on, or pulled from, the device
     smear_truth = sim.max_mc_truth_ids > 0 and light.enable_lut_smearing
-    smear = []
+    smear_route = 'host'
     if smear_truth:
+        smear_route = truth_path or resolve_truth_path()
+    smear = []
+    dense_smear = []
+    if smear_truth and smear_route == 'device':
+        # fast-link route (resolve_truth_path): dense smear + digitize per
+        # event on device, truth leaves packed
+        vox_dev_g = jnp.asarray(vox_g)
+        inc_dev_g = jnp.asarray(inc_g)
+        for g in range(G):
+            segs_1 = jax.tree.map(lambda a: a[g], segs_g)
+            dense_smear.append(_smeared_truth_stage(
+                segs_1, vox_dev_g[g], inc_dev_g[g], op_channel_dev,
+                lut.time_dist, lut.t0_avg, jnp.float32(0.0),
+                jnp.asarray([pad_front]), light, n_ticks=n_ticks,
+                conv_ticks=conv_ticks, k_truth=sim.max_mc_truth_ids,
+                digit_samples=digit_samples, pad_front=pad_front,
+                pad_back=pad_back))
+    elif smear_truth:
         ids_all, con_all, t0_all, vox_all = _group_truth_select(
             segs_g, jnp.asarray(vox_g), jnp.asarray(inc_g),
             k_truth=sim.max_mc_truth_ids)
@@ -1604,6 +1699,16 @@ def simulate_light_group(segs_g: Segments, det_model: DetectorModel,
             truth_sparse = _host_truth_sparse(
                 ids_h[g], amp_h[g], it_h[g], kernel, trigger_idx, light,
                 digit_samples, op_channel, sim.mc_truth_threshold)
+        elif smear_truth and smear_route == 'device':
+            ids_dev, tw_dev = dense_smear[g]
+            truth_ids = np.asarray(ids_dev)
+            if truth_executor is not None:
+                truth_future = truth_executor.submit(
+                    _pull_dense_truth_sparse, ids_dev, tw_dev,
+                    op_channel, sim.mc_truth_threshold)
+            else:
+                truth_sparse = _pull_dense_truth_sparse(
+                    ids_dev, tw_dev, op_channel, sim.mc_truth_threshold)
         elif smear_truth:
             ids_dev, con_dev, t0_dev, vox_dev = smear[g]
             args = (ids_dev, con_dev, t0_dev, vox_dev, lut.time_dist_host,

@@ -527,3 +527,85 @@ class TestMultiTriggerHostTruth:
             assert 1 <= truth['trigger_id'].max() <= n_trig - 1
         finally:
             pool.shutdown(wait=True)
+
+class TestTruthPathResolver:
+    """resolve_truth_path: link-adaptive host-recompute vs device-pack
+    choice (VERDICT r2 #6 — the 12 MB/s tunnel assumption out of the
+    code path, both branches tested)."""
+
+    @pytest.fixture(autouse=True)
+    def _reset(self, monkeypatch):
+        from larndsim_tpu.models import light as light_model
+        from larndsim_tpu.utils import link
+        monkeypatch.delenv('LARNDSIM_TRUTH_PATH', raising=False)
+        monkeypatch.delenv('LARNDSIM_PULL_MBPS', raising=False)
+        light_model._TRUTH_PATH_CACHE.clear()
+        link.reset_for_tests()
+        yield
+        light_model._TRUTH_PATH_CACHE.clear()
+        link.reset_for_tests()
+
+    def test_env_override_and_cache(self, monkeypatch):
+        from larndsim_tpu.models import light as light_model
+        monkeypatch.setenv('LARNDSIM_TRUTH_PATH', 'device')
+        assert light_model.resolve_truth_path() == 'device'
+        # resolved once per process: later env changes don't flip it
+        monkeypatch.setenv('LARNDSIM_TRUTH_PATH', 'host')
+        assert light_model.resolve_truth_path() == 'device'
+
+    def test_invalid_value_raises(self, monkeypatch):
+        from larndsim_tpu.models import light as light_model
+        monkeypatch.setenv('LARNDSIM_TRUTH_PATH', 'gpu')
+        with pytest.raises(ValueError, match='LARNDSIM_TRUTH_PATH'):
+            light_model.resolve_truth_path()
+
+    def test_auto_non_tpu_is_host(self):
+        # tests run on the CPU backend: the pull is a memcpy, auto must
+        # not read it as a fast link
+        from larndsim_tpu.models import light as light_model
+        assert light_model.resolve_truth_path() == 'host'
+
+    def test_auto_tpu_reads_link(self, monkeypatch):
+        from larndsim_tpu.models import light as light_model
+        from larndsim_tpu.utils import link
+        monkeypatch.setattr(jax, 'default_backend', lambda: 'tpu')
+        monkeypatch.setenv('LARNDSIM_PULL_MBPS', '1000')
+        assert light_model.resolve_truth_path() == 'device'
+        light_model._TRUTH_PATH_CACHE.clear()
+        link.reset_for_tests()
+        monkeypatch.setenv('LARNDSIM_PULL_MBPS', '12')  # the axon tunnel
+        assert light_model.resolve_truth_path() == 'host'
+
+    def test_pull_mbps_measures(self):
+        from larndsim_tpu.utils import link
+        mbps = link.pull_mbps(size_mb=2.0)
+        assert mbps > 0
+        assert link.pull_mbps() == mbps     # cached
+
+    def test_batch_device_route_matches_host(self, setup):
+        """simulate_light_batch(truth_path='device') == 'host', record for
+        record, on a beam-mode smearing-truth batch."""
+        import dataclasses as dc
+        from larndsim_tpu.params import light as light_params_mod
+        from larndsim_tpu.assets.light_lut import make_light_noise
+        det_model, light, sim, lut = setup
+        light1 = dc.replace(light, enable_lut_smearing=True)
+        light_params_mod.adopt_host_scalars(light1, light)
+        segs = drifted_segments(det_model.params, n=6)
+        n_det, t0_det, vox = light_ops.calculate_light_incidence(
+            segs, det_model.params, light1, lut.vis, lut.t0,
+            n_channels=light1.n_op_channel)
+        noise = make_light_noise(light1.n_op_channel)
+        out = {}
+        for route in ('host', 'device'):
+            res = simulate_light_batch(
+                segs, det_model, light1, sim, n_det, vox, lut, noise,
+                jax.random.PRNGKey(5), t0_det=t0_det, truth_path=route)
+            assert res.truth_sparse is not None
+            out[route] = res.truth_sparse
+        h, d = out['host'], out['device']
+        assert len(h['tick']) > 0
+        for k in ('op_channel', 'tick', 'segment_id'):
+            np.testing.assert_array_equal(h[k], d[k], err_msg=k)
+        np.testing.assert_allclose(h['pe_current'], d['pe_current'],
+                                   rtol=1e-4, atol=1e-6)

@@ -59,6 +59,62 @@ def test_truth_workers_byte_identical(tmp_path):
 
 
 @pytest.mark.slow
+def test_fused_chain_worker_failure_surfaces(tmp_path, monkeypatch):
+    """Kill an assembly worker mid-chain (truth_workers > 1, fused chunks
+    on): the ledger must poison so successor workers fail fast instead of
+    waiting out the chain timeout, the writer must surface the error to
+    the caller, and the output file must be left readable (VERDICT r2 #7).
+    """
+    from larndsim_tpu.models import light as light_model
+    if light_model._truth_chunks_lib() is None:
+        pytest.skip('native truth_chunks unavailable')
+    geo = load_detector(DETPROP, PIXEL)
+    in_file = str(tmp_path / 'in.h5')
+    write_input(in_file, geo.tpc_borders, n_events=3,
+                tracks_per_event=6, segments_per_track=8, dEdx=10.0,
+                seed=21)
+    monkeypatch.setenv('LARNDSIM_FUSED_TRUTH', '1')
+    # fail fast if poisoning ever regresses to a chain-timeout wait
+    monkeypatch.setenv('LARNDSIM_TRUTH_TIMEOUT', '60')
+
+    real = light_model._host_smeared_truth_sparse
+    state = dict(calls=0, ledger=None)
+
+    def dying(*args, **kw):
+        state['calls'] += 1
+        if kw.get('ledger') is not None:
+            state['ledger'] = kw['ledger']
+        if state['calls'] == 2:
+            raise RuntimeError('injected worker death')
+        return real(*args, **kw)
+
+    monkeypatch.setattr(light_model, '_host_smeared_truth_sparse', dying)
+
+    out = str(tmp_path / 'out.h5')
+    with pytest.raises(RuntimeError,
+                       match='injected worker death|poisoned'):
+        run_simulation(
+            in_file, out, config='2x2_no_modvar',
+            detector_properties=DETPROP, pixel_layout=PIXEL,
+            simulation_properties=SIMPROP,
+            response_file='__missing__.npy',
+            light_lut_filename='__missing__.npz',
+            light_det_noise_filename='__missing__.npy',
+            rand_seed=17, step_scale=16.0, event_group_size=1,
+            truth_workers=2)
+
+    assert state['calls'] >= 2
+    assert state['ledger'] is not None and state['ledger']._poisoned
+    # whatever was written before the failure must stay readable with
+    # plain h5py (fused chunks land under the standard filter pipeline)
+    with h5py.File(out) as f:
+        if 'light_wvfm_mc_assn' in f:
+            ds = f['light_wvfm_mc_assn']
+            assert ds.compression == 'lzf' and ds.shuffle
+            _ = np.array(ds)    # decodes without error
+
+
+@pytest.mark.slow
 def test_fused_truth_chunks_byte_identical(tmp_path, monkeypatch):
     """The fused path (workers emit+shuffle+LZF whole HDF5 chunks,
     writer stores them via write_direct_chunk) must produce a truth
