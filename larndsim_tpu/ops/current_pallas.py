@@ -193,10 +193,9 @@ def _make_row_of(xs_ref, ys_ref, phase_ref, bin_size, nx_r, ny_r, ratio):
     return row_of
 
 
-def _current_kernel(xs_ref, ys_ref, shift_ref, phase_ref, px_ref, py_ref,
-                    nstep_ref, npix_ref, lo_ref, hi_ref, resp_hbm, out_ref,
-                    slab, sem, *, t_blk, slab_w, k0, s_blk, bin_size, nx_r,
-                    ny_r, ratio, ntp, pix_grp=4):
+def _current_kernel(*refs, t_blk, slab_w, k0, s_blk, bin_size, nx_r,
+                    ny_r, ratio, ntp, pix_grp=4, row_table=False,
+                    ablate=''):
     """One (segment-block, tick-block) grid instance.
 
     All per-point/per-pixel metadata lives in SMEM and the response-row
@@ -206,7 +205,22 @@ def _current_kernel(xs_ref, ys_ref, shift_ref, phase_ref, px_ref, py_ref,
     shifted response-row slices out of the VMEM slab into a register-carried
     accumulator.  Loop trip counts are the *dynamic* per-segment pixel and
     sample counts, so padding costs nothing.
+
+    ``row_table``: the scalar row computation is ~73% of kernel time at
+    bench shapes (tools/probe_bound.py, v5e 2026-08-19); in table mode the
+    row indices arrive precomputed by XLA (bit-identical math, see
+    _row_table) as an SMEM (s_blk, P, n_steps) block and the inner loop
+    does one SMEM load in place of ~25 scalar ALU ops.
     """
+    if row_table:
+        (rows_ref, shift_ref, nstep_ref, npix_ref, lo_ref, hi_ref,
+         resp_hbm, out_ref, slab, sem) = refs
+    else:
+        (xs_ref, ys_ref, shift_ref, phase_ref, px_ref, py_ref,
+         nstep_ref, npix_ref, lo_ref, hi_ref, resp_hbm, out_ref,
+         slab, sem) = refs
+        row_of = _make_row_of(xs_ref, ys_ref, phase_ref, bin_size, nx_r,
+                              ny_r, ratio)
     jt = pl.program_id(1)
 
     dma = pltpu.make_async_copy(
@@ -214,8 +228,6 @@ def _current_kernel(xs_ref, ys_ref, shift_ref, phase_ref, px_ref, py_ref,
     dma.start()
     dma.wait()
     out_ref[...] = jnp.zeros_like(out_ref)
-    row_of = _make_row_of(xs_ref, ys_ref, phase_ref, bin_size, nx_r, ny_r,
-                          ratio)
     w_win = t_blk + 128
 
     def seg_body(s, _):
@@ -236,7 +248,13 @@ def _current_kernel(xs_ref, ys_ref, shift_ref, phase_ref, px_ref, py_ref,
             pmax = jnp.maximum(n_pix - 1, 0)
             p_ids = [jnp.minimum(pix_grp * pp + i, pmax)
                      for i in range(pix_grp)]
-            centers = [(px_ref[s, pi], py_ref[s, pi]) for pi in p_ids]
+            if row_table:
+                rows_for = lambda istep, i: rows_ref[s, p_ids[i], istep]
+            else:
+                centers = [(px_ref[s, pi], py_ref[s, pi]) for pi in p_ids]
+                rows_for = lambda istep, i: row_of(s, istep, *centers[i])
+            if 'noscalar' in ablate:   # probe-only: cheap fake row index
+                rows_for = lambda istep, i: (s + istep) & 7
 
             def step_body(istep, acc):
                 off = k0 - shift_ref[s, istep]
@@ -245,9 +263,9 @@ def _current_kernel(xs_ref, ys_ref, shift_ref, phase_ref, px_ref, py_ref,
                 off_base = (off // 128) * 128
                 rem = off - off_base
                 al = pl.multiple_of(off_base, 128)
-                ws = [slab[pl.ds(row_of(s, istep, pxv, pyv), 1),
+                ws = [slab[pl.ds(rows_for(istep, i), 1),
                            pl.ds(al, w_win)]
-                      for pxv, pyv in centers]
+                      for i in range(pix_grp)]
                 window = jnp.concatenate(ws, axis=0)     # (pix_grp, w_win)
                 rolled = pltpu.roll(window, w_win - rem, axis=1)
                 return acc + rolled[:, :t_blk].astype(jnp.float32)
@@ -264,11 +282,10 @@ def _current_kernel(xs_ref, ys_ref, shift_ref, phase_ref, px_ref, py_ref,
     jax.lax.fori_loop(0, s_blk, seg_body, 0)
 
 
-def _current_kernel_folded(xs_ref, ys_ref, shift_ref, phase_ref, px_ref,
-                           py_ref, nstep_ref, npix_ref, lo_ref, hi_ref,
-                           resp_hbm, out_ref, slab, sem, *, t_blk, slab_w,
+def _current_kernel_folded(*refs, t_blk, slab_w,
                            k0, s_blk, bin_size, nx_r, ny_r, ratio, ntp,
-                           pix_grp, transposed=False):
+                           pix_grp, transposed=False, row_table=False,
+                           ablate=''):
     """Folded-lane variant of :func:`_current_kernel`.
 
     The rows variant reads each response row as a (1, t_blk + 128) slice —
@@ -283,7 +300,20 @@ def _current_kernel_folded(xs_ref, ys_ref, shift_ref, phase_ref, px_ref,
     (8, 128) tiles per q-group — instead of (grp, n_q, 128), whose
     9-sublane middle axis pads to 16; which wins depends on Mosaic's
     relayout costs, hence the knob.
+
+    ``row_table``: see :func:`_current_kernel` — SMEM row-index table in
+    place of the scalar row computation (73% of kernel time at bench
+    shapes).
     """
+    if row_table:
+        (rows_ref, shift_ref, nstep_ref, npix_ref, lo_ref, hi_ref,
+         resp_hbm, out_ref, slab, sem) = refs
+    else:
+        (xs_ref, ys_ref, shift_ref, phase_ref, px_ref, py_ref,
+         nstep_ref, npix_ref, lo_ref, hi_ref, resp_hbm, out_ref,
+         slab, sem) = refs
+        row_of = _make_row_of(xs_ref, ys_ref, phase_ref, bin_size, nx_r,
+                              ny_r, ratio)
     jt = pl.program_id(1)
     n_q = t_blk // 128 + 1   # sublane blocks covering t_blk + misalignment
 
@@ -293,8 +323,6 @@ def _current_kernel_folded(xs_ref, ys_ref, shift_ref, phase_ref, px_ref,
     dma.start()
     dma.wait()
     out_ref[...] = jnp.zeros_like(out_ref)
-    row_of = _make_row_of(xs_ref, ys_ref, phase_ref, bin_size, nx_r, ny_r,
-                          ratio)
     lane_shape = ((n_q - 1, pix_grp, 128) if transposed
                   else (pix_grp, n_q - 1, 128))
     lane = jax.lax.broadcasted_iota(jnp.int32, lane_shape, 2)
@@ -311,28 +339,51 @@ def _current_kernel_folded(xs_ref, ys_ref, shift_ref, phase_ref, px_ref,
             pmax = jnp.maximum(n_pix - 1, 0)
             p_ids = [jnp.minimum(pix_grp * pp + i, pmax)
                      for i in range(pix_grp)]
-            centers = [(px_ref[s, pi], py_ref[s, pi]) for pi in p_ids]
+            if row_table:
+                rows_for = lambda istep, i: rows_ref[s, p_ids[i], istep]
+            else:
+                centers = [(px_ref[s, pi], py_ref[s, pi]) for pi in p_ids]
+                rows_for = lambda istep, i: row_of(s, istep, *centers[i])
+            if 'noscalar' in ablate:   # probe-only: cheap fake row index
+                rows_for = lambda istep, i: (s + istep) & 7
 
             def step_body(istep, acc):
                 off = k0 - shift_ref[s, istep]
                 q0 = off // 128
                 rem = off - q0 * 128
-                ws = [slab[pl.ds(row_of(s, istep, pxv, pyv), 1),
-                           pl.ds(q0, n_q), :]
-                      for pxv, pyv in centers]
+                if 'fixedload' in ablate:      # probe-only: static offset
+                    q0 = 0
+                if 'noload' in ablate:         # probe-only: one shared row
+                    ws = [slab[pl.ds(0, 1), pl.ds(0, n_q), :]] * pix_grp
+                else:
+                    ws = [slab[pl.ds(rows_for(istep, i), 1),
+                               pl.ds(q0, n_q), :]
+                          for i in range(pix_grp)]
                 # flat col off + t at t = 128q + l reads (q0 + q + carry,
                 # (rem + l) mod 128): one lane-roll + static sublane blend
                 if transposed:
                     window = jnp.concatenate(
                         [w.reshape(n_q, 1, 128) for w in ws], axis=1)
-                    a = pltpu.roll(window, 128 - rem, axis=2)
-                    res = jnp.where(lane < 128 - rem,
-                                    a[:n_q - 1], a[1:])
+                    if 'noroll' in ablate:
+                        res = window[:n_q - 1]
+                    else:
+                        a = pltpu.roll(window, 128 - rem, axis=2)
+                        if 'noblend' in ablate:
+                            res = a[:n_q - 1]
+                        else:
+                            res = jnp.where(lane < 128 - rem,
+                                            a[:n_q - 1], a[1:])
                 else:
                     window = jnp.concatenate(ws, axis=0)  # (grp, n_q, 128)
-                    a = pltpu.roll(window, 128 - rem, axis=2)
-                    res = jnp.where(lane < 128 - rem,
-                                    a[:, :n_q - 1, :], a[:, 1:, :])
+                    if 'noroll' in ablate:
+                        res = window[:, :n_q - 1, :]
+                    else:
+                        a = pltpu.roll(window, 128 - rem, axis=2)
+                        if 'noblend' in ablate:
+                            res = a[:, :n_q - 1, :]
+                        else:
+                            res = jnp.where(lane < 128 - rem,
+                                            a[:, :n_q - 1, :], a[:, 1:, :])
                 return acc + res.astype(jnp.float32)
 
             acc = jax.lax.fori_loop(
@@ -346,6 +397,39 @@ def _current_kernel_folded(xs_ref, ys_ref, shift_ref, phase_ref, px_ref,
         return 0
 
     jax.lax.fori_loop(0, s_blk, seg_body, 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('bin_size', 'nx_r', 'ny_r', 'ratio'))
+def _row_table(xs, ys, phase, pxc, pyc, *, bin_size, nx_r, ny_r, ratio):
+    """(S, P, n_steps) int32 response-row indices, precomputed by XLA.
+
+    Bit-identical vectorization of :func:`_make_row_of` (same f32 ops in
+    the same order), so table-mode kernels produce the same output as the
+    scalar-core computation.  One 8-element VPU lane of this replaces ~25
+    scalar-core ops in the kernel inner loop — the probe-measured scalar
+    bound (tools/probe_bound.py: 523 of 718 ms at bench shapes).
+    """
+    max_x = bin_size * nx_r
+    max_y = bin_size * ny_r
+    inv_bin = 1.0 / bin_size
+    zero_row = nx_r * ny_r * ratio
+    # (S, P, n_steps): steps minor — Mosaic pads the SMEM window's minor
+    # dimension to 128 elements, so the small pixel axis must not be last
+    # (observed: a (8, 512, 15) window allocated as (8, 512, 128))
+    x_dist = jnp.minimum(jnp.abs(pxc[:, :, None] - xs[:, None, :]),
+                         max_x + bin_size)
+    y_dist = jnp.minimum(jnp.abs(pyc[:, :, None] - ys[:, None, :]),
+                         max_y + bin_size)
+    i_idx = jnp.round(x_dist * inv_bin - 0.5).astype(jnp.int32)
+    j_idx = jnp.round(y_dist * inv_bin - 0.5).astype(jnp.int32)
+    ok = ((x_dist <= max_x) & (y_dist <= max_y)
+          & (i_idx >= 0) & (i_idx < nx_r)
+          & (j_idx >= 0) & (j_idx < ny_r))
+    i_c = jnp.clip(i_idx, 0, nx_r - 1)
+    j_c = jnp.clip(j_idx, 0, ny_r - 1)
+    return jnp.where(ok, (i_c * ny_r + j_c) * ratio
+                     + phase[:, None, :], zero_row)
 
 
 #: padded phase-split response cache: (data_ptr, shape, ratio, K0, cols)
@@ -390,8 +474,15 @@ def _padded_response(response, ratio: int, K0: int, total_cols: int,
 @functools.lru_cache(maxsize=64)
 def _kernel_fn(s_pad, P, t_sig_p, n_steps_p, s_blk, t_blk,
                slab_w, k0, bin_size, nx_r, ny_r, ratio, n_rows, ntp,
-               interpret, variant='rows', pix_grp=4, slab_dtype='f32'):
-    """Jitted pallas_call, cached on the static configuration."""
+               interpret, variant='rows', pix_grp=4, slab_dtype='f32',
+               row_table=False, ablate=''):
+    """Jitted pallas_call, cached on the static configuration.
+
+    ``row_table`` swaps the xs/ys/phase/px/py SMEM inputs for one
+    precomputed (s_blk, P, n_steps_p) int32 row-index block (see
+    _row_table).  ``ablate`` (probe-only, $LARNDSIM_PALLAS_ABLATE) cuts
+    pieces out of the inner loop to decompose kernel time — results are
+    WRONG under any non-empty value; see tools/probe_bound.py."""
     grid = (s_pad // s_blk, t_sig_p // t_blk)
     folded = variant.startswith('folded')
     if folded:
@@ -399,16 +490,20 @@ def _kernel_fn(s_pad, P, t_sig_p, n_steps_p, s_blk, t_blk,
             _current_kernel_folded, transposed=variant == 'foldedT',
             t_blk=t_blk, slab_w=slab_w, k0=k0, s_blk=s_blk,
             bin_size=bin_size, nx_r=nx_r, ny_r=ny_r, ratio=ratio,
-            ntp=ntp, pix_grp=pix_grp)
+            ntp=ntp, pix_grp=pix_grp, row_table=row_table, ablate=ablate)
     else:
         kernel = functools.partial(
             _current_kernel, t_blk=t_blk, slab_w=slab_w, k0=k0,
             s_blk=s_blk, bin_size=bin_size, nx_r=nx_r, ny_r=ny_r,
-            ratio=ratio, ntp=ntp, pix_grp=pix_grp)
+            ratio=ratio, ntp=ntp, pix_grp=pix_grp, row_table=row_table,
+            ablate=ablate)
 
     smem2 = lambda: pl.BlockSpec((s_blk, n_steps_p), lambda i, j: (i, 0),
                                  memory_space=pltpu.SMEM)
     smem1 = lambda: pl.BlockSpec((s_blk, 1), lambda i, j: (i, 0),
+                                 memory_space=pltpu.SMEM)
+    smem3 = lambda: pl.BlockSpec((s_blk, P, n_steps_p),
+                                 lambda i, j: (i, 0, 0),
                                  memory_space=pltpu.SMEM)
     if folded:
         out_specs = pl.BlockSpec((s_blk, P, t_blk // 128, 128),
@@ -426,10 +521,18 @@ def _kernel_fn(s_pad, P, t_sig_p, n_steps_p, s_blk, t_blk,
         slab_shape = pltpu.VMEM(
             (n_rows, slab_w),
             jnp.bfloat16 if slab_dtype == 'bf16' else jnp.float32)
-    call = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
+    if row_table:
+        in_specs = [
+            smem3(),  # precomputed row indices
+            smem2(),  # shift
+            smem1(),  # nstep
+            smem1(),  # npix
+            smem1(),  # tick_lo
+            smem1(),  # tick_hi
+            pl.BlockSpec(memory_space=pl.ANY),  # padded response (HBM)
+        ]
+    else:
+        in_specs = [
             smem2(),  # xs
             smem2(),  # ys
             smem2(),  # shift
@@ -443,7 +546,11 @@ def _kernel_fn(s_pad, P, t_sig_p, n_steps_p, s_blk, t_blk,
             smem1(),  # tick_lo
             smem1(),  # tick_hi
             pl.BlockSpec(memory_space=pl.ANY),  # padded response (HBM)
-        ],
+        ]
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
@@ -698,12 +805,31 @@ def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
         padded_dev = padded_dev.reshape(padded_dev.shape[0], -1, 128)
 
     ntp = -(-nt_r // ratio)
+    # row-table mode (default): precompute the response-row indices in XLA
+    # and hand the kernel an SMEM table — the scalar-core row computation
+    # was 73% of kernel time (tools/probe_bound.py).  The table is
+    # (s_blk, n_steps_p, P) int32 per block; guard SMEM with a budget so
+    # outsized shapes fall back to the in-kernel scalar path.
+    row_table = os.environ.get('LARNDSIM_PALLAS_ROWTBL', '1') != '0'
+    tbl_kb = s_blk * n_steps_p * P * 4 / 1024
+    if tbl_kb > float(os.environ.get('LARNDSIM_PALLAS_SMEM_KB', '400')):
+        row_table = False
+    ablate = os.environ.get('LARNDSIM_PALLAS_ABLATE', '')
     fn = _kernel_fn(s_pad, P, t_sig_p, n_steps_p, s_blk, t_blk,
                     slab_w, K0, float(det.response_bin_size),
                     resp_np.shape[0], resp_np.shape[1], ratio, n_rows, ntp,
-                    interpret, variant, pix_grp, slab_dtype)
-    out = fn(xs, ys, shift, phase, pxc, pyc, nstep_c, npix, tick_lo_c,
-             tick_hi_c, padded_dev)
+                    interpret, variant, pix_grp, slab_dtype, row_table,
+                    ablate)
+    if row_table:
+        rows_tbl = _row_table(xs, ys, phase, pxc, pyc,
+                              bin_size=float(det.response_bin_size),
+                              nx_r=resp_np.shape[0], ny_r=resp_np.shape[1],
+                              ratio=ratio)
+        out = fn(rows_tbl, shift, nstep_c, npix, tick_lo_c, tick_hi_c,
+                 padded_dev)
+    else:
+        out = fn(xs, ys, shift, phase, pxc, pyc, nstep_c, npix, tick_lo_c,
+                 tick_hi_c, padded_dev)
     if variant.startswith('folded'):
         out = out.reshape(s_pad, P, t_sig_p)
     out = out[:S, :, :t_sig]
