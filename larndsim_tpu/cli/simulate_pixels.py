@@ -823,19 +823,28 @@ def run_simulation(input_filename: str,
             light_payloads = []
             if light_plan is not None:
                 grouped, solo_plan = light_plan
-                if len(grouped) > 1:
-                    pad_l = bucket(max(len(sel) for _, sel in grouped),
+
+                def _stack_light(items, with_t0=False):
+                    """(G, pad, C) incidence [+ t0] + voxels + segments."""
+                    pad_l = bucket(max(len(sel) for _, sel in items),
                                    lo=32)
-                    Gl = len(grouped)
+                    Gl = len(items)
                     inc_g = np.zeros((Gl, pad_l, light_inc.shape[1]),
                                      light_inc.dtype)
+                    t0_g = np.zeros_like(inc_g) if with_t0 else None
                     vox_g = np.zeros((Gl, pad_l, 3), np.int32)
                     vox_np = np.asarray(track_light_voxel)
-                    for g, (ev, sel) in enumerate(grouped):
+                    for g, (ev, sel) in enumerate(items):
                         inc_g[g, :len(sel)] = light_inc[sel]
+                        if with_t0:
+                            t0_g[g, :len(sel)] = light_inc_t0[sel]
                         vox_g[g, :len(sel)] = vox_np[sel]
                     segs_g = from_structured_group(
-                        [tracks_mod[sel] for _, sel in grouped], pad_l)
+                        [tracks_mod[sel] for _, sel in items], pad_l)
+                    return segs_g, inc_g, t0_g, vox_g
+
+                if len(grouped) > 1 and light_c.light_trig_mode == 1:
+                    segs_g, inc_g, _, vox_g = _stack_light(grouped)
                     ev_ids = np.array([int(ev) for ev, _ in grouped])
                     with trace.phase('light_batch'):
                         lres_list = simulate_light_group(
@@ -846,6 +855,58 @@ def run_simulation(input_filename: str,
                             truth_ledger=truth_ledger)
                     for (ievd_l, _), lres in zip(grouped, lres_list):
                         light_payloads.append((int(ievd_l), lres))
+                elif len(grouped) > 1:
+                    # mode-0: one vmapped signal+trigger-scan dispatch per
+                    # window bucket (usually one); events whose bucket is
+                    # unique fall back to the solo path with i_sub=0.
+                    # Results are bit-identical to solo calls either way
+                    # (simulate_light_group_mode0), so the partition only
+                    # affects dispatch count.
+                    by_bucket = defaultdict(list)
+                    for ev, sel in grouped:
+                        nt, _ = light_model.mode0_window(
+                            light_inc[sel], light_inc_t0[sel], light_c)
+                        by_bucket[nt].append((ev, sel))
+                    lres_by_ev = {}
+                    for items in by_bucket.values():
+                        if len(items) == 1:
+                            # unique window bucket: plain solo dispatch
+                            ievd_l, sel = items[0]
+                            segs_1, inc_1, t0_1, vox_1 = _stack_light(
+                                items, with_t0=True)
+                            with trace.phase('light_batch'):
+                                lres_by_ev[int(ievd_l)] = \
+                                    simulate_light_batch(
+                                        jax.tree.map(lambda a: a[0],
+                                                     segs_1),
+                                        det_model_c, light_c, sim,
+                                        inc_1[0], vox_1[0], lut_c,
+                                        light_noise,
+                                        jax.random.fold_in(
+                                            key_mod, int(ievd_l)),
+                                        i_subbatch=0,
+                                        op_channel=op_channel_sim,
+                                        t0_det=t0_1[0],
+                                        truth_executor=truth_executor,
+                                        event_id=int(ievd_l),
+                                        truth_ledger=truth_ledger)
+                            continue
+                        segs_g, inc_g, t0_g, vox_g = _stack_light(
+                            items, with_t0=True)
+                        ev_ids = np.array([int(ev) for ev, _ in items])
+                        with trace.phase('light_batch'):
+                            lres_list = light_model. \
+                                simulate_light_group_mode0(
+                                    segs_g, det_model_c, light_c, sim,
+                                    inc_g, vox_g, t0_g, lut_c, light_noise,
+                                    key_mod, ev_ids, op_channel_sim,
+                                    truth_executor=truth_executor,
+                                    truth_ledger=truth_ledger)
+                        for (ievd_l, _), lres in zip(items, lres_list):
+                            lres_by_ev[int(ievd_l)] = lres
+                    for ievd_l, _ in grouped:
+                        light_payloads.append(
+                            (int(ievd_l), lres_by_ev[int(ievd_l)]))
 
                 for ievd_l, sel, i_sub in solo_plan:
                     pad_l = bucket(len(sel), lo=32)
@@ -963,7 +1024,10 @@ def run_simulation(input_filename: str,
             # made at submission time on the main thread
             light_plan = None
             if light.light_simulated:
-                groupable = light.light_trig_mode == 1
+                # both trigger modes group: beam (one forced trigger) via
+                # simulate_light_group, threshold mode-0 via
+                # simulate_light_group_mode0 (bucket-partitioned scan)
+                groupable = light.light_trig_mode in (0, 1)
                 g_idx = [i for i, (ev, _) in enumerate(group)
                          if groupable and ev not in light_done_events]
                 if len(g_idx) > 1:

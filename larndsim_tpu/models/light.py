@@ -1333,7 +1333,8 @@ def simulate_light_batch(segs: Segments, det_model: DetectorModel,
                          truth_executor=None,
                          event_id: int = 0,
                          truth_ledger: TruthLedger | None = None,
-                         truth_path: str | None = None
+                         truth_path: str | None = None,
+                         _precomputed=None
                          ) -> LightBatchResult:
     """Run the light chain for one batch.
 
@@ -1345,17 +1346,25 @@ def simulate_light_batch(segs: Segments, det_model: DetectorModel,
         max_ticks: cap on simulated ticks (cli:1125: min(nticks, 5e4)).
         truth_path: 'host' | 'device' route for LUT-smearing truth
             (default: :func:`resolve_truth_path` — link-adaptive).
+        _precomputed: internal — (n_ticks, start_time, response,
+            trigger_idx, trig_op, trig_type) from a grouped mode-0 scan
+            (:func:`simulate_light_group_mode0`); skips the signal +
+            trigger stages and runs the identical tail.
     """
     if op_channel is None:
         op_channel = np.asarray(light.tpc_to_op_channel).ravel()
     C = len(op_channel)
 
-    n_np = np.asarray(n_photons_det)
-    t0_np = np.asarray(t0_det) if t0_det is not None else np.zeros_like(n_np)
-    n_ticks, start_time = light_ops.get_nticks(n_np, t0_np, light)
-    n_ticks = min(n_ticks, max_ticks)
-    # bucket to limit recompiles
-    n_ticks = max(256, 1 << math.ceil(math.log2(max(n_ticks, 1))))
+    if _precomputed is None:
+        n_np = np.asarray(n_photons_det)
+        t0_np = (np.asarray(t0_det) if t0_det is not None
+                 else np.zeros_like(n_np))
+        n_ticks, start_time = light_ops.get_nticks(n_np, t0_np, light)
+        n_ticks = min(n_ticks, max_ticks)
+        # bucket to limit recompiles
+        n_ticks = max(256, 1 << math.ceil(math.log2(max(n_ticks, 1))))
+    else:
+        n_ticks, start_time = _precomputed[0], _precomputed[1]
 
     conv_ticks = int(np.ceil((light.light_window[1] - light.light_window[0])
                              / light.light_tick_size))
@@ -1373,15 +1382,20 @@ def simulate_light_batch(segs: Segments, det_model: DetectorModel,
                      if light_noise is not None else None)
         lut._dev_cache = (op_channel, op_channel_dev, gains, noise_dev)
     _, op_channel_dev, gains, noise_cached = lut._dev_cache
-    response = _signal_stage(
-        segs, jnp.asarray(voxels), jnp.asarray(n_photons_det),
-        op_channel_dev, lut.time_dist, lut.t0_avg,
-        jnp.float32(start_time), gains, k_poisson, light,
-        n_ticks=n_ticks, conv_ticks=conv_ticks,
-        lut_smearing=light.enable_lut_smearing)
+    if _precomputed is not None:
+        _, _, response, trigger_idx, trig_op, trig_type = _precomputed
+    else:
+        response = _signal_stage(
+            segs, jnp.asarray(voxels), jnp.asarray(n_photons_det),
+            op_channel_dev, lut.time_dist, lut.t0_avg,
+            jnp.float32(start_time), gains, k_poisson, light,
+            n_ticks=n_ticks, conv_ticks=conv_ticks,
+            lut_smearing=light.enable_lut_smearing)
 
     # --- triggers ---
-    if light.light_trig_mode == 1:
+    if _precomputed is not None:
+        pass
+    elif light.light_trig_mode == 1:
         # beam mode forces one trigger per event (light_sim.py:444-451):
         # no threshold scan, and crucially no device->host waveform pull
         if i_subbatch == 0:
@@ -1393,10 +1407,7 @@ def simulate_light_batch(segs: Segments, det_model: DetectorModel,
             trig_op = np.empty((0, C), int)
             trig_type = np.empty(0, int)
     else:
-        thr = np.asarray(light.light_trig_threshold)
-        thr = np.repeat(thr[:, None], light.op_channel_per_trig,
-                        axis=-1).ravel()
-        thr = thr[op_channel].reshape(-1, light.op_channel_per_trig)[:, 0]
+        thr = light_ops.mode0_group_threshold(op_channel, light)
         trigger_idx, trig_op, trig_type = light_ops.get_triggers(
             response, thr, op_channel, i_subbatch, light,
             det_model.module_to_tpcs, det_model.tpc_to_module,
@@ -1739,4 +1750,168 @@ def simulate_light_group(segs_g: Segments, det_model: DetectorModel,
             truth_future=truth_future,
             trig_box=trig_box,
         ))
+    return out
+
+
+def mode0_window(n_photons_det, t0_det, light: LightParams,
+                 max_ticks: int = 50_000) -> tuple[int, float]:
+    """Host-side mode-0 window sizing, bucketed exactly as
+    :func:`simulate_light_batch` sizes it: (n_ticks, start_time).
+
+    Grouped mode-0 dispatch requires equal ``n_ticks`` across the group
+    (one static shape per vmapped scan); the CLI partitions candidate
+    events by this bucket.
+    """
+    n_ticks, start = light_ops.get_nticks(
+        np.asarray(n_photons_det), np.asarray(t0_det), light)
+    n_ticks = min(n_ticks, max_ticks)
+    return max(256, 1 << math.ceil(math.log2(max(n_ticks, 1)))), start
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('n_ticks', 'conv_ticks', 'lut_smearing', 'per_trig',
+                     'sample_factor', 'digit_ticks', 'max_trig'))
+def _group_mode0_scan_stage(segs_g, vox_g, nd_g, op_channel, time_dist,
+                            t0_avg, gains, key_mod, event_ids, start_times,
+                            gmask_stack, group_threshold,
+                            light: LightParams, *, n_ticks: int,
+                            conv_ticks: int, lut_smearing: bool,
+                            per_trig: int, sample_factor: int,
+                            digit_ticks: int, max_trig: int):
+    """G independent mode-0 events: signal synthesis + threshold reduction
+    + dead-time trigger walk in ONE dispatch (vmap over events).
+
+    The per-event computation is exactly the solo chain — _signal_stage,
+    group_above_threshold, the per-module mask combine, and
+    dead_time_trigger_scan (light_sim.py:380-443) — with per-event keys
+    derived as the solo path derives them (fold_in(fold_in(key_mod,
+    ievd), 0) -> split), so responses and trigger walks are bit-identical
+    to G separate simulate_light_batch calls.  Only the (G, M, max_trig)
+    trigger table leaves the device: one sync for the whole group instead
+    of one per event.
+    """
+    def one(segs, vox, nd, ievd, start_time):
+        key = jax.random.fold_in(jax.random.fold_in(key_mod, ievd), 0)
+        k_poisson, _ = jax.random.split(key)
+        response = _signal_stage(
+            segs, vox, nd, op_channel, time_dist, t0_avg, start_time,
+            gains, k_poisson, light, n_ticks=n_ticks,
+            conv_ticks=conv_ticks, lut_smearing=lut_smearing)
+        above = light_ops.group_above_threshold(
+            response, group_threshold, per_trig=per_trig,
+            sample_factor=sample_factor)
+        module_above = (gmask_stack[:, :, None] & above[None, :, :]) \
+            .any(axis=1)                                     # (M, T)
+        idx, counts = light_ops.dead_time_trigger_scan(
+            module_above, digit_ticks=digit_ticks, max_trig=max_trig)
+        return response, idx, counts
+
+    return jax.vmap(one)(segs_g, vox_g, nd_g, event_ids, start_times)
+
+
+def simulate_light_group_mode0(segs_g: Segments, det_model: DetectorModel,
+                               light: LightParams, sim: SimParams,
+                               inc_g, vox_g, t0_g,
+                               lut: light_ops.LightLUT,
+                               light_noise, key_mod, event_ids,
+                               op_channel: np.ndarray,
+                               add_noise: bool = True,
+                               truth_executor=None,
+                               truth_ledger: TruthLedger | None = None,
+                               truth_path: str | None = None,
+                               max_ticks: int = 50_000
+                               ) -> list[LightBatchResult]:
+    """G independent mode-0 (threshold self-trigger) events with ONE
+    device dispatch + ONE host sync for the trigger scans.
+
+    Bit-identical to G solo :func:`simulate_light_batch` calls with
+    ``key = fold_in(key_mod, ievd)``, ``i_subbatch = 0``: the vmapped
+    stage reproduces the solo signal + trigger chain exactly, and the
+    per-event tail (pad + noise + digitize + truth, whose shapes depend
+    on each event's triggers) is the *same code* via ``_precomputed``.
+    Caller guarantees every event shares one :func:`mode0_window` bucket
+    (equal ``n_ticks``).
+
+    Replaces the reference's strictly per-event light loop for grouped
+    events (light_sim.py:380-477 runs inside the per-event loop at
+    cli/simulate_pixels.py:902-905); matches its per-module trigger
+    emission order.
+    """
+    C = len(op_channel)
+    G = int(len(event_ids))
+    n_np = np.asarray(inc_g)
+    t0_np = np.asarray(t0_g)
+    windows = [mode0_window(n_np[g], t0_np[g], light, max_ticks)
+               for g in range(G)]
+    n_ticks = windows[0][0]
+    assert all(w[0] == n_ticks for w in windows), \
+        'grouped mode-0 events must share one n_ticks bucket'
+    # full-precision host copies (the truth worker consumes the python
+    # float exactly as solo does); the device stage casts to f32 itself
+    start_hosts = [w[1] for w in windows]
+    start_times = np.array(start_hosts, np.float32)
+
+    conv_ticks = int(np.ceil((light.light_window[1] - light.light_window[0])
+                             / light.light_tick_size))
+    conv_ticks = max(min(conv_ticks, n_ticks), 1)
+
+    cache = getattr(lut, '_dev_cache', None)
+    if cache is None or cache[0] is not op_channel:
+        op_channel_dev = jnp.asarray(op_channel)
+        gains = light.light_gain[op_channel_dev]
+        noise_dev = (jnp.asarray(light_noise)[op_channel_dev
+                                              % len(light_noise)]
+                     if light_noise is not None else None)
+        lut._dev_cache = (op_channel, op_channel_dev, gains, noise_dev)
+    _, op_channel_dev, gains, _ = lut._dev_cache
+
+    thr = light_ops.mode0_group_threshold(op_channel, light)
+    gmask_stack, ops_per_mod = light_ops.mode0_module_masks(
+        op_channel, light, det_model.module_to_tpcs,
+        det_model.tpc_to_module, np.asarray(light.tpc_to_op_channel))
+    sample_factor = round(light.light_digit_sample_spacing
+                          / light.light_tick_size)
+    digit_ticks = int(np.ceil((light.light_trig_window[1]
+                               + light.light_trig_window[0])
+                              / light.light_tick_size))
+    max_trig = n_ticks // max(digit_ticks, 1) + 1
+
+    resp_g, idx_g, counts_g = _group_mode0_scan_stage(
+        segs_g, jnp.asarray(vox_g), jnp.asarray(inc_g), op_channel_dev,
+        lut.time_dist, lut.t0_avg, gains, key_mod,
+        jnp.asarray(event_ids, jnp.int32), jnp.asarray(start_times),
+        jnp.asarray(gmask_stack), jnp.asarray(thr, jnp.float32), light,
+        n_ticks=n_ticks, conv_ticks=conv_ticks,
+        lut_smearing=light.enable_lut_smearing, per_trig=int(
+            light.op_channel_per_trig), sample_factor=sample_factor,
+        digit_ticks=digit_ticks, max_trig=max_trig)
+    # the one host sync for the whole group's trigger walks
+    idx_np = np.asarray(idx_g)
+    counts_np = np.asarray(counts_g)
+
+    out = []
+    for g in range(G):
+        trigger_idx, trig_op, trig_type = [], [], []
+        for m in range(len(ops_per_mod)):       # module order == solo's
+            for k in range(int(counts_np[g, m])):
+                trigger_idx.append(int(idx_np[g, m, k]))
+                trig_type.append(0)
+                trig_op.append(ops_per_mod[m])
+        if trigger_idx:
+            trig = (np.array(trigger_idx), np.array(trig_op),
+                    np.array(trig_type))
+        else:
+            trig = (np.empty((0,), int), np.empty((0, C), int),
+                    np.empty((0,), int))
+        segs_1 = jax.tree.map(lambda a, g=g: a[g], segs_g)
+        ievd = int(np.asarray(event_ids)[g])
+        out.append(simulate_light_batch(
+            segs_1, det_model, light, sim, n_np[g], vox_g[g], lut,
+            light_noise, jax.random.fold_in(key_mod, ievd), i_subbatch=0,
+            op_channel=op_channel, t0_det=t0_np[g], max_ticks=max_ticks,
+            add_noise=add_noise, truth_executor=truth_executor,
+            event_id=ievd, truth_ledger=truth_ledger,
+            truth_path=truth_path,
+            _precomputed=(n_ticks, start_hosts[g], resp_g[g], *trig)))
     return out

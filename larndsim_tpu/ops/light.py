@@ -685,6 +685,43 @@ def dead_time_trigger_scan(above: jnp.ndarray, *, digit_ticks: int,
     return idx, (trig >= 0).sum(axis=1).astype(jnp.int32)
 
 
+def mode0_module_masks(op_channel_idx: np.ndarray, light: LightParams,
+                       module_to_tpcs, tpc_to_module,
+                       tpc_to_op_channel: np.ndarray):
+    """Per-module trigger-group membership for the mode-0 scan
+    (light_sim.py:418-428): which threshold groups belong to each module
+    sharing channels with ``op_channel_idx``.
+
+    Returns (gmasks (n_mod, n_grp) bool, ops_per_mod list of channel-id
+    arrays) in ascending module-id order — the trigger emission order the
+    solo and grouped paths must share.
+    """
+    n_grp = len(op_channel_idx) // light.op_channel_per_trig
+    op_to_tpc = np.asarray(light.op_channel_to_tpc)
+    tpc_ids = np.unique(op_to_tpc[op_channel_idx])
+    mod_ids = np.unique([tpc_to_module[t] for t in tpc_ids])
+    gmasks, ops_per_mod = [], []
+    for mod_id in mod_ids:
+        tpcs = module_to_tpcs[mod_id]
+        op_channels = np.asarray(tpc_to_op_channel)[tpcs].ravel()
+        mask = np.isin(op_channel_idx, op_channels)
+        gmasks.append(mask.reshape(n_grp,
+                                   light.op_channel_per_trig).any(axis=1))
+        ops_per_mod.append(op_channels)
+    return np.stack(gmasks), ops_per_mod
+
+
+def mode0_group_threshold(op_channel_idx: np.ndarray,
+                          light: LightParams) -> np.ndarray:
+    """Per-trigger-group thresholds for the simulated channels
+    (light_sim.py:399-404)."""
+    thr = np.asarray(light.light_trig_threshold)
+    thr = np.repeat(thr[:, None], light.op_channel_per_trig,
+                    axis=-1).ravel()
+    return thr[op_channel_idx].reshape(
+        -1, light.op_channel_per_trig)[:, 0]
+
+
 def get_triggers(signal, group_threshold: np.ndarray,
                  op_channel_idx: np.ndarray, i_subbatch: int,
                  light: LightParams, module_to_tpcs, tpc_to_module,
@@ -712,19 +749,13 @@ def get_triggers(signal, group_threshold: np.ndarray,
 
     trigger_idx, trig_op, trig_type = [], [], []
     if light.light_trig_mode == 0:
-        op_to_tpc = np.asarray(light.op_channel_to_tpc)
-        tpc_ids = np.unique(op_to_tpc[op_channel_idx])
-        mod_ids = np.unique([tpc_to_module[t] for t in tpc_ids])
-        gmasks, ops_per_mod = [], []
-        for mod_id in mod_ids:
-            tpcs = module_to_tpcs[mod_id]
-            op_channels = np.asarray(tpc_to_op_channel)[tpcs].ravel()
-            mask = np.isin(op_channel_idx, op_channels)
-            gmasks.append(mask.reshape(n_grp,
-                                       light.op_channel_per_trig).any(axis=1))
-            ops_per_mod.append(op_channels)
+        gmask_stack, ops_per_mod = mode0_module_masks(
+            op_channel_idx, light, module_to_tpcs, tpc_to_module,
+            tpc_to_op_channel)
+        gmasks = list(gmask_stack)
+        mod_ids = range(len(ops_per_mod))
         if device_scan:
-            module_above = jnp.asarray(np.stack(gmasks))[:, :, None] \
+            module_above = jnp.asarray(gmask_stack)[:, :, None] \
                 & grp_above_dev[None, :, :]
             module_above = module_above.any(axis=1)       # (n_mod, T)
             T = int(module_above.shape[1])

@@ -133,7 +133,8 @@ class TestModule0TruthOn:
                     tracks_per_event=3, segments_per_track=8, dEdx=15.0,
                     seed=11)
         outs = {}
-        for tag, env in (('fused', '1'), ('unfused', '0')):
+        for tag, env, group in (('fused', '1', 1), ('unfused', '0', 1),
+                                ('grouped', '1', 4)):
             out_file = str(tmp / f'out_{tag}.h5')
             os.environ['LARNDSIM_FUSED_TRUTH'] = env
             try:
@@ -144,7 +145,8 @@ class TestModule0TruthOn:
                                response_file='__missing__.npy',
                                light_lut_filename='__missing__.npz',
                                light_det_noise_filename='__missing__.npy',
-                               rand_seed=123, step_scale=16.0)
+                               rand_seed=123, step_scale=16.0,
+                               event_group_size=group)
             finally:
                 os.environ.pop('LARNDSIM_FUSED_TRUTH', None)
             outs[tag] = out_file
@@ -172,3 +174,23 @@ class TestModule0TruthOn:
         assert a.shape == b.shape
         for col in a.dtype.names:
             np.testing.assert_array_equal(a[col], b[col], err_msg=col)
+
+    def test_grouped_mode0_light_output_identical(self, files):
+        """event_group_size=4 routes mode-0 light through the vmapped
+        grouped scan (simulate_light_group_mode0); every light dataset —
+        triggers, digitized waveforms (incl. the noise draws), truth
+        records — must be byte-identical to the per-event run.  (Charge
+        datasets legitimately differ: grouped charge noise shares one
+        draw, test_run_simulation_grouped_matches_structure.)"""
+        for ds in ('light_trig', 'light_wvfm', 'light_wvfm_mc_assn'):
+            with h5py.File(files['fused']) as f:
+                solo = np.array(f[ds])
+            with h5py.File(files['grouped']) as f:
+                grp = np.array(f[ds])
+            assert solo.shape == grp.shape, ds
+            if solo.dtype.names:
+                for col in solo.dtype.names:
+                    np.testing.assert_array_equal(
+                        solo[col], grp[col], err_msg=f'{ds}.{col}')
+            else:
+                np.testing.assert_array_equal(solo, grp, err_msg=ds)

@@ -180,6 +180,99 @@ class TestLightGrouping:
                     np.testing.assert_array_equal(
                         solo.truth_sparse[k], grp.truth_sparse[k])
 
+    @pytest.mark.parametrize('smear', [False, True])
+    def test_grouped_mode0_light_matches_solo_exactly(self, setup, smear):
+        """simulate_light_group_mode0 (threshold self-trigger) is
+        bit-identical to per-event simulate_light_batch calls: same
+        responses, same trigger walks, same digitized waveforms and truth
+        (the tail IS the solo code via _precomputed)."""
+        import dataclasses
+        from larndsim_tpu.params import load_light
+        from larndsim_tpu.assets.light_lut import (make_light_lut,
+                                                   make_light_noise)
+        from larndsim_tpu.ops import light as light_ops
+        from larndsim_tpu.models.light import (simulate_light_batch,
+                                               simulate_light_group_mode0,
+                                               mode0_window)
+
+        det_model, sim, _ = setup
+        det = det_model.params
+        light = load_light(DETPROP, asset_root='/root/reference')
+        thr = np.full_like(np.asarray(light.light_trig_threshold), -1e-3)
+        light = dataclasses.replace(
+            light, light_trig_mode=0, enable_lut_smearing=smear,
+            light_trig_threshold=jnp.asarray(thr))
+        sim = dataclasses.replace(sim, max_mc_truth_ids=4,
+                                  mc_truth_threshold=0.0)
+        lut = light_ops.LightLUT.from_structured(
+            make_light_lut(vox_div=(14, 26, 8), n_det_tpc=48))
+        noise = make_light_noise(light.n_op_channel)
+        op_channel = np.asarray(light.tpc_to_op_channel).ravel()
+
+        from larndsim_tpu.ops.quench import quench
+        from larndsim_tpu.ops.drift import drift
+        from larndsim_tpu.params import physics
+
+        key_mod = jax.random.PRNGKey(31)
+        evs, segs_list, incs, t0s, voxs = [3, 8, 11], [], [], [], []
+        pad = 32
+        for ev in evs:
+            tr = make_test_tracks(det, n=4 + ev % 3)
+            tr['dEdx'] = 12.0
+            tr['dE'] = tr['dEdx'] * tr['dx']
+            segs = seg_mod.from_structured(tr, pad_to=pad)
+            segs = drift(quench(segs, det, physics.BIRKS), det)
+            n_det, t0_det, vox = light_ops.calculate_light_incidence(
+                segs, det, light, lut.vis, lut.t0,
+                n_channels=light.n_op_channel)
+            segs_list.append(segs)
+            incs.append(np.asarray(n_det))
+            t0s.append(np.asarray(t0_det))
+            voxs.append(np.asarray(vox))
+
+        # all events must land in one n_ticks bucket (the CLI partitions
+        # by this; here the group call requires it)
+        wins = [mode0_window(i, t, light) for i, t in zip(incs, t0s)]
+        assert len({w[0] for w in wins}) == 1, wins
+
+        solos = []
+        for ev, segs, inc, t0, vox in zip(evs, segs_list, incs, t0s, voxs):
+            key_l = jax.random.fold_in(key_mod, ev)
+            solos.append(simulate_light_batch(
+                segs, det_model, light, sim, inc, vox, lut, noise,
+                key_l, i_subbatch=0, op_channel=op_channel, t0_det=t0))
+        # the scenario must actually exercise the threshold walk
+        assert any(len(s.trigger_idx) > 0 for s in solos)
+
+        segs_g = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *segs_list)
+        groups = simulate_light_group_mode0(
+            segs_g, det_model, light, sim, np.stack(incs), np.stack(voxs),
+            np.stack(t0s), lut, noise, key_mod, np.array(evs), op_channel)
+
+        assert len(groups) == len(evs)
+        for solo, grp in zip(solos, groups):
+            np.testing.assert_array_equal(solo.trigger_idx,
+                                          grp.trigger_idx)
+            np.testing.assert_array_equal(solo.trigger_type,
+                                          grp.trigger_type)
+            np.testing.assert_array_equal(solo.op_channel_idx,
+                                          grp.op_channel_idx)
+            assert solo.start_time == grp.start_time
+            assert solo.n_ticks == grp.n_ticks
+            np.testing.assert_array_equal(np.asarray(solo.waveforms),
+                                          np.asarray(grp.waveforms))
+            s_sparse = (solo.truth_future.result()
+                        if solo.truth_future is not None
+                        else solo.truth_sparse)
+            g_sparse = (grp.truth_future.result()
+                        if grp.truth_future is not None
+                        else grp.truth_sparse)
+            if s_sparse is not None:
+                assert g_sparse is not None
+                for k in s_sparse:
+                    np.testing.assert_array_equal(s_sparse[k], g_sparse[k])
+
     def test_grouped_smeared_truth_matches_solo(self, setup):
         """LUT-smearing truth (dense-series FFT path) in the grouped call
         matches per-event solo calls exactly."""
