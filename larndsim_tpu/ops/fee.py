@@ -138,12 +138,24 @@ def get_adc_values(pixels_signals: jnp.ndarray, tick_times: jnp.ndarray,
         tick_val = tick_times[crossing] + time_padding - 2 + post
 
         # one-hot select instead of a per-step scatter: pure elementwise
-        # (U, max_adc) ops keep the carry update on the VPU
-        sel = success[:, None] & (jnp.arange(max_adc)[None, :] == idx[:, None])
-        integrals = jnp.where(sel, adc[:, None], st.integrals)
-        ticks_us = jnp.where(sel, tick_val, st.ticks_us)
-        r_out = jnp.where(sel, st.last_reset[:, None], st.r_out)
-        e_out = jnp.where(sel, t, st.e_out)
+        # (U, max_adc) ops keep the carry update on the VPU.  The four
+        # (U, max_adc) carry writes are the scan's HBM pole (~8 MB
+        # read+write per tick at bench shapes), and an ADC latches on only
+        # a handful of the ~4k ticks — so the writes sit behind a scalar
+        # lax.cond that XLA compiles to a real branch inside the while
+        # loop; the no-latch branch aliases the carry straight through.
+        def _latch_write(ops):
+            integrals, ticks_us, r_out, e_out = ops
+            sel = success[:, None] & (
+                jnp.arange(max_adc)[None, :] == idx[:, None])
+            return (jnp.where(sel, adc[:, None], integrals),
+                    jnp.where(sel, tick_val, ticks_us),
+                    jnp.where(sel, st.last_reset[:, None], r_out),
+                    jnp.where(sel, t, e_out))
+
+        integrals, ticks_us, r_out, e_out = jax.lax.cond(
+            jnp.any(success), _latch_write, lambda ops: ops,
+            (st.integrals, st.ticks_us, st.r_out, st.e_out))
         iadc = jnp.where(success, st.iadc + 1, st.iadc)
 
         # --- idle phase: busy countdown + discriminator ---
