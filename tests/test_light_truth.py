@@ -310,6 +310,34 @@ class TestKernelCacheKeys:
         light_params.adopt_host_scalars(l2, l1)
         assert light_params.host_scalars(l2) is base
 
+    def test_seed_survives_cache_churn(self):
+        """Regression for VERDICT r3 weak #2: the host-scalar cache used a
+        wholesale clear() when over its bound, so a LIVE params object
+        could lose its f64 loader seed mid-run and silently fall back to
+        the f32-rounded device pull — shifting the transfer table by
+        ~5e-7 and breaking byte-identity across n_devices.  Seeds must
+        survive arbitrarily many later params objects."""
+        from larndsim_tpu.params import light as light_params
+        from larndsim_tpu.params import load_light
+
+        ref = '/root/reference/larndsim'
+        l1 = load_light(f'{ref}/detector_properties/module0.yaml')
+        base = light_params.host_scalars(l1)
+        # the loader seed is the raw YAML f64 value, not the f32-rounded
+        # device leaf (the two differ in the low bits — losing the seed
+        # is a silent physics shift, not just a perf regression)
+        assert base['tau_t'] != float(np.float32(base['tau_t']))
+        churn = [load_light(f'{ref}/detector_properties/module0.yaml')
+                 for _ in range(80)]
+        for c in churn:
+            light_params.host_scalars(c)
+        assert light_params.host_scalars(l1) is base
+        del churn   # dead entries are the ones weakref pruning may drop
+        for _ in range(70):
+            light_params.host_scalars(
+                load_light(f'{ref}/detector_properties/module0.yaml'))
+        assert light_params.host_scalars(l1) is base
+
 
 class TestNativeEmit:
     """native/truth_emit.cpp vs the numpy emission path: identical records."""
