@@ -407,9 +407,14 @@ def simulate_charge_batch(segs: Segments, det_model: DetectorModel,
           max_tracks=sim.max_tracks_per_pixel, n_adc_scan=frac_scan)
       fee_res, fractions, adc = out
 
-    with trace.phase('charge/fee_sync'):
-        # drains the device queue: everything up to the FEE FSM completes
-        # before these scalars land (honest attribution needs this phase).
+    with trace.phase('charge/device_drain'):
+        # drains the device queue: everything dispatched up to the FEE FSM
+        # (pixelize, current kernel, scatter, FSM) completes before these
+        # scalars land, so this row absorbs the WHOLE charge chain's async
+        # device time, not FEE's (the old 'fee_sync' name sent VERDICT r3's
+        # diagnosis the wrong way).  For exact per-stage attribution run
+        # with LARNDSIM_SYNC_PHASES=1 (utils/trace drains at every phase
+        # boundary).
         # The per-pixel track count rides the same pull: its max bounds the
         # track axis of the two (., max_tracks) pulls below (rows are
         # front-packed by construction, ops/accumulate.track_pixel_map), so
