@@ -28,6 +28,11 @@ driver always runs the default):
 The 24.9 s/spill baseline is established at the 2x2 config only, so the
 variants report ``vs_baseline: null``; their numbers are recorded in
 BENCHMARKS.md.
+
+``LARNDSIM_BENCH_TRUTH=off`` disables light-truth backtracking
+(``max_light_truth_ids: 0``) on any variant: the reference's e2e floor
+leans on its host-bound python truth loop, so the truth-off number is
+the honest device-vs-device comparison (BASELINE.md "two regimes").
 """
 from __future__ import annotations
 
@@ -41,6 +46,21 @@ import time
 NOMINAL_BASELINE_SEC_PER_SPILL = 24.9
 
 _TMP_DIRS: list = []
+
+
+def _truth_off(simprop: str, tmp: str) -> str:
+    """Derived simprop with light-truth backtracking disabled
+    (``max_light_truth_ids: 0``) — the truth-off bench variant
+    (``LARNDSIM_BENCH_TRUTH=off``).  The reference's e2e floor is its
+    host python truth loop; with truth off the comparison is honest
+    device-vs-device work (BASELINE.md "two regimes")."""
+    out = os.path.join(tmp, 'truth_off_sim.yaml')
+    with open(simprop) as f:
+        body = f.read()
+    with open(out, 'w') as f:
+        # yaml.safe_load keeps the LAST occurrence of a duplicated key
+        f.write(body + '\nmax_light_truth_ids: 0\n')
+    return out
 
 
 def _bench_config(ref: str, tmp: str, occ: int):
@@ -59,7 +79,7 @@ def _bench_config(ref: str, tmp: str, occ: int):
             # measurement recorded in BENCHMARKS.md.
             tracks_per_event=24 * occ,
             n_warm_ev=8, n_bench_ev=8,
-            metric='sec/spill (2x2 charge+light, synthetic LUTs',
+            rate='sec/spill', desc='2x2 charge+light, synthetic LUTs',
             unit_name='spill',
             baseline=(occ == 1),
         )
@@ -79,7 +99,7 @@ def _bench_config(ref: str, tmp: str, occ: int):
             simprop=f'{ref}/simulation_properties/NDLAr_LBNF_sim.yaml',
             tracks_per_event=144 * occ,
             n_warm_ev=2, n_bench_ev=4,
-            metric='sec/spill (ndlar 35-module charge, synthetic LUTs',
+            rate='sec/spill', desc='ndlar 35-module charge, synthetic LUTs',
             unit_name='spill',
             baseline=False,
         )
@@ -104,7 +124,7 @@ def _bench_config(ref: str, tmp: str, occ: int):
             simprop=simprop,
             tracks_per_event=4 * occ,
             n_warm_ev=8, n_bench_ev=8,
-            metric='sec/event (module0 charge+light mode-0, synthetic LUTs',
+            rate='sec/event', desc='module0 charge+light mode-0, synthetic LUTs',
             unit_name='event',
             baseline=False,
         )
@@ -127,6 +147,11 @@ def main():
 
     occ = int(os.environ.get('LARNDSIM_BENCH_OCC', '1'))
     cfg = _bench_config(ref, tmp, occ)
+    truth_off = os.environ.get('LARNDSIM_BENCH_TRUTH', '') == 'off'
+    if truth_off:
+        cfg['simprop'] = _truth_off(cfg['simprop'], tmp)
+        cfg['desc'] += ', truth off'
+        cfg['baseline'] = False   # the 24.9 s floor is a truth-on floor
 
     det_model = load_detector(cfg['detprop'], cfg['pixel'])
 
@@ -175,7 +200,7 @@ def main():
     sec_per_spill = elapsed / n_bench_ev
     occ_tag = f', {occ}x occupancy' if occ != 1 else ''
     result = {
-        'metric': cfg['metric'] + occ_tag + ')',
+        'metric': f"{cfg['rate']} ({cfg['desc']}{occ_tag})",
         'value': round(sec_per_spill, 4),
         'unit': 's',
         # the 24.9 s/spill reference floor is established at the 2x2

@@ -815,6 +815,13 @@ def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
     if tbl_kb > float(os.environ.get('LARNDSIM_PALLAS_SMEM_KB', '400')):
         row_table = False
     ablate = os.environ.get('LARNDSIM_PALLAS_ABLATE', '')
+    if ablate and os.environ.get('LARNDSIM_DEBUG_PROBES') != '1':
+        # the ablation branches produce wrong physics by construction
+        # (probe-only: tools/probe_bound.py); refuse loudly instead of
+        # silently corrupting a production run (VERDICT r3 weak #8)
+        raise RuntimeError(
+            'LARNDSIM_PALLAS_ABLATE is a probe-only knob; set '
+            'LARNDSIM_DEBUG_PROBES=1 to acknowledge non-physical output')
     fn = _kernel_fn(s_pad, P, t_sig_p, n_steps_p, s_blk, t_blk,
                     slab_w, K0, float(det.response_bin_size),
                     resp_np.shape[0], resp_np.shape[1], ratio, n_rows, ntp,

@@ -1,4 +1,12 @@
-"""Multi-chip scaling: device mesh + sharded simulation step.
+"""Multi-chip scaling TESTBED: device mesh + sharded simulation step.
+
+This module validates that the full simulation step shards over a
+('modules', 'events') mesh and is NOT the production multi-chip path —
+production is the CLI's thread-dispatch (`--n_devices`, one dispatch
+thread + chip subset per module/event-group), which keeps per-module
+shape freedom (mod2mod variation) and the async host pipeline.  See
+MIGRATION.md "Hardware / scaling" for the design decision and the
+enumerated semantics deltas of this step vs production.
 
 The reference has no distributed backend (SURVEY §2.6): its only
 multi-device notions are the sequential module loop

@@ -49,6 +49,9 @@ def main():
 
     results = []
     base = None
+    # the ablation knob is refused by the production kernel without this
+    # acknowledgement (results are non-physical by construction)
+    os.environ['LARNDSIM_DEBUG_PROBES'] = '1'
     for mode in modes.split(','):
         os.environ['LARNDSIM_PALLAS_ABLATE'] = \
             '' if mode == 'full' else mode
