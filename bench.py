@@ -92,16 +92,37 @@ def _bench_config(ref: str, tmp: str, occ: int):
         # geometry (BENCHMARKS.md), now on the real detector at
         # production step density.  Fewer timed spills: each spill is 6x
         # the 2x2 workload.
+        #
+        # TPU batching: the yaml's batch_size 2500 is the reference's
+        # A100-memory tuning; at event_batch_size 2 TPCs it splits a
+        # spill into 35 ~170-segment batches whose fixed dispatch+pull
+        # costs dominate on this backend.  The derived simprop raises
+        # batch_size to the 2x2 value (10000) and the group cap to 32 —
+        # physics unchanged (batching regroups noise streams exactly as
+        # the reference's own batch_size does); measured 6.82 -> 5.16
+        # s/spill (BENCHMARKS.md).  LARNDSIM_BENCH_REF_BATCHING=1
+        # reverts to the yaml batching for A/B.
+        simprop = f'{ref}/simulation_properties/NDLAr_LBNF_sim.yaml'
+        group = None
+        if os.environ.get('LARNDSIM_BENCH_REF_BATCHING', '') != '1':
+            derived = os.path.join(tmp, 'ndlar_tpu_batching.yaml')
+            with open(simprop) as f:
+                body = f.read()
+            with open(derived, 'w') as f:
+                # yaml.safe_load keeps the LAST occurrence of a dup key
+                f.write(body + '\nbatch_size: 10000\n')
+            simprop, group = derived, 32
         return dict(
             config='ndlar',
             detprop=f'{ref}/detector_properties/ndlar-module.yaml',
             pixel=f'{ref}/pixel_layouts/multi_tile_layout-3.0.40.yaml',
-            simprop=f'{ref}/simulation_properties/NDLAr_LBNF_sim.yaml',
+            simprop=simprop,
             tracks_per_event=144 * occ,
             n_warm_ev=2, n_bench_ev=4,
             rate='sec/spill', desc='ndlar 35-module charge, synthetic LUTs',
             unit_name='spill',
             baseline=False,
+            group=group,
         )
     if variant == 'module0':
         # BASELINE.json config #2 + light: mode-0 threshold self-trigger
@@ -180,8 +201,10 @@ def main():
         light_lut_filename='__missing__.npz',
         light_det_noise_filename='__missing__.npy',
         rand_seed=7,
-        # on-chip event data parallelism (env override for experiments)
-        event_group_size=int(os.environ.get('LARNDSIM_BENCH_GROUP', '4')),
+        # on-chip event data parallelism (env override for experiments;
+        # variants may carry their own tuned default)
+        event_group_size=int(os.environ.get('LARNDSIM_BENCH_GROUP',
+                                            str(cfg.get('group') or 4))),
     )
 
     # warmup: trigger all jit compiles
