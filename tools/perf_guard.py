@@ -74,9 +74,20 @@ def build_workload():
     from larndsim_tpu.io.edep import load_edep
 
     ref = os.environ['LARNDSIM_ASSETS']
-    dm = load_detector(f'{ref}/detector_properties/2x2_no_modvar.yaml',
-                       f'{ref}/pixel_layouts/multi_tile_layout-2.4.16.yaml')
-    sim = load_sim(f'{ref}/simulation_properties/2x2_NuMI_sim_no_modvar.yaml')
+    # LARNDSIM_GUARD_CONFIG=ndlar times the ops at the full-scale ND-LAr
+    # shapes (3200 ticks, 50 ns response sampling, ~3400-segment coalesced
+    # group); default stays the 2x2 bench workload
+    guard_cfg = os.environ.get('LARNDSIM_GUARD_CONFIG', '2x2')
+    if guard_cfg == 'ndlar':
+        dm = load_detector(f'{ref}/detector_properties/ndlar-module.yaml',
+                           f'{ref}/pixel_layouts/multi_tile_layout-3.0.40.yaml')
+        sim = load_sim(f'{ref}/simulation_properties/NDLAr_LBNF_sim.yaml')
+        workload = dict(n_events=1, tracks_per_event=82)
+    else:
+        dm = load_detector(f'{ref}/detector_properties/2x2_no_modvar.yaml',
+                           f'{ref}/pixel_layouts/multi_tile_layout-2.4.16.yaml')
+        sim = load_sim(f'{ref}/simulation_properties/2x2_NuMI_sim_no_modvar.yaml')
+        workload = dict(n_events=4, tracks_per_event=24)
     det = dm.params
 
     n_t = int(round(float(det.time_window) / float(det.response_sampling)))
@@ -85,10 +96,11 @@ def build_workload():
         sampling=float(det.response_sampling),
         pixel_pitch=float(det.pixel_pitch)))
 
-    # the bench's grouped workload: 4 events x ~930 segments
+    # the bench's grouped workload (2x2: 4 events x ~930 segments;
+    # ndlar: one ~3400-segment coalesced group)
     path = '/tmp/perf_guard_in.h5'
-    write_input(path, dm.tpc_borders, n_events=4, tracks_per_event=24,
-                segments_per_track=42, dEdx=8.0, segment_length=0.4, seed=2)
+    write_input(path, dm.tpc_borders, segments_per_track=42, dEdx=8.0,
+                segment_length=0.4, seed=2, **workload)
     tr = load_edep(path, is_spill_sim=sim.is_spill_sim,
                    spill_period=sim.spill_period,
                    max_events_per_file=sim.max_events_per_file).tracks
@@ -147,7 +159,8 @@ def build_workload():
                   n_unique_cap=n_unique_cap, max_nb=max_nb,
                   max_adc=sim.max_adc_values,
                   max_tracks=sim.max_tracks_per_pixel)
-    return dict(det=det, sim=sim, response=response, segs=segs,
+    return dict(guard_cfg=guard_cfg,
+                det=det, sim=sim, response=response, segs=segs,
                 seg_np=seg_np, px=px, py=py, pix_valid=pix_valid, key=key,
                 band=band, shapes=shapes, n_steps=n_steps, t_sig=t_sig,
                 n_unique_cap=n_unique_cap, pix_idx=pix_idx, slot=slot,
@@ -216,7 +229,8 @@ def main():
     except Exception:
         rev = 'unknown'
     entry = dict(ts=round(time.time(), 1), rev=rev,
-                 backend=jax.devices()[0].platform, shapes=shapes,
+                 backend=jax.devices()[0].platform,
+                 config=w['guard_cfg'], shapes=shapes,
                  ops_ms={k: round(v, 1) for k, v in ops.items()})
 
     # regression check vs the median of the last 3 same-shape runs
