@@ -28,6 +28,7 @@ TPU-first redesign (SURVEY §7 hard parts 2 & 4):
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -190,8 +191,14 @@ def get_adc_values(pixels_signals: jnp.ndarray, tick_times: jnp.ndarray,
         r_out=jnp.full((U, max_adc), -1, jnp.int32),
         e_out=jnp.full((U, max_adc), -1, jnp.int32),
     )
+    # tuning knob (read at trace time; A/B needs a jit-cache clear).
+    # Measured on v5e at bench shapes: unroll 1/4/8/16 -> 195/192/185/194
+    # ms — a wash, so the scan is genuine per-step work (the xs stream +
+    # ~20 (U,)-vector ops), not loop overhead; default stays 1
+    unroll = int(os.environ.get('LARNDSIM_FEE_UNROLL', '1'))
     final, _ = jax.lax.scan(step, init,
-                            (jnp.arange(n_scan), noise_all, sig_rows))
+                            (jnp.arange(n_scan), noise_all, sig_rows),
+                            unroll=unroll)
     return FeeResult(final.integrals, final.ticks_us, final.iadc,
                      final.r_out, final.e_out)
 
