@@ -221,12 +221,21 @@ def _current_kernel(*refs, t_blk, slab_w, k0, s_blk, bin_size, nx_r,
          slab, sem) = refs
         row_of = _make_row_of(xs_ref, ys_ref, phase_ref, bin_size, nx_r,
                               ny_r, ratio)
-    jt = pl.program_id(1)
+    jt = pl.program_id(0)
 
-    dma = pltpu.make_async_copy(
-        resp_hbm.at[:, pl.ds(jt * t_blk, slab_w)], slab, sem)
-    dma.start()
-    dma.wait()
+    # the slab depends only on the tick block, and the grid iterates the
+    # segment axis fastest (grid = (jt, s)), so load it once per jt row
+    # and reuse it across every segment block — scratch persists across
+    # the core's sequential grid steps.  Re-copying per (s, jt) instance
+    # was 2x2: 512 x 24 MiB = 12 GiB, ndlar: 512 x 48 MiB = 24 GiB of
+    # redundant HBM traffic per call.
+    @pl.when(pl.program_id(1) == 0)
+    def _load_slab():
+        dma = pltpu.make_async_copy(
+            resp_hbm.at[:, pl.ds(jt * t_blk, slab_w)], slab, sem)
+        dma.start()
+        dma.wait()
+
     out_ref[...] = jnp.zeros_like(out_ref)
     w_win = t_blk + 128
 
@@ -314,14 +323,21 @@ def _current_kernel_folded(*refs, t_blk, slab_w,
          slab, sem) = refs
         row_of = _make_row_of(xs_ref, ys_ref, phase_ref, bin_size, nx_r,
                               ny_r, ratio)
-    jt = pl.program_id(1)
+    jt = pl.program_id(0)
     n_q = t_blk // 128 + 1   # sublane blocks covering t_blk + misalignment
 
-    dma = pltpu.make_async_copy(
-        resp_hbm.at[:, pl.ds(jt * (t_blk // 128), slab_w // 128), :],
-        slab, sem)
-    dma.start()
-    dma.wait()
+    # slab reuse across segment blocks — see _current_kernel: the grid is
+    # (jt, s) with s fastest, so the jt slab loads once and serves every
+    # segment block (the per-instance re-copy was 12-24 GiB/call of
+    # redundant HBM traffic)
+    @pl.when(pl.program_id(1) == 0)
+    def _load_slab():
+        dma = pltpu.make_async_copy(
+            resp_hbm.at[:, pl.ds(jt * (t_blk // 128), slab_w // 128), :],
+            slab, sem)
+        dma.start()
+        dma.wait()
+
     out_ref[...] = jnp.zeros_like(out_ref)
     lane_shape = ((n_q - 1, pix_grp, 128) if transposed
                   else (pix_grp, n_q - 1, 128))
@@ -483,7 +499,10 @@ def _kernel_fn(s_pad, P, t_sig_p, n_steps_p, s_blk, t_blk,
     _row_table).  ``ablate`` (probe-only, $LARNDSIM_PALLAS_ABLATE) cuts
     pieces out of the inner loop to decompose kernel time — results are
     WRONG under any non-empty value; see tools/probe_bound.py."""
-    grid = (s_pad // s_blk, t_sig_p // t_blk)
+    # grid order (jt, s): the segment axis iterates fastest, so the
+    # jt-dependent response slab loads once per jt row and is reused by
+    # every segment block (the kernels guard the DMA on program_id(1)==0)
+    grid = (t_sig_p // t_blk, s_pad // s_blk)
     folded = variant.startswith('folded')
     if folded:
         kernel = functools.partial(
@@ -498,16 +517,16 @@ def _kernel_fn(s_pad, P, t_sig_p, n_steps_p, s_blk, t_blk,
             ratio=ratio, ntp=ntp, pix_grp=pix_grp, row_table=row_table,
             ablate=ablate)
 
-    smem2 = lambda: pl.BlockSpec((s_blk, n_steps_p), lambda i, j: (i, 0),
+    smem2 = lambda: pl.BlockSpec((s_blk, n_steps_p), lambda j, i: (i, 0),
                                  memory_space=pltpu.SMEM)
-    smem1 = lambda: pl.BlockSpec((s_blk, 1), lambda i, j: (i, 0),
+    smem1 = lambda: pl.BlockSpec((s_blk, 1), lambda j, i: (i, 0),
                                  memory_space=pltpu.SMEM)
     smem3 = lambda: pl.BlockSpec((s_blk, P, n_steps_p),
-                                 lambda i, j: (i, 0, 0),
+                                 lambda j, i: (i, 0, 0),
                                  memory_space=pltpu.SMEM)
     if folded:
         out_specs = pl.BlockSpec((s_blk, P, t_blk // 128, 128),
-                                 lambda i, j: (i, 0, j, 0),
+                                 lambda j, i: (i, 0, j, 0),
                                  memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct(
             (s_pad, P, t_sig_p // 128, 128), jnp.float32)
@@ -515,7 +534,7 @@ def _kernel_fn(s_pad, P, t_sig_p, n_steps_p, s_blk, t_blk,
             (n_rows, slab_w // 128, 128),
             jnp.bfloat16 if slab_dtype == 'bf16' else jnp.float32)
     else:
-        out_specs = pl.BlockSpec((s_blk, P, t_blk), lambda i, j: (i, 0, j),
+        out_specs = pl.BlockSpec((s_blk, P, t_blk), lambda j, i: (i, 0, j),
                                  memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((s_pad, P, t_sig_p), jnp.float32)
         slab_shape = pltpu.VMEM(
@@ -537,9 +556,9 @@ def _kernel_fn(s_pad, P, t_sig_p, n_steps_p, s_blk, t_blk,
             smem2(),  # ys
             smem2(),  # shift
             smem2(),  # phase
-            pl.BlockSpec((s_blk, P), lambda i, j: (i, 0),
+            pl.BlockSpec((s_blk, P), lambda j, i: (i, 0),
                          memory_space=pltpu.SMEM),  # pix_x
-            pl.BlockSpec((s_blk, P), lambda i, j: (i, 0),
+            pl.BlockSpec((s_blk, P), lambda j, i: (i, 0),
                          memory_space=pltpu.SMEM),  # pix_y
             smem1(),  # nstep
             smem1(),  # npix
