@@ -799,10 +799,13 @@ def _host_smeared_truth_sparse(ids_dev, contrib_dev, t0_dev, vox_dev,
     j = np.arange(nprof, dtype=np.float32) * np.float32(1e-3)
     t_arr = t0_sel[..., None] + j
     tick_f = (t_arr - np.float32(start_time)) / tick32
-    # padded/invalid contributors carry sentinel (non-finite) t0; the ok
-    # mask below drops them regardless, but cast them to a safely
-    # out-of-range tick first (inf -> int32 is UB and warns)
-    tick_f = np.where(np.isfinite(tick_f), tick_f, np.float32(-2))
+    # padded/invalid contributors carry sentinel (non-finite or huge) t0;
+    # the ok mask below drops them regardless, but cast them to a safely
+    # out-of-range tick first (inf OR any float beyond int32 range -> UB
+    # cast warnings)
+    tick_f = np.where(np.isfinite(tick_f)
+                      & (np.abs(tick_f) < np.float32(2 ** 31 - 128)),
+                      tick_f, np.float32(-2))
     itick = np.ceil(tick_f).astype(np.int32) - 1
     ok = ((tick_f > itick) & (itick >= 0) & (itick < n_ticks)
           & (contrib[..., None] > 0))

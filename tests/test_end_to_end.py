@@ -194,3 +194,85 @@ class TestModule0TruthOn:
                         solo[col], grp[col], err_msg=f'{ds}.{col}')
             else:
                 np.testing.assert_array_equal(solo, grp, err_msg=ds)
+
+
+@pytest.mark.slow
+class TestDeviceTruthRouteCLI:
+    """The device truth route through the FULL CLI pipeline (grouped
+    dispatch -> one vmapped smear + one packed group pull -> per-event
+    futures -> flush/ledger).  Same record sets as the host-recompute
+    route; pe_current equal to the float tolerance between the device
+    matmul and the host GEMM (VERDICT r3 #6: the grouped device path)."""
+
+    @pytest.fixture(scope='class')
+    def files(self, tmp_path_factory):
+        import shutil
+        from larndsim_tpu.models import light as light_model
+        from larndsim_tpu.utils import link
+        tmp = tmp_path_factory.mktemp('devroute')
+        detprop = str(tmp / 'module0_beam_smear.yaml')
+        shutil.copy(DETPROP, detprop)
+        with open(detprop, 'a') as f:
+            # beam trigger (mode 1) + LUT-smearing truth
+            f.write('\nenable_lut_smearing: True\nlight_trig_mode: 1\n')
+        simprop = str(tmp / 'singles_truth.yaml')
+        shutil.copy(f'{REF}/simulation_properties/singles_sim_no_modvar.yaml',
+                    simprop)
+        with open(simprop, 'a') as f:
+            f.write('\nmax_light_truth_ids: 50\nmc_truth_threshold: 0.1\n')
+
+        det_model = load_detector(detprop, PIXEL)
+        in_file = str(tmp / 'input.h5')
+        write_input(in_file, det_model.tpc_borders, n_events=4,
+                    tracks_per_event=3, segments_per_track=8, dEdx=15.0,
+                    seed=13)
+        outs = {}
+        for route in ('host', 'device'):
+            light_model._TRUTH_PATH_CACHE.clear()
+            link.reset_for_tests()
+            os.environ['LARNDSIM_TRUTH_PATH'] = route
+            try:
+                out = str(tmp / f'out_{route}.h5')
+                run_simulation(in_file, out, config='module0',
+                               detector_properties=detprop,
+                               pixel_layout=PIXEL,
+                               simulation_properties=simprop,
+                               response_file='__missing__.npy',
+                               light_lut_filename='__missing__.npz',
+                               light_det_noise_filename='__missing__.npy',
+                               rand_seed=321, step_scale=16.0,
+                               event_group_size=4)
+            finally:
+                os.environ.pop('LARNDSIM_TRUTH_PATH', None)
+                light_model._TRUTH_PATH_CACHE.clear()
+            outs[route] = out
+        return outs
+
+    def test_device_route_matches_host_route(self, files):
+        with h5py.File(files['host']) as f:
+            host = np.array(f['light_wvfm_mc_assn'])
+        with h5py.File(files['device']) as f:
+            dev = np.array(f['light_wvfm_mc_assn'])
+        assert host.shape[0] > 0
+        assert dev.shape == host.shape
+        for col in ('trigger_id', 'op_channel_id', 'tick', 'event_id',
+                    'segment_id'):
+            np.testing.assert_array_equal(dev[col], host[col], err_msg=col)
+        # f32 reduction-order spread between the device matmul and the
+        # host GEMM over module0's ~16k-tick chain: ~1e-5 relative
+        np.testing.assert_allclose(dev['pe_current'], host['pe_current'],
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_waveforms_identical(self, files):
+        # the truth route must not perturb the physics outputs
+        for ds in ('light_trig', 'light_wvfm', 'packets'):
+            with h5py.File(files['host']) as f:
+                a = np.array(f[ds])
+            with h5py.File(files['device']) as f:
+                b = np.array(f[ds])
+            if a.dtype.names:
+                for col in a.dtype.names:
+                    np.testing.assert_array_equal(b[col], a[col],
+                                                  err_msg=f'{ds}.{col}')
+            else:
+                np.testing.assert_array_equal(b, a, err_msg=ds)
