@@ -1745,7 +1745,7 @@ def simulate_light_group(segs_g: Segments, det_model: DetectorModel,
     if smear_truth:
         smear_route = truth_path or resolve_truth_path()
     smear = []
-    dense_futs = dense_parts = dense_ids_h = None
+    dense_futs = dense_parts = None
     if smear_truth and smear_route == 'device':
         # fast-link route (resolve_truth_path): ONE vmapped dense smear +
         # digitize dispatch for the whole group, ONE packed (indices,
@@ -1757,7 +1757,6 @@ def simulate_light_group(segs_g: Segments, det_model: DetectorModel,
             conv_ticks=conv_ticks, k_truth=sim.max_mc_truth_ids,
             digit_samples=digit_samples, pad_front=pad_front,
             pad_back=pad_back)
-        dense_ids_h = np.asarray(ids_gd)                     # (G, C, K)
         if truth_executor is not None:
             group_fut = truth_executor.submit(
                 _worker_pull_group_dense_truth, ids_gd, tw_gd,
@@ -1809,7 +1808,9 @@ def simulate_light_group(segs_g: Segments, det_model: DetectorModel,
                 ids_h[g], amp_h[g], it_h[g], kernel, trigger_idx, light,
                 digit_samples, op_channel, sim.mc_truth_threshold)
         elif smear_truth and smear_route == 'device':
-            truth_ids = dense_ids_h[g]
+            # truth_ids stays None, matching the grouped host route (no
+            # consumer; pulling (G, C, K) ids here would block the
+            # dispatch thread on the whole group's smear)
             if dense_futs is not None:
                 truth_future = dense_futs[g]
             else:
