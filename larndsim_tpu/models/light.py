@@ -1972,18 +1972,20 @@ def simulate_light_group_mode0(segs_g: Segments, det_model: DetectorModel,
                               / light.light_tick_size))
     max_trig = n_ticks // max(digit_ticks, 1) + 1
 
-    resp_g, idx_g, counts_g = _group_mode0_scan_stage(
-        segs_g, jnp.asarray(vox_g), jnp.asarray(inc_g), op_channel_dev,
-        lut.time_dist, lut.t0_avg, gains, key_mod,
-        jnp.asarray(event_ids, jnp.int32), jnp.asarray(start_times),
-        jnp.asarray(gmask_stack), jnp.asarray(thr, jnp.float32), light,
-        n_ticks=n_ticks, conv_ticks=conv_ticks,
-        lut_smearing=light.enable_lut_smearing, per_trig=int(
-            light.op_channel_per_trig), sample_factor=sample_factor,
-        digit_ticks=digit_ticks, max_trig=max_trig)
-    # the one host sync for the whole group's trigger walks
-    idx_np = np.asarray(idx_g)
-    counts_np = np.asarray(counts_g)
+    with trace.phase('light/mode0_scan'):
+        resp_g, idx_g, counts_g = _group_mode0_scan_stage(
+            segs_g, jnp.asarray(vox_g), jnp.asarray(inc_g), op_channel_dev,
+            lut.time_dist, lut.t0_avg, gains, key_mod,
+            jnp.asarray(event_ids, jnp.int32), jnp.asarray(start_times),
+            jnp.asarray(gmask_stack), jnp.asarray(thr, jnp.float32), light,
+            n_ticks=n_ticks, conv_ticks=conv_ticks,
+            lut_smearing=light.enable_lut_smearing, per_trig=int(
+                light.op_channel_per_trig), sample_factor=sample_factor,
+            digit_ticks=digit_ticks, max_trig=max_trig)
+        # the one host sync for the whole group's trigger walks (this
+        # phase therefore absorbs the group's signal+scan device time)
+        idx_np = np.asarray(idx_g)
+        counts_np = np.asarray(counts_g)
 
     out = []
     for g in range(G):
