@@ -40,7 +40,8 @@ class LightBatchResult:
     start_time: float              # simulation window start [us]
     n_ticks: int
     # MC truth (sim.max_mc_truth_ids > 0): per-channel top-K contributors
-    truth_ids: np.ndarray | None = None        # (C, K) segment ids
+    truth_ids: object | None = None  # (C, K) segment ids (device or host
+    #                                  array — informational; not pulled)
     truth_waveforms: np.ndarray | None = None  # (ntrig, C, samples, K)
     # sparse zero-suppressed truth (preferred: avoids pulling the dense
     # tensor off-device): (trig, chan, tick, segment_id, pe) columns
@@ -1659,8 +1660,10 @@ def simulate_light_batch(segs: Segments, det_model: DetectorModel,
         waveforms=_stage_host_copy(wvfms),  # device array; pulled at flush
         start_time=start_time,
         n_ticks=n_ticks,
-        truth_ids=(np.asarray(truth_ids_dev)
-                   if truth_ids_dev is not None else None),
+        # device handle, NOT pulled: the field is informational (no
+        # pipeline consumer) and a per-event np.asarray here blocked the
+        # dispatch thread on that event's whole device chain
+        truth_ids=truth_ids_dev,
         truth_waveforms=None,
         truth_sparse=truth_sparse,
         truth_future=truth_future,
