@@ -647,6 +647,12 @@ def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
     bfloat16 with float32 accumulation: ~0.2% per-value LUT quantization
     (well under the MC noise scale) for half the window traffic — an
     opt-in accuracy/throughput knob, never bit-identical to f32.
+    HARDWARE LIMIT: Mosaic requires dynamic second-minor slice offsets
+    to be multiples of the 16-sublane bf16 tile, which the per-step
+    ``q0`` window offset is not, so bf16 currently compiles only in
+    interpret mode; on real TPUs it falls back to f32 with a warning
+    (measured superseded anyway — the slab traffic it halves stopped
+    being the bound after the slab-once grid; BENCHMARKS.md).
     """
     import os
     if variant is None:
@@ -659,6 +665,13 @@ def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
     if slab_dtype is None:
         slab_dtype = os.environ.get('LARNDSIM_PALLAS_SLAB_DTYPE', 'f32')
     assert slab_dtype in ('f32', 'bf16'), slab_dtype
+    if slab_dtype == 'bf16' and not interpret:
+        import warnings
+        warnings.warn(
+            'current_pallas: bf16 slab is interpret-only (Mosaic cannot '
+            'prove the dynamic window offset 16-sublane-aligned); '
+            'falling back to f32')
+        slab_dtype = 'f32'
     slab_isz = 2 if slab_dtype == 'bf16' else 4
     assert variant in ('auto', 'rows', 'folded', 'foldedT'), variant
     # Mosaic kernels only compile for TPU; on CPU (tests, tools' smoke
