@@ -507,8 +507,16 @@ def run_simulation(input_filename: str,
         else:
             dev_ctx = [dict(det_model=det_model, light=light,
                             response=response_dev, lut=lut)]
-        compute_pool = ThreadPoolExecutor(max_workers=n_dev) \
-            if n_dev > 1 else None
+        # LARNDSIM_PIPELINE=1 (opt-in): run single-device compute groups on
+        # a 1-worker pool so the main thread's batching/export/drain Python
+        # overlaps the worker's device syncs and pulls (which release the
+        # GIL).  One worker keeps dispatch -- and so the fused-truth
+        # ledger-claim order -- identical to inline submission order.
+        pipeline1 = os.environ.get('LARNDSIM_PIPELINE', '') == '1'
+        compute_pool = (ThreadPoolExecutor(max_workers=n_dev)
+                        if n_dev > 1 else
+                        (ThreadPoolExecutor(max_workers=1)
+                         if pipeline1 else None))
         # fused truth path: assembly workers compress HDF5 chunks in
         # place of a second writer-thread pass over the ~300 MB/spill
         # record block.  Needs the worker-claim order to equal the write
