@@ -48,19 +48,29 @@ NOMINAL_BASELINE_SEC_PER_SPILL = 24.9
 _TMP_DIRS: list = []
 
 
+def _derived_simprop(simprop: str, tmp: str, name: str, **overrides) -> str:
+    """Write a derived simulation-properties YAML with ``overrides``
+    merged programmatically (load → set → dump — never a duplicated
+    top-level key, which is spec-invalid YAML that stricter loaders
+    reject)."""
+    import yaml
+    with open(simprop) as f:
+        body = yaml.safe_load(f)
+    body.update(overrides)
+    out = os.path.join(tmp, name)
+    with open(out, 'w') as f:
+        yaml.safe_dump(body, f, sort_keys=False)
+    return out
+
+
 def _truth_off(simprop: str, tmp: str) -> str:
     """Derived simprop with light-truth backtracking disabled
     (``max_light_truth_ids: 0``) — the truth-off bench variant
     (``LARNDSIM_BENCH_TRUTH=off``).  The reference's e2e floor is its
     host python truth loop; with truth off the comparison is honest
     device-vs-device work (BASELINE.md "two regimes")."""
-    out = os.path.join(tmp, 'truth_off_sim.yaml')
-    with open(simprop) as f:
-        body = f.read()
-    with open(out, 'w') as f:
-        # yaml.safe_load keeps the LAST occurrence of a duplicated key
-        f.write(body + '\nmax_light_truth_ids: 0\n')
-    return out
+    return _derived_simprop(simprop, tmp, 'truth_off_sim.yaml',
+                            max_light_truth_ids=0)
 
 
 def _bench_config(ref: str, tmp: str, occ: int):
@@ -104,14 +114,16 @@ def _bench_config(ref: str, tmp: str, occ: int):
         # reverts to the yaml batching for A/B.
         simprop = f'{ref}/simulation_properties/NDLAr_LBNF_sim.yaml'
         group = None
+        desc = 'ndlar 35-module charge, synthetic LUTs'
         if os.environ.get('LARNDSIM_BENCH_REF_BATCHING', '') != '1':
-            derived = os.path.join(tmp, 'ndlar_tpu_batching.yaml')
-            with open(simprop) as f:
-                body = f.read()
-            with open(derived, 'w') as f:
-                # yaml.safe_load keeps the LAST occurrence of a dup key
-                f.write(body + '\nbatch_size: 10000\n')
-            simprop, group = derived, 32
+            simprop = _derived_simprop(simprop, tmp,
+                                       'ndlar_tpu_batching.yaml',
+                                       batch_size=10000)
+            group = 32
+            # the recorded JSON must be self-describing: this number is
+            # measured with the TPU batching override, not the yaml's
+            # A100-tuned batch_size 2500 (noise streams regroup)
+            desc += ', batch_size=10000/group=32'
         return dict(
             config='ndlar',
             detprop=f'{ref}/detector_properties/ndlar-module.yaml',
@@ -119,7 +131,7 @@ def _bench_config(ref: str, tmp: str, occ: int):
             simprop=simprop,
             tracks_per_event=144 * occ,
             n_warm_ev=2, n_bench_ev=4,
-            rate='sec/spill', desc='ndlar 35-module charge, synthetic LUTs',
+            rate='sec/spill', desc=desc,
             unit_name='spill',
             baseline=False,
             group=group,
@@ -132,12 +144,10 @@ def _bench_config(ref: str, tmp: str, occ: int):
         # (max_light_truth_ids 50 / mc_truth_threshold 0.1, the 2x2
         # values) is written as a derived yaml so the host truth-worker
         # path is exercised end-to-end.
-        simprop = os.path.join(tmp, 'module0_truth_sim.yaml')
-        with open(f'{ref}/simulation_properties/singles_sim.yaml') as f:
-            body = f.read()
-        with open(simprop, 'w') as f:
-            f.write(body + '\nmax_light_truth_ids: 50\n'
-                    'mc_truth_threshold: 0.1 # pe/us\n')
+        simprop = _derived_simprop(
+            f'{ref}/simulation_properties/singles_sim.yaml', tmp,
+            'module0_truth_sim.yaml',
+            max_light_truth_ids=50, mc_truth_threshold=0.1)  # pe/us
         return dict(
             config='module0',
             detprop=f'{ref}/detector_properties/module0.yaml',

@@ -452,12 +452,11 @@ def _row_table(xs, ys, phase, pxc, pyc, *, bin_size, nx_r, ny_r, ratio):
 _RESP_CACHE: dict = {}
 
 
-def _padded_response(response, ratio: int, K0: int, total_cols: int,
-                     slab_dtype: str = 'f32'):
+def _padded_response(response, ratio: int, K0: int, total_cols: int):
     """Padded response columns on device, cached per (LUT, layout)."""
     resp_np = np.asarray(response)
     key = (resp_np.__array_interface__['data'][0], resp_np.shape,
-           ratio, K0, total_cols, slab_dtype)
+           ratio, K0, total_cols)
     hit = _RESP_CACHE.get(key)
     if hit is not None:
         # entries pin their source array (hit[0]) so its address can't be
@@ -479,8 +478,6 @@ def _padded_response(response, ratio: int, K0: int, total_cols: int,
     if hi > lo:
         padded[:, lo:hi] = resp_phase[:, lo - K0:hi - K0]
     dev = jnp.asarray(padded)
-    if slab_dtype == 'bf16':
-        dev = dev.astype(jnp.bfloat16)
     if len(_RESP_CACHE) > 8:
         _RESP_CACHE.clear()
     _RESP_CACHE[key] = (resp_np, dev)
@@ -490,7 +487,7 @@ def _padded_response(response, ratio: int, K0: int, total_cols: int,
 @functools.lru_cache(maxsize=64)
 def _kernel_fn(s_pad, P, t_sig_p, n_steps_p, s_blk, t_blk,
                slab_w, k0, bin_size, nx_r, ny_r, ratio, n_rows, ntp,
-               interpret, variant='rows', pix_grp=4, slab_dtype='f32',
+               interpret, variant='rows', pix_grp=4,
                row_table=False, ablate=''):
     """Jitted pallas_call, cached on the static configuration.
 
@@ -530,16 +527,13 @@ def _kernel_fn(s_pad, P, t_sig_p, n_steps_p, s_blk, t_blk,
                                  memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct(
             (s_pad, P, t_sig_p // 128, 128), jnp.float32)
-        slab_shape = pltpu.VMEM(
-            (n_rows, slab_w // 128, 128),
-            jnp.bfloat16 if slab_dtype == 'bf16' else jnp.float32)
+        slab_shape = pltpu.VMEM((n_rows, slab_w // 128, 128),
+                                jnp.float32)
     else:
         out_specs = pl.BlockSpec((s_blk, P, t_blk), lambda j, i: (i, 0, j),
                                  memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((s_pad, P, t_sig_p), jnp.float32)
-        slab_shape = pltpu.VMEM(
-            (n_rows, slab_w),
-            jnp.bfloat16 if slab_dtype == 'bf16' else jnp.float32)
+        slab_shape = pltpu.VMEM((n_rows, slab_w), jnp.float32)
     if row_table:
         in_specs = [
             smem3(),  # precomputed row indices
@@ -627,8 +621,7 @@ def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
                    shift_band: tuple[int, int] | None = None,
                    min_step: float = 0.001,
                    variant: str | None = None,
-                   pix_grp: int | None = None,
-                   slab_dtype: str | None = None) -> jnp.ndarray:
+                   pix_grp: int | None = None) -> jnp.ndarray:
     """Induced current per (segment, pixel, tick) — Pallas TPU backend.
 
     Same contract as ops.current.current; `response` is the raw
@@ -642,19 +635,13 @@ def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
     ``pix_grp`` the pixel group width (default from
     $LARNDSIM_PALLAS_PIXGRP); all variants produce identical results —
     the knobs exist for per-platform tuning (see BENCHMARKS.md).
-    ``slab_dtype`` ('f32' default, or 'bf16' via
-    $LARNDSIM_PALLAS_SLAB_DTYPE) stores the VMEM response slab in
-    bfloat16 with float32 accumulation: ~0.2% per-value LUT quantization
-    (well under the MC noise scale) for half the window traffic — an
-    opt-in accuracy/throughput knob, never bit-identical to f32.
-    HARDWARE LIMIT: Mosaic requires dynamic second-minor slice offsets
-    to be multiples of the 16-sublane bf16 tile, which the per-step
-    ``q0`` window offset is not, so bf16 currently compiles only in
-    interpret mode; on real TPUs it falls back to f32 with a warning
-    (measured superseded anyway — the slab traffic it halves stopped
-    being the bound after the slab-once grid; BENCHMARKS.md).
+
+    (A bfloat16 slab variant was tried and removed: Mosaic requires
+    dynamic second-minor slice offsets to be 16-sublane-aligned for
+    16-bit types, and the aligned-load workaround widens the window
+    reads by more than bf16 saves; the slab traffic it halved stopped
+    being the bound after the slab-once grid anyway — BENCHMARKS.md.)
     """
-    import os
     if variant is None:
         variant = os.environ.get('LARNDSIM_PALLAS_VARIANT', 'auto')
     if pix_grp is None:
@@ -662,17 +649,6 @@ def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
         # rows:4 @1024) on v5e at bench shapes, bit-identical output;
         # rows:32 spills registers (see BENCHMARKS.md kernel matrix)
         pix_grp = int(os.environ.get('LARNDSIM_PALLAS_PIXGRP', '16'))
-    if slab_dtype is None:
-        slab_dtype = os.environ.get('LARNDSIM_PALLAS_SLAB_DTYPE', 'f32')
-    assert slab_dtype in ('f32', 'bf16'), slab_dtype
-    if slab_dtype == 'bf16' and not interpret:
-        import warnings
-        warnings.warn(
-            'current_pallas: bf16 slab is interpret-only (Mosaic cannot '
-            'prove the dynamic window offset 16-sublane-aligned); '
-            'falling back to f32')
-        slab_dtype = 'f32'
-    slab_isz = 2 if slab_dtype == 'bf16' else 4
     assert variant in ('auto', 'rows', 'folded', 'foldedT'), variant
     # Mosaic kernels only compile for TPU; on CPU (tests, tools' smoke
     # modes) fall through to the interpreter instead of erroring
@@ -755,7 +731,7 @@ def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
         — the SAME math as the final guard below, so a (variant, t_blk)
         choice made here can never trip that guard afterwards."""
         w = _round_up(t + span + 1 + 256, quant)
-        return n_rows * w * slab_isz + s_blk * P * t * 4 <= budget
+        return n_rows * w * 4 + s_blk * P * t * 4 <= budget
 
     if variant == 'auto':
         # folded:16 is 1.30x rows:16 on v5e (bit-identical); it needs a
@@ -801,7 +777,7 @@ def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
     # VMEM guard: the slab must fit on chip.  The shift band scales with
     # the *per-segment* drift extent (sub-cm for real edep-sim segments,
     # so ~100 ticks); pathological inputs fall back to the XLA backend.
-    slab_bytes = n_rows * slab_w * slab_isz
+    slab_bytes = n_rows * slab_w * 4
     vmem_bytes = slab_bytes + s_blk * P * t_blk * 4
     if vmem_bytes > SLAB_BUDGET_BYTES + 2 * 2 ** 20 and not interpret:
         import warnings
@@ -831,8 +807,7 @@ def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
         return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
 
     total_cols = _round_up((t_sig_p - t_blk) + slab_w, slab_quant)
-    padded_dev = _padded_response(response, ratio, K0, total_cols,
-                                  slab_dtype)
+    padded_dev = _padded_response(response, ratio, K0, total_cols)
     if variant.startswith('folded'):
         padded_dev = padded_dev.reshape(padded_dev.shape[0], -1, 128)
 
@@ -857,8 +832,7 @@ def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
     fn = _kernel_fn(s_pad, P, t_sig_p, n_steps_p, s_blk, t_blk,
                     slab_w, K0, float(det.response_bin_size),
                     resp_np.shape[0], resp_np.shape[1], ratio, n_rows, ntp,
-                    interpret, variant, pix_grp, slab_dtype, row_table,
-                    ablate)
+                    interpret, variant, pix_grp, row_table, ablate)
     if row_table:
         rows_tbl = _row_table(xs, ys, phase, pxc, pyc,
                               bin_size=float(det.response_bin_size),

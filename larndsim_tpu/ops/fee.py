@@ -47,11 +47,13 @@ class FeeResult(NamedTuple):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('max_adc', 'n_scan', 'time_padding'))
+                   static_argnames=('max_adc', 'n_scan', 'time_padding',
+                                    'unroll'))
 def get_adc_values(pixels_signals: jnp.ndarray, tick_times: jnp.ndarray,
                    pixel_thresholds: jnp.ndarray, det: DetectorParams,
                    key: jax.Array, *, max_adc: int, n_scan: int,
-                   time_padding: float = 0.0) -> FeeResult:
+                   time_padding: float = 0.0,
+                   unroll: int | None = None) -> FeeResult:
     """Run the self-trigger cycle on per-pixel waveforms.
 
     Args:
@@ -67,6 +69,10 @@ def get_adc_values(pixels_signals: jnp.ndarray, tick_times: jnp.ndarray,
         n_scan: static scan length; must cover T plus one integration +
             busy window (the reference keeps looping while adc_busy > 0,
             fee.py:559).
+        unroll: scan unroll factor (static jit arg, so changing it
+            recompiles correctly mid-process); None reads
+            $LARNDSIM_FEE_UNROLL once per distinct call signature.
+            Measured a wash on v5e (see the note at the scan below).
     """
     U, T = pixels_signals.shape
     dt = det.time_sampling
@@ -191,11 +197,13 @@ def get_adc_values(pixels_signals: jnp.ndarray, tick_times: jnp.ndarray,
         r_out=jnp.full((U, max_adc), -1, jnp.int32),
         e_out=jnp.full((U, max_adc), -1, jnp.int32),
     )
-    # tuning knob (read at trace time; A/B needs a jit-cache clear).
-    # Measured on v5e at bench shapes: unroll 1/4/8/16 -> 195/192/185/194
-    # ms — a wash, so the scan is genuine per-step work (the xs stream +
-    # ~20 (U,)-vector ops), not loop overhead; default stays 1
-    unroll = int(os.environ.get('LARNDSIM_FEE_UNROLL', '1'))
+    # tuning knob.  Measured on v5e at bench shapes: unroll 1/4/8/16 ->
+    # 195/192/185/194 ms — a wash, so the scan is genuine per-step work
+    # (the xs stream + ~20 (U,)-vector ops), not loop overhead; default
+    # stays 1.  The env fallback is read at trace time, but `unroll` is
+    # part of the jit cache key, so pass it explicitly for A/B sweeps.
+    if unroll is None:
+        unroll = int(os.environ.get('LARNDSIM_FEE_UNROLL', '1'))
     final, _ = jax.lax.scan(step, init,
                             (jnp.arange(n_scan), noise_all, sig_rows),
                             unroll=unroll)

@@ -22,8 +22,7 @@ from flax import struct
 
 from .. import units
 from ..geometry import tiles as tiles_mod
-from .light import (_cache_get as light_params_cache_get,
-                    _cache_put as light_params_cache_put)
+from ._cache import cache_get, cache_put
 
 try:
     _YamlLoader = yaml.CSafeLoader
@@ -131,13 +130,13 @@ def seed_host_scalars(det: 'DetectorParams', values: dict) -> None:
     leaves, so losing a live seed silently shifts host-side geometry and
     constants mid-run (VERDICT r3 weak #2); dead entries are pruned via
     weakrefs instead."""
-    light_params_cache_put(_HOST_SCALAR_CACHE, det, values)
+    cache_put(_HOST_SCALAR_CACHE, det, values)
 
 
 def adopt_host_scalars(new: 'DetectorParams', old: 'DetectorParams') -> None:
     """Share `old`'s host-scalar snapshot with `new` (a device_put copy
     with identical values)."""
-    values = light_params_cache_get(_HOST_SCALAR_CACHE, old)
+    values = cache_get(_HOST_SCALAR_CACHE, old)
     if values is not None:
         seed_host_scalars(new, values)
 
@@ -152,7 +151,7 @@ def host_scalars(det: 'DetectorParams') -> dict:
     values on the host (exporters, shape selection) go through this
     identity-keyed cache.
     """
-    values = light_params_cache_get(_HOST_SCALAR_CACHE, det)
+    values = cache_get(_HOST_SCALAR_CACHE, det)
     if values is not None:
         return values
     import jax.numpy as jnp
@@ -160,7 +159,7 @@ def host_scalars(det: 'DetectorParams') -> dict:
         [jnp.ravel(jnp.asarray(getattr(det, n)))[0] for n in _SCALAR_LEAVES]))
     got = {n: float(v) for n, v in zip(_SCALAR_LEAVES, stacked)}
     got['tpc_borders'] = np.asarray(det.tpc_borders)
-    light_params_cache_put(_HOST_SCALAR_CACHE, det, got)
+    cache_put(_HOST_SCALAR_CACHE, det, got)
     return got
 
 

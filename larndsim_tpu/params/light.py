@@ -174,29 +174,8 @@ _HOST_LEAVES = ('tau_s', 'tau_t', 'singlet_fraction',
                 'light_response_time', 'light_oscillation_period')
 
 
-def _cache_put(cache: dict, obj, values, bound: int = 64) -> None:
-    """Insert (weakref(obj), values) keyed by id(obj), pruning only DEAD
-    entries when over `bound`.
-
-    A live object must NEVER lose its seed: the loader seeds f64 YAML
-    values while the fallback pull returns f32-rounded device leaves, so
-    a wholesale clear() silently flipped a module's scintillation
-    constants mid-run depending on how many params objects the process
-    had seen — the ~5e-7 pe_current divergence between n_devices runs
-    (VERDICT r3 weak #2).  Weakrefs keep the cache from leaking instead."""
-    if len(cache) > bound:
-        for k in [k for k, ent in cache.items() if ent[0]() is None]:
-            cache.pop(k, None)
-    cache[id(obj)] = (weakref.ref(obj), values)
-
-
-def _cache_get(cache: dict, obj):
-    """The values seeded for exactly this live object, else None (id
-    reuse after GC cannot alias: the weakref identity check fails)."""
-    ent = cache.get(id(obj))
-    if ent is not None and ent[0]() is obj:
-        return ent[1]
-    return None
+# shared weakref cache helpers (also used by params.detector)
+from ._cache import cache_get as _cache_get, cache_put as _cache_put
 
 
 def seed_host_scalars(light: 'LightParams', values: dict) -> None:

@@ -2,11 +2,15 @@
 
 TPU-native counterpart of the reference memory_logger
 (util/memory_logger.py:4-150): records wall time, host tracemalloc, and
-per-device HBM usage (via jax device memory stats) per labelled phase;
-stores to HDF5 (one table per phase, the reference's
-``df.to_hdf(filename, phase, format='table')`` layout of
-util/memory_logger.py:86-96 without the pandas/pytables dependency) or
-npz (the reference's ImportError fallback).
+per-device HBM usage (via jax device memory stats) per labelled phase.
+
+Storage layout: one *plain* HDF5 compound dataset per phase with the
+reference's field names (or npz, the reference's ImportError fallback).
+This is NOT the pytables ``format='table'`` layout the reference's
+``df.to_hdf`` produces (util/memory_logger.py:86-96) — reading it with
+``pandas.read_hdf`` will fail.  Use :func:`read_memlog` instead, which
+returns the same per-phase tables (as DataFrames when pandas is
+importable) from the plain layout with h5py alone.
 """
 from __future__ import annotations
 
@@ -86,3 +90,34 @@ class MemoryLogger:
                 if phase in f:
                     del f[phase]
                 f.create_dataset(phase, data=rec)
+
+
+def read_memlog(filename: str) -> dict:
+    """Per-phase memory tables from a ``--save_memory`` HDF5/npz file.
+
+    The consumer-side counterpart of the reference's
+    ``pandas.read_hdf(filename, phase)``: returns ``{phase: table}``
+    where each table is a pandas DataFrame when pandas is importable,
+    else a numpy record array with the same ``FIELDS`` columns."""
+    try:
+        import pandas as pd
+    except ImportError:
+        pd = None
+    if filename.endswith(('.h5', '.hdf5')):
+        import h5py
+        with h5py.File(filename, 'r') as f:
+            raw = {phase: f[phase][()] for phase in f}
+    else:
+        with np.load(filename) as z:
+            dtype = np.dtype([(name, 'f8') for name in FIELDS])
+            raw = {}
+            for phase in z.files:
+                arr = z[phase].reshape(-1, len(FIELDS))
+                rec = np.zeros(len(arr), dtype)
+                for i, name in enumerate(FIELDS):
+                    rec[name] = arr[:, i]
+                raw[phase] = rec
+    if pd is None:
+        return raw
+    return {phase: pd.DataFrame.from_records(rec)
+            for phase, rec in raw.items()}

@@ -254,6 +254,15 @@ class TestDeviceTruthRouteCLI:
         with h5py.File(files['device']) as f:
             dev = np.array(f['light_wvfm_mc_assn'])
         assert host.shape[0] > 0
+        # record membership is |pe| > mc_truth_threshold (0.1) evaluated
+        # per route; the routes differ by ~1e-5 in pe, so a realized
+        # value near the threshold could flip a record in one route only.
+        # Guard the comparison: every value must clear the threshold by
+        # more than the route spread, or the fixture itself is flaky.
+        margin = np.abs(np.abs(host['pe_current']) - 0.1).min()
+        assert margin > 1e-3, (
+            f'fixture pe value within {margin:.2e} of the truth '
+            'threshold — regenerate with a different seed')
         assert dev.shape == host.shape
         for col in ('trigger_id', 'op_channel_id', 'tick', 'event_id',
                     'segment_id'):

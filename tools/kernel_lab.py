@@ -28,8 +28,7 @@ def main():
     reps = 3
     if '--reps' in sys.argv:
         reps = int(sys.argv[sys.argv.index('--reps') + 1])
-    combos = ('rows:4,rows:8,folded:4,folded:8,foldedT:4,foldedT:8,'
-              'folded:8:bf16')
+    combos = 'rows:4,rows:8,folded:4,folded:8,foldedT:4,foldedT:8'
     if '--combos' in sys.argv:
         combos = sys.argv[sys.argv.index('--combos') + 1]
 
@@ -47,16 +46,15 @@ def main():
     def parse(combo):
         parts = combo.split(':')
         variant, grp = parts[0], int(parts[1])
-        dtype = parts[2] if len(parts) > 2 else 'f32'
-        return variant, grp, dtype
+        return variant, grp
 
     baseline = None
     results = []
     for combo in combos.split(','):
-        variant, grp, dtype = parse(combo)
+        variant, grp = parse(combo)
         try:
             ms = timed(current_pallas, *args, variant=variant, pix_grp=grp,
-                       slab_dtype=dtype, reps=reps, **kw)
+                       reps=reps, **kw)
         except Exception as exc:  # one OOM combo must not kill the sweep
             print(f'{combo:>16}: FAILED ({type(exc).__name__}: '
                   f'{str(exc)[:120]})', flush=True)
@@ -67,24 +65,16 @@ def main():
         print(f'{combo:>16}: {ms:8.1f} ms   ({baseline / ms:.2f}x vs '
               f'{combos.split(",")[0]})', flush=True)
 
-    # cross-check: every f32 combo must match an independently computed
-    # rows:4 reference bit-for-bit; bf16 combos to quantization tolerance
+    # cross-check: every combo must match an independently computed
+    # rows:4 reference bit-for-bit
     ref = np.asarray(current_pallas(*args, variant='rows', pix_grp=4, **kw))
-    scale = np.abs(ref).max() or 1.0
     for combo, _ in results:
-        variant, grp, dtype = parse(combo)
+        variant, grp = parse(combo)
         got = np.asarray(current_pallas(*args, variant=variant,
-                                        pix_grp=grp, slab_dtype=dtype,
-                                        **kw))
-        if dtype == 'f32':
-            same = np.array_equal(ref, got)
-            print(f'{combo:>16}: identical to rows:4 -> {same}')
-            assert same, f'{combo} output differs from rows:4'
-        else:
-            err = np.abs(got - ref).max() / scale
-            print(f'{combo:>16}: max rel-to-peak error vs rows:4 = '
-                  f'{err:.2e}')
-            assert err < 6e-3, f'{combo} deviates beyond quantization'
+                                        pix_grp=grp, **kw))
+        same = np.array_equal(ref, got)
+        print(f'{combo:>16}: identical to rows:4 -> {same}')
+        assert same, f'{combo} output differs from rows:4'
 
 
 if __name__ == '__main__':
