@@ -294,7 +294,7 @@ def _current_kernel(*refs, t_blk, slab_w, k0, s_blk, bin_size, nx_r,
 def _current_kernel_folded(*refs, t_blk, slab_w,
                            k0, s_blk, bin_size, nx_r, ny_r, ratio, ntp,
                            pix_grp, transposed=False, row_table=False,
-                           ablate=''):
+                           row_packed=False, ablate=''):
     """Folded-lane variant of :func:`_current_kernel`.
 
     The rows variant reads each response row as a (1, t_blk + 128) slice —
@@ -363,8 +363,10 @@ def _current_kernel_folded(*refs, t_blk, slab_w,
             if 'noscalar' in ablate:   # probe-only: cheap fake row index
                 rows_for = lambda istep, i: (s + istep) & 7
 
-            def step_body(istep, acc):
-                off = k0 - shift_ref[s, istep]
+            def one_step(rows, off, acc):
+                """Accumulate one sample point's shifted row windows for
+                the whole pixel group (`rows`: per-pixel scalar row ids,
+                `off`: flat response-column offset of local tick 0)."""
                 q0 = off // 128
                 rem = off - q0 * 128
                 if 'fixedload' in ablate:      # probe-only: static offset
@@ -372,8 +374,7 @@ def _current_kernel_folded(*refs, t_blk, slab_w,
                 if 'noload' in ablate:         # probe-only: one shared row
                     ws = [slab[pl.ds(0, 1), pl.ds(0, n_q), :]] * pix_grp
                 else:
-                    ws = [slab[pl.ds(rows_for(istep, i), 1),
-                               pl.ds(q0, n_q), :]
+                    ws = [slab[pl.ds(rows[i], 1), pl.ds(q0, n_q), :]
                           for i in range(pix_grp)]
                 # flat col off + t at t = 128q + l reads (q0 + q + carry,
                 # (rem + l) mod 128): one lane-roll + static sublane blend
@@ -402,8 +403,37 @@ def _current_kernel_folded(*refs, t_blk, slab_w,
                                             a[:, :n_q - 1, :], a[:, 1:, :])
                 return acc + res.astype(jnp.float32)
 
-            acc = jax.lax.fori_loop(
-                0, ns, step_body, jnp.zeros(lane_shape, jnp.float32))
+            init = jnp.zeros(lane_shape, jnp.float32)
+            if row_packed:
+                # u16-packed row table: one SMEM word holds the rows of
+                # two consecutive steps (lo = 2j, hi = 2j+1), halving the
+                # per-step SMEM row loads — the scalar-core pole after
+                # the round-4 ablation (BENCHMARKS.md: ~128 of 296 ms).
+                # Accumulation order (step 2j then 2j+1) matches the
+                # unpacked loop exactly, so output stays bit-identical.
+                zero_row = nx_r * ny_r * ratio
+
+                def pair_body(jp, acc):
+                    words = [rows_ref[s, p_ids[i], jp]
+                             for i in range(pix_grp)]
+                    if 'noscalar' in ablate:
+                        words = [(s + jp) & 7 for _ in range(pix_grp)]
+                    rows0 = [w & 0xffff for w in words]
+                    # rows fit 15 bits (guarded at the call site), so the
+                    # sign bit is never set and >> 16 extracts exactly
+                    odd_ok = 2 * jp + 1 < ns
+                    rows1 = [jnp.where(odd_ok, w >> 16, zero_row)
+                             for w in words]
+                    acc = one_step(rows0, k0 - shift_ref[s, 2 * jp], acc)
+                    return one_step(rows1, k0 - shift_ref[s, 2 * jp + 1],
+                                    acc)
+
+                acc = jax.lax.fori_loop(0, (ns + 1) // 2, pair_body, init)
+            else:
+                step_body = lambda istep, acc: one_step(
+                    [rows_for(istep, i) for i in range(pix_grp)],
+                    k0 - shift_ref[s, istep], acc)
+                acc = jax.lax.fori_loop(0, ns, step_body, init)
             for i in range(pix_grp):
                 out_ref[s, p_ids[i], :, :] = (acc[:, i, :] if transposed
                                               else acc[i])
@@ -448,6 +478,17 @@ def _row_table(xs, ys, phase, pxc, pyc, *, bin_size, nx_r, ny_r, ratio):
                      + phase[:, None, :], zero_row)
 
 
+@jax.jit
+def _pack_rows(rows):
+    """u16-pack a (S, P, n_steps) row table along even/odd step pairs:
+    word[.., j] = row[2j] | row[2j+1] << 16.  Valid only while every row
+    id (including the zero row) fits 15 bits — guarded at the call site —
+    so the packed word is never negative and the kernel's arithmetic
+    ``>> 16`` recovers the odd row exactly."""
+    r = rows.reshape(rows.shape[0], rows.shape[1], -1, 2)
+    return r[..., 0] | (r[..., 1] << 16)
+
+
 #: padded phase-split response cache: (data_ptr, shape, ratio, K0, cols)
 _RESP_CACHE: dict = {}
 
@@ -488,12 +529,13 @@ def _padded_response(response, ratio: int, K0: int, total_cols: int):
 def _kernel_fn(s_pad, P, t_sig_p, n_steps_p, s_blk, t_blk,
                slab_w, k0, bin_size, nx_r, ny_r, ratio, n_rows, ntp,
                interpret, variant='rows', pix_grp=4,
-               row_table=False, ablate=''):
+               row_table=False, row_packed=False, ablate=''):
     """Jitted pallas_call, cached on the static configuration.
 
     ``row_table`` swaps the xs/ys/phase/px/py SMEM inputs for one
     precomputed (s_blk, P, n_steps_p) int32 row-index block (see
-    _row_table).  ``ablate`` (probe-only, $LARNDSIM_PALLAS_ABLATE) cuts
+    _row_table); ``row_packed`` (folded variants only) halves that block
+    to u16 step pairs (see _pack_rows).  ``ablate`` (probe-only, $LARNDSIM_PALLAS_ABLATE) cuts
     pieces out of the inner loop to decompose kernel time — results are
     WRONG under any non-empty value; see tools/probe_bound.py."""
     # grid order (jt, s): the segment axis iterates fastest, so the
@@ -506,8 +548,10 @@ def _kernel_fn(s_pad, P, t_sig_p, n_steps_p, s_blk, t_blk,
             _current_kernel_folded, transposed=variant == 'foldedT',
             t_blk=t_blk, slab_w=slab_w, k0=k0, s_blk=s_blk,
             bin_size=bin_size, nx_r=nx_r, ny_r=ny_r, ratio=ratio,
-            ntp=ntp, pix_grp=pix_grp, row_table=row_table, ablate=ablate)
+            ntp=ntp, pix_grp=pix_grp, row_table=row_table,
+            row_packed=row_packed, ablate=ablate)
     else:
+        assert not row_packed, 'row_packed requires a folded variant'
         kernel = functools.partial(
             _current_kernel, t_blk=t_blk, slab_w=slab_w, k0=k0,
             s_blk=s_blk, bin_size=bin_size, nx_r=nx_r, ny_r=ny_r,
@@ -518,7 +562,8 @@ def _kernel_fn(s_pad, P, t_sig_p, n_steps_p, s_blk, t_blk,
                                  memory_space=pltpu.SMEM)
     smem1 = lambda: pl.BlockSpec((s_blk, 1), lambda j, i: (i, 0),
                                  memory_space=pltpu.SMEM)
-    smem3 = lambda: pl.BlockSpec((s_blk, P, n_steps_p),
+    tbl_steps = n_steps_p // 2 if row_packed else n_steps_p
+    smem3 = lambda: pl.BlockSpec((s_blk, P, tbl_steps),
                                  lambda j, i: (i, 0, 0),
                                  memory_space=pltpu.SMEM)
     if folded:
@@ -821,6 +866,15 @@ def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
     tbl_kb = s_blk * n_steps_p * P * 4 / 1024
     if tbl_kb > float(os.environ.get('LARNDSIM_PALLAS_SMEM_KB', '400')):
         row_table = False
+    # u16 step-pair packing (folded variants): halves the per-step SMEM
+    # row loads — the post-round-4 scalar-core pole (~128 of 296 ms,
+    # BENCHMARKS.md ablation).  Needs every row id (max = the zero row,
+    # nx*ny*ratio) to fit 15 bits so the packed int32 stays non-negative;
+    # every shipped LUT qualifies (45x45x2+1 = 4051).
+    row_packed = (row_table and variant.startswith('folded')
+                  and n_steps_p % 2 == 0
+                  and nx_r * ny_r * ratio < 2 ** 15
+                  and os.environ.get('LARNDSIM_PALLAS_ROWPACK', '1') != '0')
     ablate = os.environ.get('LARNDSIM_PALLAS_ABLATE', '')
     if ablate and os.environ.get('LARNDSIM_DEBUG_PROBES') != '1':
         # the ablation branches produce wrong physics by construction
@@ -832,12 +886,15 @@ def current_pallas(segs: Segments, pix_x, pix_y, pix_valid, response,
     fn = _kernel_fn(s_pad, P, t_sig_p, n_steps_p, s_blk, t_blk,
                     slab_w, K0, float(det.response_bin_size),
                     resp_np.shape[0], resp_np.shape[1], ratio, n_rows, ntp,
-                    interpret, variant, pix_grp, row_table, ablate)
+                    interpret, variant, pix_grp, row_table, row_packed,
+                    ablate)
     if row_table:
         rows_tbl = _row_table(xs, ys, phase, pxc, pyc,
                               bin_size=float(det.response_bin_size),
                               nx_r=resp_np.shape[0], ny_r=resp_np.shape[1],
                               ratio=ratio)
+        if row_packed:
+            rows_tbl = _pack_rows(rows_tbl)
         out = fn(rows_tbl, shift, nstep_c, npix, tick_lo_c, tick_hi_c,
                  padded_dev)
     else:
