@@ -74,6 +74,20 @@ def get_adc_values(pixels_signals: jnp.ndarray, tick_times: jnp.ndarray,
             $LARNDSIM_FEE_UNROLL once per distinct call signature.
             Measured a wash on v5e (see the note at the scan below).
     """
+    # TPU backend: run the identical FSM as a single Mosaic kernel with
+    # the tick loop on-chip (ops/fee_pallas.py) — the lax.scan formulation
+    # pays ~4k sequential while-loop steps of fixed overhead (~30x off
+    # the HBM roofline at bench shapes).  Same key splits, same hoisted
+    # noise tensor, same op order: control flow (hence all int outputs)
+    # matches the scan exactly; floats to ~1 f32 ULP (tools/ab_fee.py,
+    # tests/test_fee_pallas.py).  LARNDSIM_FEE_PALLAS=0 reverts.
+    if (jax.default_backend() == 'tpu' and max_adc <= 64
+            and os.environ.get('LARNDSIM_FEE_PALLAS', '1') != '0'):
+        from .fee_pallas import fee_fsm_pallas
+        return FeeResult(*fee_fsm_pallas(
+            pixels_signals, tick_times, pixel_thresholds, det, key,
+            max_adc=max_adc, n_scan=n_scan, time_padding=time_padding))
+
     U, T = pixels_signals.shape
     dt = det.time_sampling
     tau = det.buffer_risetime
