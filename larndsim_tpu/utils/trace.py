@@ -19,6 +19,13 @@ import jax
 _TIMES: dict[str, float] = defaultdict(float)
 _COUNTS: dict[str, int] = defaultdict(int)
 _CHILD: dict[str, float] = defaultdict(float)
+#: per-label CPU seconds of the *calling thread* (time.thread_time).  On
+#: a 1-core host a thread's wall time includes time-sliced contention
+#: with other threads, so truth/worker wall >> its actual CPU demand;
+#: the cpu column separates "this thread computed" from "this thread
+#: waited or was descheduled" (VERDICT r4 weak #2 attribution).
+_CPU: dict[str, float] = defaultdict(float)
+_CHILD_CPU: dict[str, float] = defaultdict(float)
 _STACK = threading.local()
 #: += on the shared dicts is a non-atomic read-modify-write; phases now
 #: end concurrently on dispatch/truth threads (same labels), so updates
@@ -52,6 +59,7 @@ def phase(label: str):
         stack = _STACK.frames = []
     stack.append(label)
     t0 = time.perf_counter()
+    c0 = time.thread_time()
     try:
         with jax.profiler.TraceAnnotation(label):
             yield
@@ -59,9 +67,11 @@ def phase(label: str):
         if _SYNC:
             _drain_device()
         dt = time.perf_counter() - t0
+        dc = time.thread_time() - c0
         stack.pop()
         with _ACC_LOCK:
             _TIMES[label] += dt
+            _CPU[label] += dc
             _COUNTS[label] += 1
             if stack:
                 # nested time is attributed to the child; the parent's row
@@ -69,6 +79,7 @@ def phase(label: str):
                 # (VERDICT r1: `export` wrapping flush+drain showed 101 s
                 # against 36 s elapsed)
                 _CHILD[stack[-1]] += dt
+                _CHILD_CPU[stack[-1]] += dc
 
 
 def summary() -> dict[str, tuple[float, int]]:
@@ -82,14 +93,23 @@ def summary_total() -> dict[str, tuple[float, int]]:
     return {k: (_TIMES[k], _COUNTS[k]) for k in _TIMES}
 
 
+def summary_cpu() -> dict[str, float]:
+    """label -> self CPU seconds of the calling thread(s)."""
+    return {k: _CPU[k] - _CHILD_CPU.get(k, 0.0) for k in _CPU}
+
+
 def reset():
     _TIMES.clear()
     _COUNTS.clear()
     _CHILD.clear()
+    _CPU.clear()
+    _CHILD_CPU.clear()
 
 
 def report() -> str:
-    lines = [f'{k:32s} {t:8.2f} s  ({n} calls)'
+    cpu = summary_cpu()
+    lines = [f'{k:32s} {t:8.2f} s  ({cpu.get(k, 0.0):6.2f} s cpu, '
+             f'{n} calls)'
              for k, (t, n) in sorted(summary().items(),
                                      key=lambda kv: -kv[1][0])]
     return '\n'.join(lines)
