@@ -6,31 +6,36 @@ TPU each of the ~4k scan steps pays the XLA while-loop's fixed per-step
 overhead, so the scan runs ~30x off the HBM roofline (~185 ms at bench
 shapes for ~5 GB of traffic).
 
-This kernel runs the identical FSM with the tick loop *inside* one
-Mosaic kernel:
+This kernel runs the identical FSM with the tick loop inside one Mosaic
+kernel: grid = (pixel tiles, tick chunks) with the chunk axis fastest,
+the signal and hoisted-noise streams block-pipelined, and the FSM state
+resident in VMEM scratch across a tile's chunk steps.
 
-* grid = (pixel tiles,) ONLY.  The tick-chunk loop lives in-kernel with
-  manual double-buffered DMA for the signal/noise streams.  A
-  (tiles, chunks) grid with block-pipelined inputs was tried first and
-  cost ~5x: Mosaic round-trips every block whose index map revisits the
-  same block across grid steps (hit buffers, state), ~90 ms/call at
-  bench shapes (tools/probe_fee.py).  With one grid step per tile,
-  every block is visited exactly once.
-* pixels are tiled TILE at a time, laid out (spb, 128) — every state
-  update is whole-vreg VPU work.  FSM state lives in VMEM scratch (a
-  fori_loop-carry formulation cost ~100 ms/call: Mosaic spills carried
-  vectors at every iteration boundary).
-* the same hoisted `jax.random.normal` noise tensor as the scan path is
-  consumed with the same indexing, and every f32 op keeps the scan
-  body's order — control flow (hence every integer output: hit counts,
-  window bounds, tick choices) matches the scan exactly; float outputs
-  agree to ~1 f32 ULP (compiler fusion differences only).  Asserted by
-  tests/test_fee_pallas.py and the hardware A/B in tools/ab_fee.py.
-* state-independent noise products are precomputed per chunk as
-  pipelined whole-block passes, shortening the serial per-tick chain.
-* ADC latches are rare, so the (max_adc)-wide hit-buffer writes sit
-  behind an `@pl.when(any(success))` guard, mirroring the scan's
-  `lax.cond`.
+Block-pipeline rules learned on hardware (tools/probe_fee.py):
+
+* a block whose index map is CONSTANT across the fast grid axis gets
+  synced by the pipeline on EVERY step (~0.37 ms x 240 steps at bench
+  shapes — more than the whole kernel), so the only BlockSpec-pipelined
+  operands are the signal/noise streams, whose blocks change every
+  step.  Constants ride scalar-prefetch SMEM (scalars, tick_times);
+  per-tile constants (thresholds, q0) are DMA'd once per tile from
+  ANY-space inputs; hit buffers accumulate in scratch and are DMA'd to
+  ANY-space outputs on each tile's last chunk.
+* fori_loop-carried vectors spill at every iteration boundary
+  (~100 ms/call) — state lives in scratch refs instead.
+* strided small-piece manual DMAs run ~12 GB/s; the pipelined stream
+  blocks avoid them.
+
+The same hoisted `jax.random.normal` noise tensor as the scan path is
+consumed with the same indexing, and every f32 op keeps the scan body's
+order — control flow (hence every integer output: hit counts, window
+bounds, tick choices) matches the scan exactly; float outputs agree to
+~1 f32 ULP (compiler fusion differences only).  Asserted by
+tests/test_fee_pallas.py (interpret mode) and tools/ab_fee.py
+(hardware).  State-independent noise products are precomputed per chunk
+as pipelined whole-block passes; ADC latches are rare, so the
+(max_adc)-wide hit writes sit behind an `@pl.when(any(success))` guard,
+mirroring the scan's `lax.cond`.
 
 Hit buffers are staged (max_adc, U/128, 128) so latch writes are
 per-slot whole-vreg selects (no relayout); the wrapper transposes back.
@@ -45,24 +50,34 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-#: pixel tile (multiple of 128) and in-kernel tick chunk.  The chunk
-#: bounds the double-buffered noise landing zone (2 x 5 x CHUNK x TILE
-#: floats in VMEM).
+#: pixel tile (multiple of 128) and tick chunk per grid step.
 TILE = int(os.environ.get('LARNDSIM_FEE_TILE', '1024'))
 CHUNK = int(os.environ.get('LARNDSIM_FEE_CHUNK', '256'))
 
 
-def _fee_kernel(scal_ref, times_ref, thr_ref, q0_ref, sig_hbm, noise_hbm,
-                integ_ref, ticks_ref, r_ref, e_ref, iadc_ref,
-                fstate, istate, prods, sig_buf, noise_buf, sems,
-                *, n_scan, n_c, max_adc, interval, reset_ticks,
+def _fee_kernel(scal_ref, times_ref, stream_ref, noise_ref, out_ref,
+                fstate, istate, prods, tilec, integ_s, ticks_s, r_s, e_s,
+                iadc_s, *, n_scan, max_adc, interval, reset_ticks,
                 busy_ticks, time_padding, n_times, spb, ablate=''):
-    """One pixel-tile grid instance: the whole tick range, chunked.
+    """One (pixel-tile, chunk) grid step; chunk axis fastest.
 
-    scal_ref: SMEM [A, dt, C, sigma_uncorr, sigma_disc, sigma_reset].
-    sig_hbm/noise_hbm: full (n_scan_p, l128, 128) / (5, n_scan_p, l128,
-        128) arrays left in HBM; chunks stream through the
-        double-buffered sig_buf/noise_buf scratch.
+    THREE pipelined operands — more stalls the pipeline (~0.09 ms/step
+    per extra operand block beyond a handful; tools/probe_fee2.py: 5
+    separate outputs cost 117 ms where 1 costs 25 ms), and ANY-space or
+    constant-index operands stall it on EVERY step:
+
+    * stream_ref (CHUNK, spb, 128): the signal.  Grid chunk 0 is a
+      HEADER chunk — rows 0/1 carry the tile's thresholds and initial
+      q_sum; ticks run for c >= 1 at t = (c-1)*CHUNK + i.
+    * noise_ref (CHUNK, 5, spb, 128): the hoisted noise rows in their
+      native draw layout (transposing them in XLA cost 31 ms/call; the
+      strided in-VMEM reads here are free).
+    * out_ref (1, 4*max_adc+1, spb, 128) f32: planes [integrals, ticks,
+      bitcast(r), bitcast(e), bitcast(iadc)], written from scratch on
+      the tile's last chunk; earlier steps flush garbage blocks the
+      wrapper never reads (per-step-unique index map).
+
+    scal_ref/times_ref: scalar-prefetch SMEM.
     fstate: (2, spb, 128) f32 scratch [s_filt, q_sum] (the scan's
         `true_q` carry is dead state — never output — and is dropped).
     istate: (4, spb, 128) i32 scratch [busy, integ_rem, skip_rem,
@@ -72,42 +87,41 @@ def _fee_kernel(scal_ref, times_ref, thr_ref, q0_ref, sig_hbm, noise_hbm,
         subexpressions: [0] n_q*su, [1] thr + n_disc*sd, [2] n_adc*su,
         [3] thr + n_disc2*sd, [4] n_reset*sr.
     """
-    u = pl.program_id(0)
+    c = pl.program_id(1)
+    n_c = pl.num_programs(1)
     A = scal_ref[0, 0]
     dt = scal_ref[0, 1]
     C = scal_ref[0, 2]
     sigma_uncorr = scal_ref[0, 3]
     sigma_disc = scal_ref[0, 4]
     sigma_reset = scal_ref[0, 5]
-    thr = thr_ref[0]
 
-    fstate[0] = jnp.zeros((spb, 128), jnp.float32)
-    fstate[1] = q0_ref[0]
-    istate[...] = jnp.zeros((4, spb, 128), jnp.int32)
-    integ_ref[...] = jnp.zeros((max_adc, spb, 128), jnp.float32)
-    ticks_ref[...] = jnp.zeros((max_adc, spb, 128), jnp.float32)
-    r_ref[...] = jnp.full((max_adc, spb, 128), -1, jnp.int32)
-    e_ref[...] = jnp.full((max_adc, spb, 128), -1, jnp.int32)
-    iadc_ref[0] = jnp.zeros((spb, 128), jnp.int32)
+    @pl.when(c == 0)
+    def _init():
+        tilec[0] = stream_ref[0]         # thresholds (header row 0)
+        tilec[1] = stream_ref[1]         # q_init (header row 1)
+        fstate[0] = jnp.zeros((spb, 128), jnp.float32)
+        fstate[1] = stream_ref[1]
+        istate[...] = jnp.zeros((4, spb, 128), jnp.int32)
+        integ_s[...] = jnp.zeros((max_adc, spb, 128), jnp.float32)
+        ticks_s[...] = jnp.zeros((max_adc, spb, 128), jnp.float32)
+        r_s[...] = jnp.full((max_adc, spb, 128), -1, jnp.int32)
+        e_s[...] = jnp.full((max_adc, spb, 128), -1, jnp.int32)
+        iadc_s[0] = jnp.zeros((spb, 128), jnp.int32)
 
-    def chunk_dma(slot, c):
-        # tile-major HBM layout (see _fee_pallas_call): each copy is a
-        # handful of ~MB contiguous runs, not thousands of 4 KB strided
-        # pieces (the strided form ran the stream at ~12 GB/s)
-        sig = pltpu.make_async_copy(
-            sig_hbm.at[u, pl.ds(c * CHUNK, CHUNK)],
-            sig_buf.at[slot], sems.at[slot, 0])
-        noi = pltpu.make_async_copy(
-            noise_hbm.at[u, :, pl.ds(c * CHUNK, CHUNK)],
-            noise_buf.at[slot], sems.at[slot, 1])
-        return sig, noi
+    thr = tilec[0]
+    if 'noprods' not in ablate:
+        @pl.when(c > 0)
+        def _prods():
+            prods[0] = noise_ref[:, 0] * sigma_uncorr
+            prods[1] = thr[None] + noise_ref[:, 1] * sigma_disc
+            prods[2] = noise_ref[:, 2] * sigma_uncorr
+            prods[3] = thr[None] + noise_ref[:, 3] * sigma_disc
+            prods[4] = noise_ref[:, 4] * sigma_reset
 
-    for dma in chunk_dma(0, 0):
-        dma.start()
-
-    def tick_body_for(c, guarded):
+    def tick_body_for(guarded):
         def tick_body(i, _):
-            t = c * CHUNK + i
+            t = (c - 1) * CHUNK + i
             if guarded:
                 cond = pl.when(t < n_scan)
             else:
@@ -116,9 +130,9 @@ def _fee_kernel(scal_ref, times_ref, thr_ref, q0_ref, sig_hbm, noise_hbm,
             @cond
             def _():
                 if 'minbody' in ablate:   # probe-only
-                    fstate[0] = A * fstate[0] + sig_buf[c % 2, i]
+                    fstate[0] = A * fstate[0] + stream_ref[i]
                     return
-                curre_t = sig_buf[c % 2, i]
+                curre_t = stream_ref[i]
                 sr0 = istate[2]
                 ir0 = istate[1]
                 skipping = sr0 > 0
@@ -138,7 +152,7 @@ def _fee_kernel(scal_ref, times_ref, thr_ref, q0_ref, sig_hbm, noise_hbm,
                 adc = q_sum + prods[2, i]
                 success = latch & (adc >= prods[3, i])
 
-                iadc0 = iadc_ref[0]
+                iadc0 = iadc_s[0]
 
                 @pl.when(jnp.any(success))
                 def _latch_write():
@@ -149,14 +163,13 @@ def _fee_kernel(scal_ref, times_ref, thr_ref, q0_ref, sig_hbm, noise_hbm,
                                 - 2 + post.astype(jnp.float32))
                     for k in range(max_adc):
                         sel = success & (idx == k)
-                        integ_ref[k] = jnp.where(sel, adc, integ_ref[k])
-                        ticks_ref[k] = jnp.where(sel, tick_val,
-                                                 ticks_ref[k])
-                        r_ref[k] = jnp.where(sel, istate[3], r_ref[k])
-                        e_ref[k] = jnp.where(sel, t, e_ref[k])
+                        integ_s[k] = jnp.where(sel, adc, integ_s[k])
+                        ticks_s[k] = jnp.where(sel, tick_val, ticks_s[k])
+                        r_s[k] = jnp.where(sel, istate[3], r_s[k])
+                        e_s[k] = jnp.where(sel, t, e_s[k])
 
                 iadc = jnp.where(success, iadc0 + 1, iadc0)
-                iadc_ref[0] = iadc
+                iadc_s[0] = iadc
 
                 idle = ~skipping & ~integrating
                 busy = jnp.where(idle, jnp.maximum(istate[0] - 1, 0),
@@ -179,26 +192,27 @@ def _fee_kernel(scal_ref, times_ref, thr_ref, q0_ref, sig_hbm, noise_hbm,
 
         return tick_body
 
-    # the chunk loop is a static python loop: n_c is small (~15) and the
-    # per-chunk trace (DMA wait/start + prods + the fori tick loop) is
-    # compact, while a traced chunk loop would force the DMA slot choice
-    # and the tail-guard split through lax.switch
-    for c in range(n_c):
-        slot = c % 2
-        for dma in chunk_dma(slot, c):
-            dma.wait()
-        if c + 1 < n_c:
-            for dma in chunk_dma(1 - slot, c + 1):
-                dma.start()
-        if 'noprods' not in ablate:
-            nb = noise_buf[slot]
-            prods[0] = nb[0] * sigma_uncorr
-            prods[1] = thr[None] + nb[1] * sigma_disc
-            prods[2] = nb[2] * sigma_uncorr
-            prods[3] = thr[None] + nb[3] * sigma_disc
-            prods[4] = nb[4] * sigma_reset
-        guarded = (c + 1) * CHUNK > n_scan
-        jax.lax.fori_loop(0, CHUNK, tick_body_for(c, guarded), 0)
+    if n_scan % CHUNK:
+        @pl.when((c > 0) & (c < n_c - 1))
+        def _full():
+            jax.lax.fori_loop(0, CHUNK, tick_body_for(False), 0)
+
+        @pl.when(c == n_c - 1)
+        def _tail():
+            jax.lax.fori_loop(0, CHUNK, tick_body_for(True), 0)
+    else:
+        @pl.when(c > 0)
+        def _all():
+            jax.lax.fori_loop(0, CHUNK, tick_body_for(False), 0)
+
+    @pl.when(c == n_c - 1)
+    def _flush():
+        m = max_adc
+        out_ref[0, :m] = integ_s[...]
+        out_ref[0, m:2 * m] = ticks_s[...]
+        out_ref[0, 2 * m:3 * m] = pltpu.bitcast(r_s[...], jnp.float32)
+        out_ref[0, 3 * m:4 * m] = pltpu.bitcast(e_s[...], jnp.float32)
+        out_ref[0, 4 * m] = pltpu.bitcast(iadc_s[0], jnp.float32)
 
 
 @functools.partial(jax.jit,
@@ -224,78 +238,74 @@ def _fee_pallas_call(sig_rows, noise_all, tick_times, thresholds, q_init,
         tile //= 2
     spb = tile // 128
     n_u = U // tile
-    n_c = n_scan_p // CHUNK
+    n_c = n_scan_p // CHUNK + 1          # +1: header chunk
     n_times = tick_times.shape[0]
     l128 = U // 128
 
-    # tile-major layouts: one XLA pass over each stream so the kernel's
-    # chunk DMAs are contiguous (the (n_scan, 5, U) draw order itself is
-    # unchanged — only the storage order moves)
-    sig4 = (sig_rows.reshape(n_scan_p, n_u, spb, 128)
-            .transpose(1, 0, 2, 3))                # (n_u, T, spb, 128)
-    noise4 = (noise_all.reshape(n_scan_p, 5, n_u, spb, 128)
-              .transpose(2, 1, 0, 3, 4))       # (n_u, 5, T, spb, 128)
-    thr3 = thresholds.reshape(1, l128, 128)
-    q03 = q_init.reshape(1, l128, 128)
+    # signal stream with a prepended header chunk (rows 0/1 = the
+    # per-pixel thresholds / initial q_sum); the noise tensor stays in
+    # its native draw layout
+    header = jnp.zeros((CHUNK, U), jnp.float32)
+    header = header.at[0].set(thresholds.astype(jnp.float32))
+    header = header.at[1].set(q_init.astype(jnp.float32))
+    stream = (jnp.concatenate([header, sig_rows])
+              .reshape(n_c * CHUNK, l128, 128))
+    noise4 = noise_all.reshape(n_scan_p, 5, l128, 128)
     times2 = tick_times.reshape(1, -1).astype(jnp.float32)
-    scal2 = scalars.reshape(1, -1)
+    scal2 = scalars.reshape(1, -1).astype(jnp.float32)
 
     kernel = functools.partial(
-        _fee_kernel, n_scan=n_scan, n_c=n_c, max_adc=max_adc,
+        _fee_kernel, n_scan=n_scan, max_adc=max_adc,
         interval=interval, reset_ticks=reset_ticks,
         busy_ticks=busy_ticks, time_padding=time_padding,
         n_times=n_times, spb=spb,
         ablate=os.environ.get('LARNDSIM_FEE_ABLATE', ''))
-    outs = pl.pallas_call(
-        kernel,
-        grid=(n_u,),
+    m = max_adc
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_u, n_c),
         in_specs=[
-            pl.BlockSpec((1, scalars.shape[0]), lambda u: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, n_times), lambda u: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, spb, 128), lambda u: (0, u, 0),
+            pl.BlockSpec((CHUNK, spb, 128),
+                         lambda u, c, *p: (c, u, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, spb, 128), lambda u: (0, u, 0),
+            pl.BlockSpec((CHUNK, 5, spb, 128),
+                         lambda u, c, *p: (jnp.maximum(c - 1, 0), 0,
+                                           u, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),      # signal (HBM)
-            pl.BlockSpec(memory_space=pl.ANY),      # noise (HBM)
         ],
         out_specs=[
-            pl.BlockSpec((max_adc, spb, 128), lambda u: (0, u, 0),
+            pl.BlockSpec((1, 4 * m + 1, spb, 128),
+                         lambda u, c, *p: (c, 0, u, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((max_adc, spb, 128), lambda u: (0, u, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((max_adc, spb, 128), lambda u: (0, u, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((max_adc, spb, 128), lambda u: (0, u, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, spb, 128), lambda u: (0, u, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((max_adc, l128, 128), jnp.float32),
-            jax.ShapeDtypeStruct((max_adc, l128, 128), jnp.float32),
-            jax.ShapeDtypeStruct((max_adc, l128, 128), jnp.int32),
-            jax.ShapeDtypeStruct((max_adc, l128, 128), jnp.int32),
-            jax.ShapeDtypeStruct((1, l128, 128), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, spb, 128), jnp.float32),
             pltpu.VMEM((4, spb, 128), jnp.int32),
             pltpu.VMEM((5, CHUNK, spb, 128), jnp.float32),
-            pltpu.VMEM((2, CHUNK, spb, 128), jnp.float32),
-            pltpu.VMEM((2, 5, CHUNK, spb, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((2, spb, 128), jnp.float32),
+            pltpu.VMEM((max_adc, spb, 128), jnp.float32),
+            pltpu.VMEM((max_adc, spb, 128), jnp.float32),
+            pltpu.VMEM((max_adc, spb, 128), jnp.int32),
+            pltpu.VMEM((max_adc, spb, 128), jnp.int32),
+            pltpu.VMEM((1, spb, 128), jnp.int32),
+        ],
+    )
+    packed = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_c, 4 * m + 1, l128, 128),
+                                 jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 2 ** 20),
         interpret=interpret,
-    )(scal2, times2, thr3, q03, sig4, noise4)
-    integ, ticks, r_out, e_out, iadc = outs
-    tp = lambda a: a.reshape(max_adc, U).T   # (U, max_adc)
-    return (tp(integ), tp(ticks), iadc.reshape(U),
-            tp(r_out), tp(e_out))
+    )(scal2, times2, stream, noise4)[0][n_c - 1]
+    asi = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
+    tp = lambda a: a.reshape(-1, U).T        # (U, planes)
+    return (tp(packed[:m]), tp(packed[m:2 * m]),
+            asi(packed[4 * m]).reshape(U),
+            asi(tp(packed[2 * m:3 * m])), asi(tp(packed[3 * m:4 * m])))
 
 
 def _round_up(x: int, m: int) -> int:
