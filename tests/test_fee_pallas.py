@@ -52,6 +52,8 @@ def _run_pair(det, U, T, max_adc, n_scan, seed=42):
     (600, 500, 10, 520),
     (1100, 300, 5, 512),
     (2048, 700, 3, 777),
+    (600, 150, 1, 180),     # n_scan < CHUNK, single hit slot
+    (700, 240, 2, 256),     # n_scan == CHUNK exactly (no tail guard)
 ])
 def test_matches_scan(det, shape):
     scan, pal = _run_pair(det, *shape)
