@@ -137,6 +137,27 @@ class TestMemoryLogger:
             assert (rec['cpu_mem_used'] >= 0).all()
             assert rec['cpu_mem_peak'].max() > 0
 
+    def test_read_memlog_roundtrip(self, tmp_path):
+        """read_memlog is the documented consumer path (the plain layout
+        is NOT pandas.read_hdf-compatible): DataFrames per phase when
+        pandas imports, matching the stored snapshots."""
+        from larndsim_tpu.utils import MemoryLogger
+        from larndsim_tpu.utils.memlog import FIELDS, read_memlog
+        ml = MemoryLogger()
+        ml.start()
+        ml.take_snapshot()
+        ml.take_snapshot()
+        ml.archive('phase_a')
+        out = str(tmp_path / 'mem.h5')
+        ml.store(out)
+        tables = read_memlog(out)
+        assert set(tables) == {'phase_a'}
+        tab = tables['phase_a']
+        cols = (list(tab.columns) if hasattr(tab, 'columns')
+                else list(tab.dtype.names))
+        assert cols == list(FIELDS)
+        assert len(tab) == 2
+
     def test_npz_store(self, tmp_path):
         from larndsim_tpu.utils import MemoryLogger
         ml = MemoryLogger()
