@@ -1383,25 +1383,72 @@ def _host_truth_sparse(truth_ids, amp, itick, kernel, trigger_idx,
                        light: LightParams, digit_samples: int,
                        op_channel, threshold: float) -> dict:
     """Zero-suppressed truth records computed on host from the (C, K)
-    contributor points — no dense (ntrig, C, samples, K) tensor anywhere."""
+    contributor points — no dense (ntrig, C, samples, K) tensor anywhere.
+
+    Contributor rows are pre-filtered by the rigorous bound
+    |amp| * max|kernel| > threshold (a dropped row's samples can never
+    clear the record threshold), and the kernel lookup is a direct
+    floor/lerp on the integer-gridded kernel instead of `np.interp`
+    (whose per-element searchsorted dominated the old (T, C, K, S)
+    evaluation — ~0.8 s/event of main-thread CPU at module0 shapes,
+    BENCHMARKS.md round 5).  Same values, same record order.
+    """
     ids = np.asarray(truth_ids)
     amp = np.asarray(amp)
     itick = np.asarray(itick)
+    kmax = float(np.abs(kernel).max()) if kernel.size else 0.0
+    act = (ids >= 0) & (np.abs(amp) * kmax > threshold)
+    chan_r, k_r = np.nonzero(act)                               # (R,)
+    amp_r = amp[chan_r, k_r]
+    it_r = itick[chan_r, k_r].astype(np.int64)
     f = light.light_digit_sample_spacing / light.light_tick_size
     pre = int(np.ceil(light.light_trig_window[0] / light.light_tick_size))
-    sample_tick = (np.asarray(trigger_idx)[:, None] - pre
-                   + np.arange(digit_samples)[None, :] * f)     # (T, S)
-    x = sample_tick[:, None, None, :] - itick[None, :, :, None]  # (T,C,K,S)
-    vals = amp[None, :, :, None] * np.interp(
-        x, np.arange(kernel.shape[0]), kernel, left=0.0, right=0.0)
-    keep = (ids[None, :, :, None] >= 0) & (np.abs(vals) > threshold)
-    trig, chan, k, tick = np.nonzero(keep)
+    n = kernel.shape[0]
+    trigger_idx = np.asarray(trigger_idx)
+    # per (trigger, row), only the <= ceil((n-1)/f)+1 samples whose tick
+    # lands inside the kernel's [0, n-1] support can be nonzero — build
+    # exactly that window per pair instead of the full S-sample axis
+    # +1 slack sample on each side: the s0 division is float and must
+    # never exclude a borderline in-support sample (extra samples are
+    # zeroed by the in-bounds mask)
+    w = min(int(np.floor((n - 1) / f)) + 3, digit_samples)
+    parts = {k: [] for k in ('trig', 'row', 'tick', 'pe')}
+    for t in range(trigger_idx.shape[0]):
+        base = int(trigger_idx[t]) - pre                       # int
+        # first sample index with x >= 0:  s*f + (base - it) >= 0
+        s0 = np.maximum(
+            np.ceil((it_r - base) / f).astype(np.int64) - 1, 0)
+        sidx = s0[:, None] + np.arange(w)[None, :]             # (R, w)
+        # x with the SAME float association as the dense np.interp
+        # formulation: (trig - pre + s*f) - itick
+        x = (base + sidx * f) - it_r[:, None]
+        inb = (x >= 0.0) & (x <= n - 1) & (sidx < digit_samples)
+        i0 = np.clip(np.floor(x).astype(np.int64), 0,
+                     max(n - 2, 0))
+        frac = x - i0
+        kv = (kernel[i0] + (kernel[np.minimum(i0 + 1, n - 1)]
+                            - kernel[i0]) * frac) if n > 1 \
+            else np.broadcast_to(kernel[:1], x.shape)
+        vals = amp_r[:, None] * np.where(inb, kv, 0.0)
+        row, s_loc = np.nonzero(np.abs(vals) > threshold)
+        parts['trig'].append(np.full(row.shape[0], t, np.int32))
+        parts['row'].append(row)
+        parts['tick'].append(sidx[row, s_loc].astype(np.int32))
+        parts['pe'].append(vals[row, s_loc].astype(np.float64))
+    trig = np.concatenate(parts['trig']) if parts['trig'] else \
+        np.empty(0, np.int32)
+    row = (np.concatenate(parts['row']) if parts['row']
+           else np.empty(0, np.int64))
+    tick = (np.concatenate(parts['tick']) if parts['tick']
+            else np.empty(0, np.int32))
+    pe = (np.concatenate(parts['pe']) if parts['pe']
+          else np.empty(0, np.float64))
     return dict(
-        trig=trig.astype(np.int32),
-        op_channel=np.asarray(op_channel)[chan].astype(np.int32),
-        tick=tick.astype(np.int32),
-        segment_id=ids[chan, k].astype(np.int64),
-        pe_current=vals[trig, chan, k, tick].astype(np.float64),
+        trig=trig,
+        op_channel=np.asarray(op_channel)[chan_r[row]].astype(np.int32),
+        tick=tick,
+        segment_id=ids[chan_r[row], k_r[row]].astype(np.int64),
+        pe_current=pe,
     )
 
 
@@ -2054,8 +2101,16 @@ def simulate_light_group_mode0(segs_g: Segments, det_model: DetectorModel,
                    else None)
     # grouped tails need the tail dispatch to be exactly
     # pad+noise+digitize(+truth select); the device smear route runs its
-    # own per-event truth stage, so it keeps the solo loop
-    grouped_tail = (os.environ.get('LARNDSIM_MODE0_TAIL', '1') != '0'
+    # own per-event truth stage, so it keeps the solo loop.
+    # DEFAULT OFF: every distinct (ntrig, pad_front, pad_back) bucket
+    # shape costs a fresh jit trace, and mode-0 trigger walks produce
+    # near-continuous pad values — measured 4.7 s of trace CPU over 8
+    # module0 bench events vs ~0.1 s/event of solo dispatch tails
+    # (BENCHMARKS.md round 5).  Opt in (LARNDSIM_MODE0_TAIL=1) on
+    # multi-core hosts running long jobs where bucket shapes recur and
+    # tracing amortizes; output is byte-identical either way
+    # (tests/test_event_grouping.py runs both).
+    grouped_tail = (os.environ.get('LARNDSIM_MODE0_TAIL', '0') == '1'
                     and smear_route != 'device')
     if not grouped_tail:
         out = []

@@ -254,9 +254,14 @@ class TestLightGrouping:
         assert n_records > 0
 
     @pytest.mark.parametrize('smear', [False, True])
-    def test_grouped_mode0_light_matches_solo_exactly(self, setup, smear):
+    @pytest.mark.parametrize('grouped_tail', ['0', '1'])
+    def test_grouped_mode0_light_matches_solo_exactly(self, setup, smear,
+                                                      grouped_tail,
+                                                      monkeypatch):
         """simulate_light_group_mode0 (threshold self-trigger) is
-        bit-identical to per-event simulate_light_batch calls: same
+        bit-identical to per-event simulate_light_batch calls — with the
+        per-event tails (default) AND the bucketed grouped-tail dispatch
+        (LARNDSIM_MODE0_TAIL=1): same
         responses, same trigger walks, same digitized waveforms and truth
         (the tail IS the solo code via _precomputed)."""
         import dataclasses
@@ -317,6 +322,7 @@ class TestLightGrouping:
         # the scenario must actually exercise the threshold walk
         assert any(len(s.trigger_idx) > 0 for s in solos)
 
+        monkeypatch.setenv('LARNDSIM_MODE0_TAIL', grouped_tail)
         segs_g = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs), *segs_list)
         groups = simulate_light_group_mode0(
